@@ -1,0 +1,157 @@
+"""Typed configuration for the Softspoken-TPU pipeline.
+
+The reference keeps all knobs in a flat constants module
+(``root/code/backend/settings.py:1-33``).  Here the same constants become a
+frozen dataclass so they can be overridden per run (file / CLI / env) while the
+defaults remain the byte-for-byte parity preset.
+
+Reference constant map (file:line → field):
+  settings.py:4-6    n_fft=512, win_length=512, hop_length=256
+  settings.py:9      step_size=0.6 (window stride, seconds)
+  settings.py:12     prediction_batch_size=32
+  settings.py:13     threshold=0.1 (raw-logit score threshold)
+  settings.py:16     vad_resample=22050 (internal sample rate)
+  settings.py:19-20  model_dir / model_name
+  settings.py:23     project_dir
+  settings.py:26     minimum_detection_len=0.1
+  settings.py:32     cpu_threads = os.cpu_count()//2
+  pytorch_neural_nets.py:92-99  mel frontend: n_fft*4=2048, n_mels=128, f_max=8000
+  worker.py:59-62    pad_seconds=3 (zero padding both sides)
+  worker.py:97       break_duration=0.5 (region merge gap)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+@dataclass(frozen=True)
+class DspConfig:
+    """Spectrogram frontend constants (parity-critical, SURVEY.md §2.2)."""
+
+    sample_rate: int = 22050          # settings.py:16
+    n_fft: int = 2048                 # pytorch_neural_nets.py:94 (settings.n_fft*4)
+    win_length: int = 512             # settings.py:5
+    hop_length: int = 256             # settings.py:6
+    n_mels: int = 128                 # pytorch_neural_nets.py:87
+    f_min: float = 0.0                # torchaudio default
+    f_max: float = 8000.0             # pytorch_neural_nets.py:98
+    # torchaudio MelSpectrogram defaults baked into the reference model:
+    # power=2.0, HTK mel scale, norm=None, center=True, pad_mode="reflect",
+    # periodic Hann window zero-padded 512→2048.
+    frames_per_window: int = 256      # pytorch_neural_nets.py:150 (259→256 trim)
+
+    # Display STFT (review screen) — voice_activity.py:148-154
+    display_n_fft: int = 512
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Sliding-window inference constants (NNDetector.py:55-190)."""
+
+    window_seconds: float = 3.0       # NNDetector.py:68
+    step_seconds: float = 0.6         # settings.py:9
+    pad_seconds: float = 3.0          # worker.py:59
+    batch_size: int = 32              # settings.py:12
+    threshold: float = 0.1            # settings.py:13
+    break_duration: float = 0.5       # worker.py:97
+    minimum_detection_len: float = 0.1  # settings.py:26
+    min_count: int = 1                # NNDetector.py:153 (min windows per grid bin)
+
+    # TPU execution knobs (no reference counterpart):
+    # "parity"  -> float32 activations, highest matmul precision
+    # "fast"    -> bfloat16 activations on the conv path, float32 accumulation
+    precision: str = "fast"
+    # Windows dispatched to the device per jit call. The reference uses 32
+    # (CPU); on TPU larger batches keep the MXU fed.
+    device_batch: int = 128
+    # Streaming chunk length, seconds of audio per device dispatch for long
+    # recordings (overlap-save; boundaries are window-aligned so chunking
+    # never changes results — SURVEY.md §5 "long-context").
+    chunk_seconds: float = 600.0
+    # Skip files whose detections already exist (fixes reference resume quirk
+    # SURVEY.md §2.3; set False for strict reference behavior).
+    skip_processed_files: bool = True
+
+
+@dataclass(frozen=True)
+class PathsConfig:
+    model_dir: str = os.path.join(".", "root", "models", "spec_unet_2d")
+    model_name: str = "model_checkpoint"        # orbax dir or .pth file stem
+    project_dir: str = os.path.join(".", "projects")
+    user_guide_url: str = "https://github.com/AVianEco/Softspoken"
+
+
+@dataclass(frozen=True)
+class Config:
+    dsp: DspConfig = field(default_factory=DspConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
+    paths: PathsConfig = field(default_factory=PathsConfig)
+    cpu_threads: int = field(default_factory=lambda: max(1, (os.cpu_count() or 2) // 2))
+
+    # ----- derived quantities (SURVEY.md §2.2) -----
+    @property
+    def samples_per_window(self) -> int:
+        # 3 s * 22050 Hz = 66150 (NNDetector.py:74)
+        return int(self.dsp.sample_rate * self.engine.window_seconds)
+
+    @property
+    def samples_per_step(self) -> int:
+        # floor(22050 * 0.6) = 13230 (NNDetector.py:75)
+        return math.floor(self.dsp.sample_rate * self.engine.step_seconds)
+
+    @property
+    def pad_samples(self) -> int:
+        return int(self.dsp.sample_rate * self.engine.pad_seconds)
+
+    @property
+    def time_resolution(self) -> float:
+        # 3 s / 256 bins = 11.71875 ms (NNDetector.py:172)
+        return self.engine.window_seconds / self.dsp.frames_per_window
+
+    # ----- overrides -----
+    def replace(self, **sections: Any) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+    def with_engine(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, engine=dataclasses.replace(self.engine, **kw))
+
+    def with_dsp(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, dsp=dataclasses.replace(self.dsp, **kw))
+
+    def with_paths(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, paths=dataclasses.replace(self.paths, **kw))
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "Config":
+        cfg = Config()
+        if "dsp" in d:
+            cfg = cfg.with_dsp(**d["dsp"])
+        if "engine" in d:
+            cfg = cfg.with_engine(**d["engine"])
+        if "paths" in d:
+            cfg = cfg.with_paths(**d["paths"])
+        if "cpu_threads" in d:
+            cfg = dataclasses.replace(cfg, cpu_threads=d["cpu_threads"])
+        return cfg
+
+    @staticmethod
+    def from_file(path: str) -> "Config":
+        with open(path, "r") as f:
+            return Config.from_dict(json.load(f))
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+# The parity preset: exactly the reference's defaults plus strict numerics.
+def parity_config() -> Config:
+    return Config().with_engine(precision="parity", skip_processed_files=False)
+
+
+DEFAULT_CONFIG = Config()

@@ -1,0 +1,110 @@
+"""Score-grid → speech-interval post-processing (vectorized).
+
+Numerics contract (SURVEY.md §2.2, NNDetector.py:103-190):
+  * global grid of dt = 3/256 s bins; each window scatter-adds its 256 raw
+    logits at bin round(i·0.6/(3/256)); averaged by coverage count
+  * bin time = idx·(3/256), formatted "%.4f" then re-parsed with float()
+    downstream (the reference passes times around as strings;
+    NNDetector.py:185-187, worker.py:100) — reproduced exactly because the
+    4-decimal quantization is visible in the output CSVs
+  * threshold: value **> 0.1** opens/extends a region; a region's end time is
+    the last above-threshold bin (NNDetector.py:117-127)
+  * regions merged while gap ≤ break_duration = 0.5 s (NNDetector.py:129-138)
+  * −pad_seconds shift applied by the caller (worker.py:100)
+
+The reference implements this as a Python loop over every bin; here runs and
+merges are found with numpy in O(n) vector ops, and only the (few) boundary
+times get the "%.4f" string treatment.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+TIME_RESOLUTION = 3.0 / 256.0  # exact in binary
+
+
+def bin_time(idx: int) -> float:
+    """Reference bin→time mapping incl. its 4-decimal string round-trip."""
+    return float(f"{idx * TIME_RESOLUTION:.4f}")
+
+
+def window_bin_offset(window_index, step_seconds: float = 0.6) -> np.ndarray:
+    """Grid bin where window i's 256 scores start: round(i·step/dt).
+
+    Uses round-half-even like python round() / np.rint (NNDetector.py:175).
+    """
+    return np.rint(np.asarray(window_index, np.float64) * step_seconds / TIME_RESOLUTION).astype(
+        np.int64
+    )
+
+
+def average_grid_host(mask_logits: np.ndarray, step_seconds: float = 0.6):
+    """Host fallback of the overlap average (device version: ops.scatter).
+
+    mask_logits: (num_windows, 256) raw logits in window order.
+    Returns (sum_grid, count_grid) sized to the last covered bin.
+    """
+    n = mask_logits.shape[0]
+    if n == 0:
+        return np.zeros(0), np.zeros(0)
+    offs = window_bin_offset(np.arange(n), step_seconds)
+    glen = int(offs[-1]) + mask_logits.shape[1]
+    s = np.zeros(glen, np.float64)
+    c = np.zeros(glen, np.float64)
+    frame = np.arange(mask_logits.shape[1])
+    idx = (offs[:, None] + frame[None, :]).ravel()
+    np.add.at(s, idx, mask_logits.astype(np.float64).ravel())
+    np.add.at(c, idx, 1.0)
+    return s, c
+
+
+def find_speech_regions(
+    avg_values: np.ndarray,
+    threshold: float = 0.1,
+    break_duration: float = 0.5,
+    first_bin: int = 0,
+) -> List[Tuple[float, float]]:
+    """Threshold + run-find + gap-merge over the averaged grid.
+
+    avg_values[k] is the averaged score of grid bin (first_bin + k); bins are
+    contiguous (window stride ≪ window length guarantees no interior holes).
+    Returns [(start_time, end_time)] with the reference's exact time
+    quantization; no offset shift applied.
+    """
+    above = np.asarray(avg_values) > threshold
+    if not above.any():
+        return []
+    # run boundaries
+    d = np.diff(above.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1)  # inclusive index of last above bin
+    if above[0]:
+        starts = np.r_[0, starts]
+    if above[-1]:
+        ends = np.r_[ends, len(above) - 1]
+
+    st = np.array([bin_time(first_bin + int(i)) for i in starts])
+    et = np.array([bin_time(first_bin + int(i)) for i in ends])
+
+    # merge consecutive regions with gap ≤ break_duration
+    if len(st) > 1:
+        keep = st[1:] - et[:-1] > break_duration  # True → new group
+        group = np.r_[0, np.cumsum(keep)]
+        merged_s = [st[group == g][0] for g in range(group[-1] + 1)]
+        merged_e = [et[group == g][-1] for g in range(group[-1] + 1)]
+        return list(zip(merged_s, merged_e))
+    return list(zip(st, et))
+
+
+def shift_regions(regions, offset_seconds: float) -> List[Tuple[float, float]]:
+    """Apply the −pad shift (worker.py:100)."""
+    return [(s + offset_seconds, e + offset_seconds) for (s, e) in regions]
+
+
+def filter_min_length(regions, minimum_detection_len: float = 0.1):
+    """Review-stage filter: keep only length > minimum_detection_len
+    (settings.py:26, review_detections.py:764-770)."""
+    return [(s, e) for (s, e) in regions if (e - s) > minimum_detection_len]

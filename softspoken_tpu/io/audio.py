@@ -1,0 +1,179 @@
+"""High-level audio loading with reference-parity semantics.
+
+Mirrors the behavior (not the implementation) of
+``root/code/backend/voice_activity.py``:
+
+  * ``get_audio_data``        — voice_activity.py:23-30 (header-only probe)
+  * ``load_audio``            — voice_activity.py:32-69 (full read | 3 s slice,
+                                 downmix to mono by channel mean, resample to
+                                 22050 Hz, error path returns (None, None))
+  * ``load_audio_startstop``  — voice_activity.py:72-143 (seconds range read
+                                 with EOF clamp)
+  * ``stream_chunks``         — no reference counterpart: bounded-memory
+                                 chunked reads for multi-hour recordings
+                                 (SURVEY.md §5 "long-context" build item).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from ..config import DEFAULT_CONFIG
+from . import wavio
+from .resample import resample, resampled_length
+
+log = logging.getLogger(__name__)
+
+_SR = DEFAULT_CONFIG.dsp.sample_rate  # 22050
+
+
+def get_audio_data(path: str) -> Tuple[float, int]:
+    """(duration_seconds, native_sample_rate) without loading samples."""
+    inf = wavio.info(path)
+    return inf.duration, inf.samplerate
+
+
+def to_mono(data: np.ndarray) -> np.ndarray:
+    """Channel mean, like ``librosa.to_mono`` (voice_activity.py:61-62)."""
+    if data.ndim > 1:
+        data = data.mean(axis=-1, dtype=np.float64).astype(np.float32)
+    return data
+
+
+def load_audio(
+    path: str, start: Optional[int] = None, target_sr: int = _SR
+) -> Tuple[Optional[np.ndarray], Optional[int]]:
+    """Load a file (or a 3 s slice at internal-rate sample offset ``start``),
+    downmix to mono, and resample to ``target_sr``.
+
+    ``start`` is expressed in *internal-rate* samples and translated to the
+    native rate exactly as the reference does (voice_activity.py:47-48).
+    Returns ``(None, None)`` on decode failure (voice_activity.py:40-41).
+    """
+    try:
+        if start is None:
+            data, sr = wavio.read(path)
+        else:
+            inf = wavio.info(path)
+            sr = inf.samplerate
+            read_start = int(start * (sr / target_sr))
+            data, sr = wavio.read(path, start=read_start, frames=int(sr * 3))
+    except Exception as e:  # noqa: BLE001 — decode errors skip the file
+        log.error("failed to read %s: %s", path, e)
+        return None, None
+
+    data = to_mono(np.asarray(data, dtype=np.float32))
+    if sr != target_sr:
+        data = resample(data, sr, target_sr)
+        sr = target_sr
+    return data, sr
+
+
+def load_audio_startstop(
+    path: str, start_stop: Tuple[float, float], target_sr: int = _SR
+) -> Tuple[Optional[np.ndarray], Optional[int]]:
+    """Load ``[start, stop)`` seconds; clamps stop at EOF; mono + resample."""
+    start, stop = start_stop
+    if start < 0 or stop <= start:
+        log.error("invalid start/stop (%s, %s)", start, stop)
+        return None, None
+    try:
+        inf = wavio.info(path)
+        sr = inf.samplerate
+        read_start = int(start * sr)
+        read_stop = min(int(stop * sr), inf.frames)
+        data, sr = wavio.read(path, start=read_start, frames=read_stop - read_start)
+    except Exception as e:  # noqa: BLE001
+        log.error("failed to read %s: %s", path, e)
+        return None, None
+    if data.size == 0:
+        return None, None
+    data = to_mono(np.asarray(data, dtype=np.float32))
+    if sr != target_sr:
+        data = resample(data, sr, target_sr)
+        sr = target_sr
+    return data, sr
+
+
+@dataclass(frozen=True)
+class AudioChunk:
+    """A contiguous run of internal-rate samples from one file."""
+
+    data: np.ndarray       # float32 mono at target_sr
+    start_sample: int      # offset of data[0] in the full internal-rate stream
+    total_samples: int     # full internal-rate length of the file
+    is_last: bool
+
+
+def internal_length(path: str, target_sr: int = _SR) -> int:
+    """Length of the file after mono downmix + resample, without decoding."""
+    inf = wavio.info(path)
+    return resampled_length(inf.frames, inf.samplerate, target_sr)
+
+
+def stream_chunks(
+    path: str,
+    chunk_samples: int,
+    target_sr: int = _SR,
+) -> Iterator[AudioChunk]:
+    """Yield the file as bounded-size internal-rate chunks.
+
+    Chunk boundaries are exact: each chunk is produced by resampling a native
+    range with filter-length context on both sides, so concatenating chunks
+    reproduces ``load_audio`` output to float round-off.  This is the
+    bounded-memory decode path for multi-hour recordings; the reference loads
+    whole files into RAM (worker.py:57) which SURVEY.md §5 notes is its actual
+    scaling limit.
+    """
+    from .resample import design_taps
+    import math
+
+    inf = wavio.info(path)
+    sr = inf.samplerate
+    total_internal = resampled_length(inf.frames, sr, target_sr)
+
+    if sr == target_sr:
+        pos = 0
+        while pos < inf.frames:
+            n = min(chunk_samples, inf.frames - pos)
+            data, _ = wavio.read(path, start=pos, frames=n)
+            yield AudioChunk(
+                to_mono(np.asarray(data, np.float32)),
+                pos,
+                total_internal,
+                pos + n >= inf.frames,
+            )
+            pos += n
+        return
+
+    g = math.gcd(sr, target_sr)
+    up, down = target_sr // g, sr // g
+    taps = design_taps(up, down)
+    # native-rate context needed so edge outputs see the full filter support
+    context = -(-(len(taps) // 2) // up) + 8
+
+    out_pos = 0
+    while out_pos < total_internal:
+        out_n = min(chunk_samples, total_internal - out_pos)
+        # native range whose resampled image covers [out_pos, out_pos+out_n)
+        in_first = (out_pos * down) // up
+        in_last = -(-((out_pos + out_n) * down) // up)
+        rs = max(0, in_first - context)
+        rs -= rs % down  # snap to the output grid: res[k] ↦ global rs*up/down + k
+        re = min(inf.frames, in_last + context)
+        data, _ = wavio.read(path, start=rs, frames=re - rs)
+        mono = to_mono(np.asarray(data, np.float32))
+        res = resample(mono, sr, target_sr)
+        first_out_global = (rs * up) // down  # exact (rs % down == 0)
+        lo = out_pos - first_out_global
+        yield AudioChunk(
+            res[lo : lo + out_n],
+            out_pos,
+            total_internal,
+            out_pos + out_n >= total_internal,
+        )
+        out_pos += out_n

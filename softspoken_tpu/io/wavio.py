@@ -1,0 +1,301 @@
+"""Self-contained RIFF/WAVE codec (numpy only).
+
+Replaces the reference's use of ``soundfile``/``librosa`` for audio I/O
+(``voice_activity.py:23-143``, ``silencer_ui.py:959-998``) — neither library
+is a vendored part of the reference; they were its only native dependencies.
+This module reads/writes WAV directly so the framework has no audio deps.
+
+Supports:
+  * PCM unsigned 8-bit, signed 16/24/32-bit, IEEE float32/float64
+  * WAVE_FORMAT_EXTENSIBLE wrappers
+  * random-access range reads (frame offsets) for streaming long recordings
+  * headers-only probe (duration/sample-rate without loading samples,
+    mirroring ``librosa.get_duration``/``get_samplerate`` in
+    ``voice_activity.py:23-30``)
+
+Float conversion matches libsndfile/librosa conventions: integer PCM is
+scaled by 1/2**(bits-1) into [-1, 1).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+from typing import BinaryIO, Optional, Tuple
+
+import numpy as np
+
+WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+_SUBTYPE_BY_FMT = {
+    (WAVE_FORMAT_PCM, 8): "PCM_U8",
+    (WAVE_FORMAT_PCM, 16): "PCM_16",
+    (WAVE_FORMAT_PCM, 24): "PCM_24",
+    (WAVE_FORMAT_PCM, 32): "PCM_32",
+    (WAVE_FORMAT_IEEE_FLOAT, 32): "FLOAT",
+    (WAVE_FORMAT_IEEE_FLOAT, 64): "DOUBLE",
+}
+
+
+class WavFormatError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class WavInfo:
+    samplerate: int
+    channels: int
+    frames: int
+    subtype: str
+    bits_per_sample: int
+    data_offset: int          # byte offset of sample data in the file
+    data_bytes: int
+
+    @property
+    def duration(self) -> float:
+        return self.frames / float(self.samplerate)
+
+
+def _parse_header(f: BinaryIO) -> WavInfo:
+    riff = f.read(12)
+    if len(riff) < 12 or riff[:4] not in (b"RIFF", b"RF64") or riff[8:12] != b"WAVE":
+        raise WavFormatError("not a RIFF/WAVE file")
+    is_rf64 = riff[:4] == b"RF64"
+    rf64_data_size = None
+
+    fmt_tag = None
+    channels = None
+    samplerate = None
+    bits = None
+    data_offset = None
+    data_bytes = None
+
+    while True:
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        cid, csize = struct.unpack("<4sI", hdr)
+        if cid == b"ds64" and is_rf64:
+            body = f.read(csize + (csize & 1))
+            # riff_size(8) data_size(8) sample_count(8) ...
+            rf64_data_size = struct.unpack("<Q", body[8:16])[0]
+        elif cid == b"fmt ":
+            body = f.read(csize + (csize & 1))
+            fmt_tag, channels, samplerate, _brate, _balign, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt_tag == WAVE_FORMAT_EXTENSIBLE:
+                if csize < 40:
+                    raise WavFormatError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+                # SubFormat GUID: first two bytes are the real format tag
+                fmt_tag = struct.unpack("<H", body[24:26])[0]
+        elif cid == b"data":
+            data_offset = f.tell()
+            data_bytes = csize
+            if is_rf64 and csize == 0xFFFFFFFF and rf64_data_size is not None:
+                data_bytes = rf64_data_size
+            # don't read the payload; skip past (may be the last chunk)
+            f.seek(csize + (csize & 1), os.SEEK_CUR)
+        else:
+            f.seek(csize + (csize & 1), os.SEEK_CUR)
+
+    if fmt_tag is None or data_offset is None:
+        raise WavFormatError("missing fmt or data chunk")
+    key = (fmt_tag, bits)
+    if key not in _SUBTYPE_BY_FMT:
+        raise WavFormatError(f"unsupported WAV format tag={fmt_tag} bits={bits}")
+    bytes_per_frame = channels * (bits // 8)
+    frames = data_bytes // bytes_per_frame
+    return WavInfo(
+        samplerate=samplerate,
+        channels=channels,
+        frames=frames,
+        subtype=_SUBTYPE_BY_FMT[key],
+        bits_per_sample=bits,
+        data_offset=data_offset,
+        data_bytes=frames * bytes_per_frame,
+    )
+
+
+def info(path: str) -> WavInfo:
+    """Header-only probe (no sample data read)."""
+    with open(path, "rb") as f:
+        return _parse_header(f)
+
+
+def _decode(raw: np.ndarray, subtype: str) -> np.ndarray:
+    """Bytes → float32 in [-1, 1) using libsndfile scaling."""
+    if subtype == "PCM_U8":
+        return (raw.view(np.uint8).astype(np.float32) - 128.0) / 128.0
+    if subtype == "PCM_16":
+        return raw.view("<i2").astype(np.float32) / 32768.0
+    if subtype == "PCM_24":
+        b = raw.reshape(-1, 3)
+        vals = (
+            b[:, 0].astype(np.uint32)
+            | (b[:, 1].astype(np.uint32) << 8)
+            | (b[:, 2].astype(np.uint32) << 16)
+        ).astype(np.int32)
+        vals = np.where(vals >= (1 << 23), vals - (1 << 24), vals)
+        return vals.astype(np.float32) / 8388608.0
+    if subtype == "PCM_32":
+        return raw.view("<i4").astype(np.float32) / 2147483648.0
+    if subtype == "FLOAT":
+        return raw.view("<f4").astype(np.float32)
+    if subtype == "DOUBLE":
+        return raw.view("<f8").astype(np.float32)
+    raise WavFormatError(f"unsupported subtype {subtype}")
+
+
+def read(
+    path: str,
+    start: int = 0,
+    frames: Optional[int] = None,
+    always_2d: bool = False,
+) -> Tuple[np.ndarray, int]:
+    """Read float32 samples.
+
+    Returns ``(data, samplerate)`` with ``data`` shaped ``(frames,)`` for mono
+    or ``(frames, channels)`` otherwise (matching ``soundfile.read``).
+    ``start``/``frames`` select a frame range; reads are clamped at EOF
+    (mirrors the clamp in ``voice_activity.py:107-110``).
+    """
+    with open(path, "rb") as f:
+        inf = _parse_header(f)
+        bpf = inf.channels * (inf.bits_per_sample // 8)
+        start = max(0, min(int(start), inf.frames))
+        if frames is None:
+            frames = inf.frames - start
+        frames = max(0, min(int(frames), inf.frames - start))
+        f.seek(inf.data_offset + start * bpf)
+        raw = np.frombuffer(f.read(frames * bpf), dtype=np.uint8)
+    data = _decode(raw, inf.subtype).reshape(-1, inf.channels)
+    if inf.channels == 1 and not always_2d:
+        data = data[:, 0]
+    return data, inf.samplerate
+
+
+_ENC = {
+    "PCM_U8": ("u8", WAVE_FORMAT_PCM, 8),
+    "PCM_16": ("<i2", WAVE_FORMAT_PCM, 16),
+    "PCM_24": (None, WAVE_FORMAT_PCM, 24),
+    "PCM_32": ("<i4", WAVE_FORMAT_PCM, 32),
+    "FLOAT": ("<f4", WAVE_FORMAT_IEEE_FLOAT, 32),
+    "DOUBLE": ("<f8", WAVE_FORMAT_IEEE_FLOAT, 64),
+}
+
+
+def _encode(data: np.ndarray, subtype: str) -> bytes:
+    if subtype == "PCM_U8":
+        q = np.clip(np.rint(data * 128.0) + 128.0, 0, 255).astype(np.uint8)
+        return q.tobytes()
+    if subtype == "PCM_16":
+        q = np.clip(np.rint(data * 32768.0), -32768, 32767).astype("<i2")
+        return q.tobytes()
+    if subtype == "PCM_24":
+        q = np.clip(np.rint(data * 8388608.0), -8388608, 8388607).astype(np.int64)
+        q = (q & 0xFFFFFF).astype(np.uint32)
+        out = np.empty(q.shape + (3,), dtype=np.uint8)
+        out[..., 0] = q & 0xFF
+        out[..., 1] = (q >> 8) & 0xFF
+        out[..., 2] = (q >> 16) & 0xFF
+        return out.tobytes()
+    if subtype == "PCM_32":
+        q = np.clip(np.rint(data * 2147483648.0), -2147483648, 2147483647).astype("<i4")
+        return q.tobytes()
+    if subtype == "FLOAT":
+        return data.astype("<f4").tobytes()
+    if subtype == "DOUBLE":
+        return data.astype("<f8").tobytes()
+    raise WavFormatError(f"unsupported subtype {subtype}")
+
+
+def write(path: str, data: np.ndarray, samplerate: int, subtype: str = "PCM_16") -> None:
+    """Write float samples to a WAV file.
+
+    ``data`` is ``(frames,)`` or ``(frames, channels)`` float; the default
+    PCM_16 subtype matches what ``soundfile.write`` produced for the
+    reference's silenced output (``silencer_ui.py:998``).
+    """
+    data = np.asarray(data)
+    if data.ndim == 1:
+        data = data[:, None]
+    frames, channels = data.shape
+    _, fmt_tag, bits = _ENC[subtype]
+    payload = _encode(data, subtype)
+    byte_rate = samplerate * channels * bits // 8
+    block_align = channels * bits // 8
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(payload)))
+        f.write(b"WAVE")
+        f.write(b"fmt ")
+        f.write(
+            struct.pack(
+                "<IHHIIHH", 16, fmt_tag, channels, samplerate, byte_rate, block_align, bits
+            )
+        )
+        f.write(b"data")
+        f.write(struct.pack("<I", len(payload)))
+        f.write(payload)
+        if len(payload) & 1:
+            f.write(b"\x00")
+
+
+class WavWriter:
+    """Incremental WAV writer for streaming write-back of silenced audio.
+
+    Lets the silencer stream multi-GB files chunk-by-chunk instead of holding
+    the whole waveform in RAM (the reference loads entire files:
+    ``silencer_ui.py:959``).
+    """
+
+    def __init__(self, path: str, samplerate: int, channels: int, subtype: str = "PCM_16"):
+        self.path = path
+        self.samplerate = samplerate
+        self.channels = channels
+        self.subtype = subtype
+        self._f = open(path, "wb")
+        self._payload_bytes = 0
+        _, fmt_tag, bits = _ENC[subtype]
+        self._header = (fmt_tag, bits)
+        # placeholder sizes; fixed up on close
+        self._f.write(b"RIFF" + struct.pack("<I", 0) + b"WAVE")
+        byte_rate = samplerate * channels * bits // 8
+        block_align = channels * bits // 8
+        self._f.write(
+            b"fmt "
+            + struct.pack(
+                "<IHHIIHH", 16, fmt_tag, channels, samplerate, byte_rate, block_align, bits
+            )
+        )
+        self._f.write(b"data" + struct.pack("<I", 0))
+
+    def write(self, data: np.ndarray) -> None:
+        data = np.asarray(data)
+        if data.ndim == 1:
+            data = data[:, None]
+        assert data.shape[1] == self.channels
+        payload = _encode(data, self.subtype)
+        self._f.write(payload)
+        self._payload_bytes += len(payload)
+
+    def close(self) -> None:
+        if self._f.closed:
+            return
+        if self._payload_bytes & 1:
+            self._f.write(b"\x00")
+        self._f.seek(4)
+        self._f.write(struct.pack("<I", 36 + self._payload_bytes))
+        self._f.seek(40)
+        self._f.write(struct.pack("<I", self._payload_bytes))
+        self._f.close()
+
+    def __enter__(self) -> "WavWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -1,0 +1,97 @@
+import jax
+import numpy as np
+import pytest
+
+import np_ref
+import torch_ref
+from softspoken_tpu import ckpt
+from softspoken_tpu.models import SpecUNet2D, fold_batch_norm, init_variables, param_count
+
+
+def _mel_batch(b=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0.0, 1.5, size=(b, 128, 256)).astype(np.float32)
+
+
+def test_param_count_matches_reference():
+    # ~1,713,555 params (SURVEY.md §2.1, computed from pytorch_neural_nets.py)
+    sd = ckpt.fixture_state_dict(0)
+    torch_params = sum(
+        v.size
+        for k, v in sd.items()
+        if not k.endswith(("running_mean", "running_var", "num_batches_tracked"))
+    )
+    _, variables = init_variables(jax.random.PRNGKey(0))
+    assert param_count(variables) == torch_params == 1713555
+
+
+def test_forward_matches_torch():
+    # Tolerances are f32-roundoff-driven: the random-stats BNs amplify conv
+    # accumulation-order differences through 12 blocks.  In float64 the two
+    # implementations agree to 0.0 (verified; XLA and torch produce
+    # bit-identical f64 outputs for this graph), so 2e-3 abs here is purely
+    # f32 reduction ordering, not a semantic gap.
+    sd = ckpt.fixture_state_dict(seed=7)
+    variables = ckpt.convert_torch_state_dict(sd)
+    mel = _mel_batch()
+
+    spec_t, mask_t = torch_ref.forward(sd, mel)  # NCHW: (B,2,128,256), (B,1,256)
+
+    model = SpecUNet2D()
+    spec_j, mask_j = model.apply(variables, mel[..., None].transpose(0, 1, 2, 3))
+    # our layout: spec (B,128,256,2) NHWC; mask (B,256)
+    spec_j = np.asarray(spec_j).transpose(0, 3, 1, 2)
+    mask_j = np.asarray(mask_j)[:, None, :]
+
+    np.testing.assert_allclose(spec_j, spec_t, rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(mask_j, mask_t, rtol=2e-2, atol=2e-3)
+
+
+def test_folded_matches_unfolded():
+    variables = ckpt.fixture_variables(seed=3)
+    folded = fold_batch_norm(variables)
+    mel = _mel_batch(seed=3)[..., None]
+
+    out_u = SpecUNet2D().apply(variables, mel)
+    out_f = SpecUNet2D(folded=True).apply(folded, mel)
+    # abs-only tolerance: ReLU outputs cross zero, where rtol is meaningless;
+    # 3e-3 is f32 accumulation noise (float64 agreement is exact — see
+    # test_forward_matches_torch comment).
+    np.testing.assert_allclose(np.asarray(out_f[0]), np.asarray(out_u[0]), atol=3e-3)
+    np.testing.assert_allclose(np.asarray(out_f[1]), np.asarray(out_u[1]), atol=3e-3)
+
+
+def test_full_window_forward_matches_torch():
+    """waveform → mel (ops) → unet (flax) vs mel (np ref) → unet (torch)."""
+    from softspoken_tpu.ops import mel as melops
+
+    rng = np.random.default_rng(11)
+    n = melops.WINDOW_SAMPLES
+    t = np.arange(n) / melops.SR
+    wav = (0.4 * np.sin(2 * np.pi * 523.0 * t) + 0.1 * rng.normal(size=n)).astype(
+        np.float32
+    )
+
+    sd = ckpt.fixture_state_dict(seed=5)
+    mel_ref = np_ref.log_mel_reference(wav)[None].astype(np.float32)
+    _, mask_t = torch_ref.forward(sd, mel_ref)
+
+    variables = ckpt.convert_torch_state_dict(sd)
+    mel_j = melops.log_mel_single(wav)[None, ..., None]
+    _, mask_j = SpecUNet2D().apply(variables, mel_j)
+
+    np.testing.assert_allclose(np.asarray(mask_j)[:, None, :], mask_t, rtol=5e-3, atol=5e-3)
+
+
+def test_train_mode_runs():
+    model, variables = init_variables(jax.random.PRNGKey(0))
+    mel = _mel_batch(b=2, seed=1)[..., None]
+    out, mutated = model.apply(
+        variables,
+        mel,
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert out[1].shape == (2, 256)
+    assert "batch_stats" in mutated

@@ -1,0 +1,87 @@
+import numpy as np
+import pytest
+
+from softspoken_tpu.io import wavio
+
+
+def _sig(frames=5000, channels=1, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-0.9, 0.9, size=(frames, channels)).astype(np.float32)
+    return x if channels > 1 else x[:, 0]
+
+
+@pytest.mark.parametrize(
+    "subtype,tol",
+    [
+        ("PCM_U8", 1 / 120.0),
+        ("PCM_16", 1 / 30000.0),
+        ("PCM_24", 1 / 8e6),
+        ("PCM_32", 1e-7),
+        ("FLOAT", 0.0),
+        ("DOUBLE", 1e-7),
+    ],
+)
+@pytest.mark.parametrize("channels", [1, 2])
+def test_roundtrip(tmp_path, subtype, tol, channels):
+    x = _sig(channels=channels)
+    p = str(tmp_path / "a.wav")
+    wavio.write(p, x, 22050, subtype=subtype)
+    y, sr = wavio.read(p)
+    assert sr == 22050
+    assert y.shape == x.shape
+    assert np.max(np.abs(y - x)) <= tol
+
+
+def test_info_probe(tmp_path):
+    x = _sig(frames=44100, channels=2)
+    p = str(tmp_path / "b.wav")
+    wavio.write(p, x, 44100, subtype="PCM_16")
+    inf = wavio.info(p)
+    assert inf.samplerate == 44100
+    assert inf.channels == 2
+    assert inf.frames == 44100
+    assert inf.duration == pytest.approx(1.0)
+    assert inf.subtype == "PCM_16"
+
+
+def test_range_read(tmp_path):
+    x = _sig(frames=10000)
+    p = str(tmp_path / "c.wav")
+    wavio.write(p, x, 22050, subtype="FLOAT")
+    y, _ = wavio.read(p, start=1000, frames=500)
+    np.testing.assert_array_equal(y, x[1000:1500])
+    # EOF clamp
+    y, _ = wavio.read(p, start=9900, frames=500)
+    assert len(y) == 100
+
+
+def test_streaming_writer(tmp_path):
+    x = _sig(frames=9000, channels=2)
+    p = str(tmp_path / "d.wav")
+    with wavio.WavWriter(p, 48000, channels=2, subtype="FLOAT") as w:
+        for i in range(0, 9000, 2500):
+            w.write(x[i : i + 2500])
+    y, sr = wavio.read(p)
+    assert sr == 48000
+    np.testing.assert_array_equal(y, x)
+
+
+def test_extensible_format(tmp_path):
+    # hand-build a WAVE_FORMAT_EXTENSIBLE PCM16 file
+    import struct
+
+    x = (np.arange(100, dtype=np.int16) - 50)
+    payload = x.astype("<i2").tobytes()
+    guid = struct.pack("<H", 1) + b"\x00\x00" + bytes(
+        [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+    )
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+    fmt += struct.pack("<HHI", 22, 16, 0x4) + guid
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    p = str(tmp_path / "ext.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    y, sr = wavio.read(p)
+    assert sr == 8000
+    np.testing.assert_allclose(y, x.astype(np.float32) / 32768.0)
