@@ -1,0 +1,51 @@
+"""Audacity label-track export.
+
+Output contract (review_exporter.py:129-215 and the reference README):
+one ``<base_dir>/Audacity Outputs/<project>/<wav stem>.txt`` per WAV, rows
+``start<TAB>end<TAB>Human`` at 6 decimals, no header, trailing newline,
+rows sorted by (file_name, start_time).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Union
+
+import pandas as pd
+
+from .base import Transform
+
+
+class AudacityTxtTransform(Transform):
+    name = "audacity"
+    extension = ".txt"
+
+    def __call__(
+        self,
+        df: pd.DataFrame,
+        *,
+        base_dir: Union[str, Path],
+        project_name: str,
+        comment: str = "Human",
+        precision: int = 6,
+        **kwargs,
+    ) -> None:
+        missing = {"file_name", "start_time", "end_time"} - set(df.columns)
+        if missing:
+            raise ValueError(f"audacity export: missing column(s): {missing}")
+
+        out_root = Path(base_dir) / "Audacity Outputs" / project_name
+        out_root.mkdir(parents=True, exist_ok=True)
+
+        df = df.copy()
+        df["start_time"] = pd.to_numeric(df["start_time"], errors="coerce")
+        df["end_time"] = pd.to_numeric(df["end_time"], errors="coerce")
+        df = df.sort_values(["file_name", "start_time"])
+
+        for wav_name, group in df.groupby("file_name", sort=False):
+            lines = [
+                f"{s:.{precision}f}\t{e:.{precision}f}\t{comment}"
+                for s, e in zip(group["start_time"], group["end_time"])
+            ]
+            (out_root / f"{Path(wav_name).stem}.txt").write_text("\n".join(lines) + "\n")
+        return None

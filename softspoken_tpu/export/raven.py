@@ -1,0 +1,105 @@
+"""Raven Lite/Pro selection-table export.
+
+Output contract (review_exporter.py:341-481 and the reference README), two
+files under ``<base_dir>/Raven Outputs/<project>/``:
+
+  * ``<project>_listfile.txt`` — unique absolute WAV paths, first-appearance
+    order, one per line with trailing newline
+  * ``<project>.txt`` — tab-delimited selection table with **cumulative**
+    Begin/End times across the listfile (offsets from per-file durations,
+    probed from WAV headers; fallback = that file's max detection end time),
+    columns Selection, View='Spectrogram 1', Channel=1, Begin/End Time (s),
+    Low/High Freq (Hz), Annotation, Begin Path + erase/user_comment/
+    review_datetime (+confidence if present)
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, Union
+
+import pandas as pd
+
+from ..io import wavio
+from .base import Transform
+
+
+def _wav_duration(path: Union[str, Path]) -> float:
+    inf = wavio.info(str(path))
+    return inf.frames / inf.samplerate
+
+
+class RavenTxtTransform(Transform):
+    name = "raven"
+    extension = ".txt"
+
+    def __call__(
+        self,
+        df: pd.DataFrame,
+        *,
+        base_dir: Union[str, Path],
+        project_name: str,
+        precision: int = 6,
+        annotation_label: str = "Human",
+        low_freq: int = 0,
+        high_freq: int = 8000,
+        **kwargs,
+    ) -> None:
+        missing = {"file_path", "file_name", "start_time", "end_time"} - set(df.columns)
+        if missing:
+            raise ValueError(f"raven export: missing column(s): {missing}")
+
+        out_root = Path(base_dir) / "Raven Outputs" / project_name
+        out_root.mkdir(parents=True, exist_ok=True)
+
+        df = df.copy()
+        df["abs_path"] = [
+            str(Path(p) / n) for p, n in zip(df["file_path"], df["file_name"])
+        ]
+
+        unique_paths = pd.unique(df["abs_path"])
+        (out_root / f"{project_name}_listfile.txt").write_text(
+            "\n".join(unique_paths) + "\n"
+        )
+
+        offsets: Dict[str, float] = {}
+        running = 0.0
+        for p in unique_paths:
+            try:
+                dur = _wav_duration(p)
+            except Exception:  # header unreadable → largest detection end
+                dur = pd.to_numeric(
+                    df.loc[df["abs_path"] == p, "end_time"], errors="coerce"
+                ).max()
+            offsets[p] = running
+            running += float(dur)
+
+        off = df["abs_path"].map(offsets)
+        begin = (off + pd.to_numeric(df["start_time"], errors="coerce")).round(precision)
+        end = (off + pd.to_numeric(df["end_time"], errors="coerce")).round(precision)
+
+        blank = pd.Series([""] * len(df), index=df.index)
+        results = pd.DataFrame(
+            {
+                "Selection": range(1, len(df) + 1),
+                "View": "Spectrogram 1",
+                "Channel": 1,
+                "Begin Time (s)": begin,
+                "End Time (s)": end,
+                "Low Freq (Hz)": low_freq,
+                "High Freq (Hz)": high_freq,
+                "Annotation": annotation_label,
+                "Begin Path": df["abs_path"],
+                "erase": df.get("erase", blank),
+                "user_comment": df.get("user_comment", blank),
+                "review_datetime": df.get("review_datetime", blank),
+            }
+        )
+        if "confidence" in df.columns:
+            results["confidence"] = df["confidence"]
+
+        results.to_csv(
+            out_root / f"{project_name}.txt", sep="\t", index=False, lineterminator="\n"
+        )
+        return None

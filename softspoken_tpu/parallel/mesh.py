@@ -1,0 +1,79 @@
+"""Device-mesh sharding for detection and training.
+
+The reference has no distributed machinery at all (SURVEY.md §2: its only
+concurrency is two Qt worker threads); its semantics are embarrassingly
+parallel over windows/chunks/files.  The TPU-native equivalents here:
+
+  * **dp over windows** (inference): window start indexes are sharded over
+    the ``data`` mesh axis while the chunk waveform is replicated — each
+    chip gathers and scores its own windows; there are no collectives on
+    the hot path, and per-chip logits are gathered once per chunk for the
+    (tiny) host-side interval merge.
+  * **dp × sp for training**: batch sharded over ``data``; the mel time
+    axis sharded over ``seq`` — XLA/GSPMD inserts halo exchanges for the
+    3×3 convs and psums for the (synced) BatchNorm batch statistics.
+
+Everything uses `jax.sharding.Mesh` + NamedSharding under jit; collectives
+are chosen by the compiler, not hand-written (scaling-book recipe).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    axis_names: Tuple[str, ...] = ("data",),
+    shape: Optional[Tuple[int, ...]] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    mesh_devices = np.asarray(devices).reshape(shape)
+    return Mesh(mesh_devices, axis_names)
+
+
+def shard_windows_forward(detector, mesh: Mesh):
+    """Build a mesh-sharded version of the detector's window forward.
+
+    Returns ``fn(variables, wave, starts) -> logits`` where ``starts`` is
+    sharded over the ``data`` axis and ``wave`` is replicated.  The batch
+    size must be a multiple of the data-axis size.
+    """
+    repl = NamedSharding(mesh, P())
+    shard_b = NamedSharding(mesh, P("data"))
+
+    return jax.jit(
+        detector._forward,
+        in_shardings=(None, repl, shard_b),
+        out_shardings=shard_b,
+    )
+
+
+class MeshDetector:
+    """Drop-in multi-chip wrapper: same Detector surface, windows sharded
+    over every chip of the mesh.  Exact — per-window logits are independent
+    of the sharding, and the grid average happens after the gather."""
+
+    def __init__(self, detector, mesh: Optional[Mesh] = None):
+        self.det = detector
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n = int(np.prod(self.mesh.devices.shape))
+        if detector.cfg.engine.device_batch % n:
+            raise ValueError(
+                f"device_batch ({detector.cfg.engine.device_batch}) must be a "
+                f"multiple of the mesh size ({n})"
+            )
+        self._sharded_fwd = shard_windows_forward(detector, self.mesh)
+        # route the detector's chunk executor through the sharded forward
+        self._orig_fwd = detector._fwd
+        detector._fwd = lambda v, w, s: self._sharded_fwd(v, w, s)
+
+    def __getattr__(self, name):
+        return getattr(self.det, name)

@@ -1,0 +1,193 @@
+"""Detection run orchestration (GUI-decoupled).
+
+Plays the role of the reference's Qt worker thread (``worker.py:21-139``) and
+the Voice Detector screen's progress plumbing, redesigned as a plain runner
+with callbacks:
+
+  * per-file: decode → detect → append rows → **save CSV (checkpoint)** —
+    the per-file save is the reference's resume mechanism (worker.py:127-128)
+  * progress events: file_started / file_progress / file_done / overall /
+    finished (mirrors WorkerSignals, worker.py:4-10)
+  * cooperative stop between files and between device chunks
+  * decode failures are recorded in an error manifest and skipped
+    (reference prints-and-skips — voice_activity.py:39-41)
+  * idempotent re-runs: files already present in the detections CSV are
+    skipped when cfg.engine.skip_processed_files (fixes SURVEY.md §2.3's
+    duplicate-rows-on-resume quirk; disable for strict reference behavior)
+  * host decode of file i+1 overlaps device compute of file i via a
+    one-deep prefetch thread — the TPU never waits on WAV decode.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+from dataclasses import dataclass, field
+from queue import Queue
+from typing import Callable, Dict, Iterable, List, Optional
+
+import numpy as np
+
+from ..config import Config, DEFAULT_CONFIG
+from ..engine import Detector
+from ..io import load_audio
+from ..project.store import DetectionStore
+from .metrics import StageTimers, ThroughputMeter
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class RunCallbacks:
+    file_started: Optional[Callable[[str], None]] = None
+    file_progress: Optional[Callable[[float], None]] = None   # 0..100
+    file_done: Optional[Callable[[str], None]] = None
+    overall_progress: Optional[Callable[[float], None]] = None
+    message: Optional[Callable[[str], None]] = None
+    finished: Optional[Callable[[], None]] = None
+
+    def emit(self, name: str, *args) -> None:
+        cb = getattr(self, name)
+        if cb is not None:
+            cb(*args)
+
+
+@dataclass
+class RunReport:
+    files_done: int = 0
+    files_skipped: int = 0
+    rows_added: int = 0
+    errors: Dict[str, str] = field(default_factory=dict)
+    stopped: bool = False
+    throughput: Dict[str, float] = field(default_factory=dict)
+    timers: Dict[str, float] = field(default_factory=dict)
+
+
+class DetectRunner:
+    """Run detection over a list of files into a DetectionStore."""
+
+    def __init__(
+        self,
+        detector: Detector,
+        store: DetectionStore,
+        config: Config = DEFAULT_CONFIG,
+        streaming: Optional[bool] = None,
+    ):
+        self.detector = detector
+        self.store = store
+        self.cfg = config
+        self.streaming = streaming  # None → auto by file size
+        self._stop = threading.Event()
+        self.meter = ThroughputMeter()
+        self.timers = StageTimers()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    # ------------------------------------------------------------------
+    def _decode(self, path: str):
+        with self.timers.time("decode"):
+            audio, _ = load_audio(path, target_sr=self.cfg.dsp.sample_rate)
+        return audio
+
+    def _use_streaming(self, path: str) -> bool:
+        if self.streaming is not None:
+            return self.streaming
+        try:
+            return os.path.getsize(path) > (1 << 30)
+        except OSError:
+            return False
+
+    def run(
+        self, files: Iterable[str], callbacks: Optional[RunCallbacks] = None
+    ) -> RunReport:
+        cb = callbacks or RunCallbacks()
+        report = RunReport()
+        files = list(files)
+        total = len(files)
+        self.meter.reset()
+
+        skip_done = self.cfg.engine.skip_processed_files
+        already = self.store.processed_files() if skip_done else set()
+
+        # one-deep decode prefetch: host IO overlaps device compute
+        q: Queue = Queue(maxsize=1)
+
+        def producer():
+            for path in files:
+                if self._stop.is_set():
+                    break
+                if path in already:
+                    q.put((path, "skip"))
+                    continue
+                if self._use_streaming(path):
+                    q.put((path, "stream"))
+                    continue
+                try:
+                    audio = self._decode(path)
+                except Exception as e:  # noqa: BLE001
+                    q.put((path, ("error", str(e))))
+                    continue
+                if audio is None:
+                    q.put((path, ("error", "decode failed")))
+                else:
+                    q.put((path, audio))
+            q.put((None, None))
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        while True:
+            path, payload = q.get()
+            if path is None:
+                break
+            if self._stop.is_set():
+                report.stopped = True
+                break
+            if isinstance(payload, str) and payload == "skip":
+                report.files_skipped += 1
+                cb.emit("message", f"skipping already-processed {path}")
+                self._advance_overall(cb, report, total)
+                continue
+            if isinstance(payload, tuple) and payload[0] == "error":
+                report.errors[path] = payload[1]
+                cb.emit("message", f"decode failed for {path}: {payload[1]}")
+                self._advance_overall(cb, report, total)
+                continue
+
+            cb.emit("file_started", path)
+            progress = lambda frac: cb.emit("file_progress", frac * 100.0)  # noqa: E731
+            try:
+                with self.timers.time("detect"):
+                    if isinstance(payload, str) and payload == "stream":
+                        result = self.detector.detect_file_streaming(path, progress)
+                    else:
+                        result = self.detector.detect_waveform(payload, progress)
+            except Exception as e:  # noqa: BLE001
+                report.errors[path] = str(e)
+                cb.emit("message", f"detection failed for {path}: {e}")
+                self._advance_overall(cb, report, total)
+                continue
+
+            with self.timers.time("persist"):
+                report.rows_added += self.store.append_intervals(path, result.intervals)
+                self.store.save()  # per-file checkpoint (worker.py:128)
+
+            self.meter.add_audio(result.audio_seconds)
+            cb.emit("file_done", path)
+            cb.emit(
+                "message",
+                f"{path}: {len(result.intervals)} region(s); "
+                f"{self.meter.audio_sec_per_wall_sec:.1f} audio-sec/sec",
+            )
+            self._advance_overall(cb, report, total)
+
+        report.throughput = self.meter.summary()
+        report.timers = self.timers.summary()
+        cb.emit("finished")
+        return report
+
+    def _advance_overall(self, cb: RunCallbacks, report: RunReport, total: int) -> None:
+        report.files_done += 1
+        cb.emit("overall_progress", report.files_done / max(1, total) * 100.0)

@@ -1,0 +1,122 @@
+"""Training: loss, optimizer state, and the (shardable) train step.
+
+The reference ships no training loop — only latent training *data* code
+(augmentations, targets; ``voice_activity.py:256-943``).  The loss here is
+our documented choice matching the two heads' semantics
+(pytorch_neural_nets.py:126-140):
+
+  * mask head emits raw per-frame logits  → sigmoid BCE against the 0/1
+    frame mask (``train.targets.frame_mask``)
+  * spec head emits ReLU'd separation masks → MSE against the
+    speech/environment magnitude targets
+
+The train step is pure jit; under a ``Mesh`` the caller shards the batch
+over ``data`` and (optionally) the mel time axis over ``seq`` — XLA/GSPMD
+then inserts the BN-stat psums and conv halo exchanges (parallel.mesh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import SpecUNet2D
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(
+    rng: jax.Array,
+    learning_rate: float = 1e-3,
+    weight_decay: float = 1e-4,
+) -> Tuple[SpecUNet2D, TrainState, optax.GradientTransformation]:
+    model = SpecUNet2D()
+    variables = model.init(rng, jnp.zeros((1, 128, 256, 1), jnp.float32))
+    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return model, state, tx
+
+
+def loss_fn(
+    model: SpecUNet2D,
+    params,
+    batch_stats,
+    batch: Dict[str, jnp.ndarray],
+    dropout_rng: jax.Array,
+):
+    """batch: mel (B,128,256,1), mask (B,256) in {0,1},
+    spec (B,128,256,2) targets."""
+    (spec_out, mask_logits), updates = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        batch["mel"],
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": dropout_rng},
+    )
+    mask_loss = optax.sigmoid_binary_cross_entropy(mask_logits, batch["mask"]).mean()
+    spec_loss = jnp.mean((spec_out - batch["spec"]) ** 2)
+    loss = mask_loss + spec_loss
+    metrics = {"loss": loss, "mask_loss": mask_loss, "spec_loss": spec_loss}
+    return loss, (updates["batch_stats"], metrics)
+
+
+def make_train_step(model: SpecUNet2D, tx: optax.GradientTransformation):
+    """Returns jit-able ``step(state, batch, rng) -> (state, metrics)``."""
+
+    def train_step(state: TrainState, batch, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_fn(model, p, state.batch_stats, batch, dropout_rng),
+            has_aux=True,
+        )
+        (_, (new_stats, metrics)), grads = grad_fn(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_stats, new_opt, state.step + 1),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_sharded_train_step(model, tx, mesh, shard_time: bool = True):
+    """Train step jitted with dp (batch) × sp (mel time) shardings."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    seq = "seq" if (shard_time and "seq" in mesh.axis_names) else None
+    batch_sharding = {
+        "mel": NamedSharding(mesh, P("data", None, seq, None)),
+        "mask": NamedSharding(mesh, P("data", None)),
+        "spec": NamedSharding(mesh, P("data", None, seq, None)),
+    }
+    repl = NamedSharding(mesh, P())
+    step = jax.jit(
+        make_train_step(model, tx),
+        in_shardings=(None, batch_sharding, repl),
+        donate_argnums=(0,),
+    )
+    return step, batch_sharding
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.batch_stats, s.opt_state, s.step), None),
+    lambda _, c: TrainState(*c),
+)

@@ -1,0 +1,141 @@
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from softspoken_tpu import Config
+from softspoken_tpu.project import (
+    DetectionStore,
+    ProjectManager,
+    backfill_ids,
+    empty_detections_frame,
+)
+
+
+def _mgr(tmp_path):
+    cfg = Config().with_paths(project_dir=str(tmp_path / "projects"))
+    return ProjectManager(cfg)
+
+
+def test_registry_roundtrip(tmp_path):
+    m = _mgr(tmp_path)
+    m.add_project("demo")
+    assert m.list_projects_by_name() == ["demo"]
+    proj = m.set_active_project("demo")
+    assert proj["name"] == "demo"
+    d = m.project_output_dir("demo")
+    assert proj["detections_file"] == os.path.join(d, "demo_detections.csv")
+    assert proj["review_file"] == os.path.join(d, "demo_review.csv")
+    assert proj["file_list_file"] == os.path.join(d, "demo_files.txt")
+    assert proj["silence_status_file"] == ""
+    # persisted?
+    with open(m.projects_file) as f:
+        data = json.load(f)
+    assert data[0]["name"] == "demo"
+
+
+def test_duplicate_project_rejected(tmp_path):
+    m = _mgr(tmp_path)
+    m.add_project("p")
+    with pytest.raises(ValueError):
+        m.add_project("p")
+
+
+def test_file_list_sorted_deduped(tmp_path):
+    m = _mgr(tmp_path)
+    m.add_project("p")
+    m.set_active_project("p")
+    got = m.update_file_list(["/b.wav", "/a.wav"])
+    assert got == ["/a.wav", "/b.wav"]
+    got = m.update_file_list(["/a.wav", "/c.wav"])
+    assert got == ["/a.wav", "/b.wav", "/c.wav"]
+    assert m.get_unprocessed_list() == got
+    got = m.remove_from_file_list(["/b.wav"])
+    assert got == ["/a.wav", "/c.wav"]
+
+
+def test_activate_latest(tmp_path):
+    m = _mgr(tmp_path)
+    m.add_project("older")
+    m.projects_data[0]["last_accessed"] = "2020-01-01 00:00:00"
+    m.add_project("newer")
+    m.projects_data[1]["last_accessed"] = "2024-01-01 00:00:00"
+    m._write_registry()
+    assert m.activate_latest()
+    assert m.current_project["name"] == "newer"
+
+
+def test_legacy_path_migration(tmp_path):
+    # project with files at legacy locations gets moved to expected layout
+    pdir = tmp_path / "projects"
+    pdir.mkdir()
+    legacy = pdir / "old_detections.csv"
+    legacy.write_text("ID,file_path\n")
+    registry = [
+        {
+            "name": "mig",
+            "file_list_file": str(pdir / "mig_files.txt"),
+            "detections_file": str(legacy),
+            "review_file": str(pdir / "mig_review.csv"),
+            "last_accessed": "2023-01-01 00:00:00",
+        }
+    ]
+    (pdir / "projects.json").write_text(json.dumps(registry))
+    m = _mgr(tmp_path)
+    proj = m.set_active_project("mig")
+    assert proj["detections_file"].endswith(
+        os.path.join("Softspoken Outputs", "mig", "mig_detections.csv")
+    )
+    assert os.path.exists(proj["detections_file"])
+    assert not legacy.exists()
+
+
+def test_step_status(tmp_path):
+    m = _mgr(tmp_path)
+    m.add_project("s")
+    m.set_active_project("s")
+    st = m.step_status()
+    assert st == {"detect": "Not Started", "review": "Not Started", "silence": "Not Started"}
+    with open(m.current_project["detections_file"], "w") as f:
+        f.write("ID\n1\n")
+    assert m.step_status()["detect"] == "Complete"
+
+
+def test_detection_store_schema(tmp_path):
+    p = str(tmp_path / "d.csv")
+    store = DetectionStore(p)
+    assert list(store.df.columns) == [
+        "ID", "file_path", "file_name", "start_time", "end_time",
+        "erase", "user_comment", "review_datetime",
+    ]
+    n = store.append_intervals("/data/a.wav", [(1.0, 2.5), (4.0, 4.2)])
+    assert n == 2
+    assert store.next_id() == 3
+    store.save()
+    # reload: IDs preserved, types coerced
+    store2 = DetectionStore(p)
+    assert store2.df["ID"].tolist() == [1, 2]
+    assert store2.df["erase"].tolist() == [0, 0]
+    assert store2.processed_files() == {"/data/a.wav"}
+    # autoincrement continues from max
+    store2.append_intervals("/data/b.wav", [(0.0, 1.0)])
+    assert store2.df["ID"].tolist() == [1, 2, 3]
+
+
+def test_id_backfill():
+    df = pd.DataFrame(
+        {
+            "file_path": ["/x", "/x", "/x"],
+            "file_name": ["a", "b", "c"],
+            "ID": [5, None, None],
+        }
+    )
+    out = backfill_ids(df)
+    assert out["ID"].tolist() == [5, 6, 7]
+
+    df2 = pd.DataFrame({"file_path": ["/x"], "file_name": ["a"]})
+    out2 = backfill_ids(df2)
+    assert out2.columns[0] == "ID"
+    assert out2["ID"].tolist() == [1]

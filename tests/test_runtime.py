@@ -1,0 +1,90 @@
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from softspoken_tpu import Config, ckpt
+from softspoken_tpu.engine import Detector
+from softspoken_tpu.io import wavio
+from softspoken_tpu.project import DetectionStore
+from softspoken_tpu.runtime import DetectRunner, RunCallbacks
+
+CFG = Config().with_engine(precision="parity", device_batch=4, chunk_seconds=12.0)
+
+
+@pytest.fixture(scope="module")
+def detector():
+    return Detector(CFG, variables=ckpt.fixture_variables(seed=0))
+
+
+@pytest.fixture
+def wavs(tmp_path):
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, secs in enumerate([4, 6]):
+        p = str(tmp_path / f"rec{i}.wav")
+        wavio.write(p, rng.uniform(-0.5, 0.5, 22050 * secs).astype(np.float32), 22050)
+        paths.append(p)
+    return paths
+
+
+def test_detect_runner_end_to_end(tmp_path, detector, wavs):
+    store = DetectionStore(str(tmp_path / "det.csv"))
+    events = {"started": [], "done": [], "overall": [], "msgs": []}
+    cb = RunCallbacks(
+        file_started=events["started"].append,
+        file_done=events["done"].append,
+        overall_progress=events["overall"].append,
+        message=events["msgs"].append,
+    )
+    runner = DetectRunner(detector, store, CFG)
+    report = runner.run(wavs, cb)
+
+    assert report.files_done == 2
+    assert not report.errors
+    assert events["started"] == wavs and events["done"] == wavs
+    assert events["overall"][-1] == 100.0
+    assert os.path.exists(store.path)
+    df = pd.read_csv(store.path)
+    assert set(df["file_name"]) <= {"rec0.wav", "rec1.wav"}
+    assert report.rows_added == len(df)
+    assert report.throughput["audio_seconds"] == pytest.approx(10.0)
+
+
+def test_detect_runner_resume_skips(tmp_path, detector, wavs):
+    store_path = str(tmp_path / "det.csv")
+    store = DetectionStore(store_path)
+    DetectRunner(detector, store, CFG).run([wavs[0]])
+    n_rows = len(store.df)
+
+    # second run over both files: file 0 must be skipped, no duplicates
+    store2 = DetectionStore(store_path)
+    report = DetectRunner(detector, store2, CFG).run(wavs)
+    assert report.files_skipped == 1
+    df = pd.read_csv(store_path)
+    assert (df["file_name"] == "rec0.wav").sum() == (
+        pd.read_csv(store_path).iloc[:n_rows]["file_name"] == "rec0.wav"
+    ).sum()
+
+
+def test_detect_runner_error_manifest(tmp_path, detector):
+    bad = str(tmp_path / "corrupt.wav")
+    with open(bad, "wb") as f:
+        f.write(b"RIFF0000WAVEnope")
+    store = DetectionStore(str(tmp_path / "det.csv"))
+    report = DetectRunner(detector, store, CFG).run([bad])
+    assert bad in report.errors
+    assert report.files_done == 1
+
+
+def test_detect_runner_strict_reference_mode(tmp_path, detector, wavs):
+    """skip_processed_files=False reprocesses and appends duplicate rows —
+    the reference's exact resume behavior (SURVEY.md §2.3)."""
+    cfg = CFG.with_engine(skip_processed_files=False)
+    store_path = str(tmp_path / "det.csv")
+    DetectRunner(detector, DetectionStore(store_path), cfg).run([wavs[0]])
+    n1 = len(pd.read_csv(store_path))
+    DetectRunner(detector, DetectionStore(store_path), cfg).run([wavs[0]])
+    n2 = len(pd.read_csv(store_path))
+    assert n2 == 2 * n1
