@@ -1,0 +1,89 @@
+"""Headline benchmark: audio-seconds of recording processed per wall-second
+per chip, end-to-end (WAV file on disk → merged speech intervals), on the
+single available TPU chip.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the
+driver-supplied north star is ≥100× real-time per v5e chip, so
+``vs_baseline`` = value / 100.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_X_REALTIME = 100.0
+
+
+def make_recording(path: str, seconds: float, sr: int = 32000, seed: int = 0) -> None:
+    from softspoken_tpu.io import wavio
+
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    audio = (0.02 * rng.standard_normal(n)).astype(np.float32)
+    # sprinkle speech-band bursts so the pipeline has structure to chew on
+    t = np.arange(n) / sr
+    for k in range(int(seconds // 30)):
+        a = 30.0 * k + 5.0
+        m = (t >= a) & (t < a + 2.0)
+        audio[m] += 0.3 * np.sin(2 * np.pi * 700.0 * t[m]).astype(np.float32)
+    wavio.write(path, audio, sr, subtype="PCM_16")
+
+
+def main() -> None:
+    from softspoken_tpu import Config, ckpt
+    from softspoken_tpu.engine import Detector
+
+    bench_seconds = float(os.environ.get("BENCH_SECONDS", "1800"))
+    cfg = Config().with_engine(
+        device_batch=int(os.environ.get("BENCH_DEVICE_BATCH", "256")),
+        chunk_seconds=float(os.environ.get("BENCH_CHUNK_SECONDS", "600")),
+    )
+    det = Detector(cfg, variables=ckpt.fixture_variables(seed=0))
+
+    tmp = "/tmp/softspoken_bench"
+    os.makedirs(tmp, exist_ok=True)
+    warm_path = os.path.join(tmp, "warm.wav")
+    bench_path = os.path.join(tmp, f"bench_{int(bench_seconds)}s.wav")
+    make_recording(warm_path, 60.0, seed=1)
+    if not os.path.exists(bench_path):
+        make_recording(bench_path, bench_seconds)
+
+    # warm-up: compile + first (server-side) program load are one-time costs.
+    # The 60 s file exercises the ragged-tail program; the full-chunk scan
+    # program must be warmed explicitly (a short file never reaches it).
+    import jax.numpy as jnp
+
+    det.detect_file(warm_path)
+    det.detect_file_streaming(warm_path)
+    B = cfg.engine.device_batch
+    nb = det.chunk_windows() // B
+    zero_wave = jnp.zeros(det.chunk_buffer_len(), jnp.float32)
+    zero_starts = jnp.zeros((nb, B), jnp.int32)
+    np.asarray(det._fwd_chunk(det.variables, zero_wave, zero_starts))
+
+    t0 = time.perf_counter()
+    result = det.detect_file_streaming(bench_path)
+    wall = time.perf_counter() - t0
+
+    value = result.audio_seconds / wall
+    print(
+        json.dumps(
+            {
+                "metric": "audio_sec_per_wall_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "audio-sec/wall-sec/chip (e2e: 32kHz WAV → intervals)",
+                "vs_baseline": round(value / BASELINE_X_REALTIME, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+// ssdsp.cpp — native host-DSP kernels for softspoken_tpu.
+//
+// The reference leaned on librosa/soxr/soundfile C backends for its host
+// audio path (voice_activity.py:32-69); this is our own native equivalent:
+// a multithreaded rational polyphase resampler with semantics identical to
+// scipy.signal.resample_poly(x, up, down, window=taps) — same taps, same
+// group-delay alignment, same ceil(n·up/down) output length — so the Python
+// and native paths are interchangeable (tests assert near-equality).
+//
+// Built at first use via g++ (see softspoken_tpu/io/native.py); exposed
+// through ctypes — no pybind11 dependency.
+
+#include <atomic>
+#include <cstdint>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// y[m] = sum_i h[i] * x_up[m*down + half - i],  x_up = zero-stuffed x (xup[k*up]=x[k])
+// h = taps * up (scaling applied here), half = (n_taps-1)/2.
+// Output length n_out must be ceil(n*up/down).
+void ss_resample_f32(const float* x, int64_t n, float* y, int64_t n_out,
+                     const double* taps, int64_t n_taps,
+                     int64_t up, int64_t down, int32_t n_threads) {
+    const int64_t half = (n_taps - 1) / 2;
+    if (n_threads < 1) n_threads = 1;
+
+    auto worker = [&](int64_t m0, int64_t m1) {
+        for (int64_t m = m0; m < m1; ++m) {
+            const int64_t c = m * down + half;     // upsampled-domain position
+            const int64_t r = c % up;              // tap phase
+            const int64_t k0 = (c - r) / up;       // first (highest) x index
+            // j bounds: 0 <= r + j*up < n_taps  and  0 <= k0 - j < n
+            int64_t j_lo = k0 - (n - 1);           // k <= n-1
+            if (j_lo < 0) j_lo = 0;
+            int64_t j_hi_taps = (n_taps - 1 - r) / up;   // i <= n_taps-1
+            int64_t j_hi = j_hi_taps < k0 ? j_hi_taps : k0;  // k >= 0
+            double acc = 0.0;
+            const double* tp = taps + r;
+            for (int64_t j = j_lo; j <= j_hi; ++j) {
+                acc += tp[j * up] * (double)x[k0 - j];
+            }
+            y[m] = (float)(acc * (double)up);
+        }
+    };
+
+    if (n_threads == 1 || n_out < 4096) {
+        worker(0, n_out);
+        return;
+    }
+    std::vector<std::thread> threads;
+    const int64_t step = (n_out + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+        const int64_t m0 = (int64_t)t * step;
+        int64_t m1 = m0 + step;
+        if (m0 >= n_out) break;
+        if (m1 > n_out) m1 = n_out;
+        threads.emplace_back(worker, m0, m1);
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Fused multichannel downmix: interleaved (frames, channels) f32 → mono mean.
+void ss_downmix_f32(const float* x, int64_t frames, int32_t channels, float* y,
+                    int32_t n_threads) {
+    if (channels == 1) {
+        for (int64_t i = 0; i < frames; ++i) y[i] = x[i];
+        return;
+    }
+    const double inv = 1.0 / (double)channels;
+    auto worker = [&](int64_t a, int64_t b) {
+        for (int64_t i = a; i < b; ++i) {
+            double acc = 0.0;
+            const float* row = x + i * channels;
+            for (int32_t c = 0; c < channels; ++c) acc += row[c];
+            y[i] = (float)(acc * inv);
+        }
+    };
+    if (n_threads <= 1 || frames < 65536) { worker(0, frames); return; }
+    std::vector<std::thread> threads;
+    const int64_t step = (frames + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+        int64_t a = (int64_t)t * step, b = a + step;
+        if (a >= frames) break;
+        if (b > frames) b = frames;
+        threads.emplace_back(worker, a, b);
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Interleaved PCM16 → mono float mean in one pass (decode + downmix fused).
+void ss_pcm16_to_mono_f32(const int16_t* x, int64_t frames, int32_t channels,
+                          float* y, int32_t n_threads) {
+    const double scale = 1.0 / (32768.0 * (double)channels);
+    auto worker = [&](int64_t a, int64_t b) {
+        for (int64_t i = a; i < b; ++i) {
+            int64_t acc = 0;
+            const int16_t* row = x + i * channels;
+            for (int32_t c = 0; c < channels; ++c) acc += row[c];
+            y[i] = (float)((double)acc * scale);
+        }
+    };
+    if (n_threads <= 1 || frames < 65536) { worker(0, frames); return; }
+    std::vector<std::thread> threads;
+    const int64_t step = (frames + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+        int64_t a = (int64_t)t * step, b = a + step;
+        if (a >= frames) break;
+        if (b > frames) b = frames;
+        threads.emplace_back(worker, a, b);
+    }
+    for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

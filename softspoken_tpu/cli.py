@@ -1,0 +1,343 @@
+"""Headless CLI — the framework's primary driver.
+
+The reference has no headless surface at all (launch.py:1-11 always opens
+the Qt GUI); this CLI exposes the full 3-step workflow plus utilities:
+
+  project new|list|status|add-files|remove-files
+  detect        — run the TPU detector over a project (or ad-hoc files)
+  review        — grade/list/add/delete detections, render spectrograms,
+                  export segment WAVs, re-run exporters
+  silence       — apply mute masks and write *_silenced.wav
+  convert-ckpt  — torch .pth → native orbax checkpoint
+  bench         — throughput benchmark (one JSON line)
+
+Usage: python -m softspoken_tpu <command> …
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+from typing import List, Optional
+
+from .config import Config, DEFAULT_CONFIG
+
+
+def _load_config(args) -> Config:
+    cfg = Config.from_file(args.config) if getattr(args, "config", None) else Config()
+    if getattr(args, "project_dir", None):
+        cfg = cfg.with_paths(project_dir=args.project_dir)
+    if getattr(args, "precision", None):
+        cfg = cfg.with_engine(precision=args.precision)
+    if getattr(args, "device_batch", None):
+        cfg = cfg.with_engine(device_batch=args.device_batch)
+    return cfg
+
+
+def _manager(cfg: Config):
+    from .project import ProjectManager
+
+    return ProjectManager(cfg)
+
+
+def _active_project(pm, name: Optional[str]):
+    if name:
+        proj = pm.set_active_project(name)
+        if proj is None:
+            sys.exit(f"error: no project named '{name}'")
+        return proj
+    if not pm.activate_latest():
+        sys.exit("error: no projects exist; create one with `project new <name>`")
+    return pm.current_project
+
+
+# ---------------------------------------------------------------------------
+# project
+# ---------------------------------------------------------------------------
+
+def cmd_project(args) -> None:
+    cfg = _load_config(args)
+    pm = _manager(cfg)
+    if args.action == "new":
+        pm.add_project(args.name)
+        print(f"created project '{args.name}' under {pm.project_output_dir(args.name)}")
+    elif args.action == "list":
+        for p in pm.projects_data:
+            print(f"{p['name']}\t(last accessed {p.get('last_accessed', '?')})")
+    elif args.action == "status":
+        proj = _active_project(pm, args.name)
+        print(json.dumps({"project": proj["name"], **pm.step_status()}, indent=2))
+    elif args.action == "add-files":
+        _active_project(pm, args.name)
+        files = [os.path.abspath(f) for f in args.files]
+        merged = pm.update_file_list(files)
+        print(f"{len(merged)} file(s) registered")
+    elif args.action == "remove-files":
+        _active_project(pm, args.name)
+        remaining = pm.remove_from_file_list([os.path.abspath(f) for f in args.files])
+        print(f"{len(remaining)} file(s) remain")
+
+
+# ---------------------------------------------------------------------------
+# detect
+# ---------------------------------------------------------------------------
+
+def cmd_detect(args) -> None:
+    from .ckpt import fixture_variables
+    from .engine import Detector
+    from .project import DetectionStore
+    from .runtime import DetectRunner, RunCallbacks
+
+    cfg = _load_config(args)
+    if args.strict_reference:
+        cfg = cfg.with_engine(skip_processed_files=False)
+
+    variables = None
+    if args.random_init:
+        variables = fixture_variables(seed=0)
+    det = Detector(cfg, variables=variables, checkpoint_path=args.checkpoint)
+
+    if args.files:
+        files = [os.path.abspath(f) for f in args.files]
+        store_path = args.out or "detections.csv"
+    else:
+        pm = _manager(cfg)
+        proj = _active_project(pm, args.project)
+        files = pm.get_unprocessed_list()
+        store_path = proj["detections_file"]
+    store = DetectionStore(store_path)
+
+    if args.mesh:
+        from .parallel import MeshDetector, make_mesh
+
+        det = MeshDetector(det, make_mesh(("data",)))
+
+    cb = RunCallbacks(
+        file_started=lambda f: print(f"→ {f}", flush=True),
+        message=lambda m: print(f"   {m}", flush=True),
+    )
+    runner = DetectRunner(det, store, cfg, streaming=args.streaming or None)
+    report = runner.run(files, cb)
+    print(
+        json.dumps(
+            {
+                "files_done": report.files_done,
+                "files_skipped": report.files_skipped,
+                "rows_added": report.rows_added,
+                "errors": report.errors,
+                **{k: round(v, 3) for k, v in report.throughput.items()},
+                "stage_seconds": {k: round(v, 3) for k, v in report.timers.items()},
+                "detections_csv": store_path,
+            },
+            indent=2,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# review
+# ---------------------------------------------------------------------------
+
+def cmd_review(args) -> None:
+    import pandas as pd
+
+    from .ui import ReviewSession, export_segment_wav, render_review_png
+
+    cfg = _load_config(args)
+    pm = _manager(cfg)
+    proj = _active_project(pm, args.project)
+    session = ReviewSession(proj, pm.projects_folder, cfg)
+
+    if args.action == "list":
+        df = session.df
+        for i in range(len(df)):
+            r = df.iloc[i]
+            mark = "E" if int(r.get("erase", 0) or 0) == 1 else (
+                "K" if str(r.get("review_datetime", "")).strip() else "."
+            )
+            print(
+                f"{i:5d} [{mark}] #{r['ID']} {r['file_name']} "
+                f"{float(r['start_time']):9.3f}–{float(r['end_time']):9.3f} "
+                f"{r.get('user_comment', '')}"
+            )
+        print(json.dumps(session.stats()))
+    elif args.action in ("keep", "erase"):
+        for i in args.rows:
+            getattr(session, args.action)(index=i, persist=False)
+        session.save()
+        print(json.dumps(session.stats()))
+    elif args.action == "add":
+        pos = session.add(
+            os.path.dirname(os.path.abspath(args.file)),
+            os.path.basename(args.file),
+            args.start,
+            args.end,
+        )
+        print(f"inserted at row {pos}" if pos is not None else "rejected (end ≤ start)")
+    elif args.action == "delete":
+        session.delete(args.rows)
+        print(json.dumps(session.stats()))
+    elif args.action == "export":
+        session.save()  # persists review.csv + all three exporters
+        print(f"review saved + exports re-run under {pm.projects_folder}")
+    elif args.action == "render":
+        r = session.df.iloc[args.row]
+        full = os.path.join(r["file_path"], r["file_name"])
+        others = [
+            (float(q["start_time"]), float(q["end_time"]))
+            for _, q in session.df[session.df["file_name"] == r["file_name"]].iterrows()
+        ]
+        png = render_review_png(
+            full, float(r["start_time"]), float(r["end_time"]), others,
+            zoom_level=args.zoom, config=cfg,
+        )
+        out = args.out or f"detection_{int(r['ID'])}.png"
+        with open(out, "wb") as f:
+            f.write(png)
+        print(out)
+    elif args.action == "segment":
+        r = session.df.iloc[args.row]
+        full = os.path.join(r["file_path"], r["file_name"])
+        out = export_segment_wav(
+            full, (float(r["start_time"]), float(r["end_time"])), args.out, cfg
+        )
+        print(out)
+
+
+# ---------------------------------------------------------------------------
+# silence
+# ---------------------------------------------------------------------------
+
+def cmd_silence(args) -> None:
+    import pandas as pd
+
+    from .silence import SilenceRunner, write_status_file
+
+    cfg = _load_config(args)
+    pm = _manager(cfg)
+    proj = _active_project(pm, args.project)
+    review_path = proj["review_file"]
+    if not os.path.exists(review_path):
+        sys.exit(f"error: no review file at {review_path}; run review first")
+    df = pd.read_csv(review_path)
+
+    runner = SilenceRunner(args.output_dir, fade_ms=args.fade_ms, subtype=args.subtype)
+    report = runner.run(
+        df,
+        on_file_start=lambda f: print(f"→ {f}", flush=True),
+        on_file_done=lambda f: print(f"   wrote {f}", flush=True),
+    )
+    if not report.stopped:
+        write_status_file(proj, pm.project_output_dir(proj["name"]))
+        pm.save_current_project()
+    print(
+        json.dumps(
+            {
+                "files_done": report.files_done,
+                "files_failed": report.files_failed,
+                "outputs": report.outputs,
+                "errors": report.errors,
+            },
+            indent=2,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# convert-ckpt / bench
+# ---------------------------------------------------------------------------
+
+def cmd_convert_ckpt(args) -> None:
+    from . import ckpt as ckpt_mod
+
+    variables, epoch = ckpt_mod.load_pth(args.pth)
+    ckpt_mod.save(args.out, variables, epoch)
+    print(f"converted {args.pth} (epoch {epoch}) → {args.out}")
+
+
+def cmd_bench(args) -> None:
+    os.environ.setdefault("BENCH_SECONDS", str(args.seconds))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import bench
+
+    bench.main()
+
+
+# ---------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="softspoken_tpu", description=__doc__)
+    p.add_argument("--config", help="JSON config file overriding defaults")
+    p.add_argument("--project-dir", help="projects root (default ./projects)")
+    p.add_argument("-v", "--verbose", action="store_true")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pp = sub.add_parser("project", help="manage projects")
+    pp.add_argument("action", choices=["new", "list", "status", "add-files", "remove-files"])
+    pp.add_argument("name", nargs="?", help="project name")
+    pp.add_argument("files", nargs="*", help="audio files (add/remove-files)")
+    pp.set_defaults(func=cmd_project)
+
+    pd_ = sub.add_parser("detect", help="run voice detection")
+    pd_.add_argument("--project", help="project name (default: latest)")
+    pd_.add_argument("--files", nargs="*", help="ad-hoc files instead of a project")
+    pd_.add_argument("--out", help="detections CSV for ad-hoc mode")
+    pd_.add_argument("--checkpoint", help="orbax dir or torch .pth")
+    pd_.add_argument("--random-init", action="store_true",
+                     help="use the deterministic random-init fixture weights")
+    pd_.add_argument("--precision", choices=["fast", "parity"])
+    pd_.add_argument("--device-batch", type=int)
+    pd_.add_argument("--streaming", action="store_true",
+                     help="force bounded-memory streaming decode")
+    pd_.add_argument("--mesh", action="store_true",
+                     help="shard windows over all available devices")
+    pd_.add_argument("--strict-reference", action="store_true",
+                     help="reprocess files already in the CSV (reference resume behavior)")
+    pd_.set_defaults(func=cmd_detect)
+
+    pr = sub.add_parser("review", help="review detections")
+    pr.add_argument("action", choices=["list", "keep", "erase", "add", "delete",
+                                        "export", "render", "segment"])
+    pr.add_argument("--project")
+    pr.add_argument("--rows", type=int, nargs="*", default=[], help="row indexes")
+    pr.add_argument("--row", type=int, default=0, help="row index (render/segment)")
+    pr.add_argument("--file", help="audio file (add)")
+    pr.add_argument("--start", type=float)
+    pr.add_argument("--end", type=float)
+    pr.add_argument("--zoom", type=float, default=1.0, help="seconds per inch")
+    pr.add_argument("--out", help="output path (render/segment)")
+    pr.set_defaults(func=cmd_review)
+
+    ps = sub.add_parser("silence", help="zero flagged intervals, write *_silenced.wav")
+    ps.add_argument("--project")
+    ps.add_argument("--output-dir", required=True)
+    ps.add_argument("--fade-ms", type=float, default=0.0,
+                    help="crossfade ramp (0 = reference hard zero)")
+    ps.add_argument("--subtype", default="PCM_16",
+                    help="output sample format (PCM_16 parity default)")
+    ps.set_defaults(func=cmd_silence)
+
+    pc = sub.add_parser("convert-ckpt", help="torch .pth → orbax")
+    pc.add_argument("pth")
+    pc.add_argument("out")
+    pc.set_defaults(func=cmd_convert_ckpt)
+
+    pb = sub.add_parser("bench", help="throughput benchmark")
+    pb.add_argument("--seconds", type=float, default=1800.0)
+    pb.set_defaults(func=cmd_bench)
+
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -77,6 +77,9 @@ class EngineConfig:
     # Skip files whose detections already exist (fixes reference resume quirk
     # SURVEY.md §2.3; set False for strict reference behavior).
     skip_processed_files: bool = True
+    # Streaming-decode resampler: "host" (scipy/C++ polyphase), "device"
+    # (fixed-shape jitted conv), or "auto" (device iff running on TPU).
+    resample_backend: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -120,6 +120,7 @@ class Detector:
 
         self._fwd = jax.jit(self._forward)
         self._fwd_full = jax.jit(self._forward_full)
+        self._fwd_chunk = jax.jit(self._forward_chunk)
 
     # ------------------------------------------------------------------
     # jitted forward
@@ -135,6 +136,20 @@ class Detector:
         mel = melops.log_mel_windows(wave, starts, precision=self._mel_precision)
         spec, logits = self.model.apply(variables, mel[..., None])
         return spec, logits
+
+    def _forward_chunk(self, variables, wave, starts_nb):
+        """A whole chunk in ONE device call: lax.scan of the batched forward
+        over (n_batches, B) start indexes → (n_batches, B, 256) logits.
+
+        One host↔device round trip per ~8 min of audio instead of one per
+        batch — per-call tunnel latency dominates dispatch otherwise.
+        """
+
+        def body(_, starts):
+            return None, self._forward(variables, wave, starts)
+
+        _, logits = jax.lax.scan(body, None, starts_nb)
+        return logits
 
     def chunk_windows(self) -> int:
         """Windows per device chunk (multiple of device_batch)."""
@@ -195,30 +210,64 @@ class Detector:
         starts = window_starts(n_windows, cfg)
 
         chunk_w = self.chunk_windows()
-        buf = np.zeros(self.chunk_buffer_len(), np.float32)
+        buf_len = self.chunk_buffer_len()
         out: List[np.ndarray] = []
 
-        for w0 in range(0, n_windows, chunk_w):
-            w1 = min(w0 + chunk_w, n_windows)
+        chunk_ranges = [
+            (w0, min(w0 + chunk_w, n_windows))
+            for w0 in range(0, n_windows, chunk_w)
+        ]
+
+        # double-buffered host fill: decode/resample of chunk i+1 overlaps
+        # the device compute of chunk i (single fill thread — fill_segment
+        # may carry sequential decoder state)
+        from concurrent.futures import ThreadPoolExecutor
+
+        bufs = [np.zeros(buf_len, np.float32), np.zeros(buf_len, np.float32)]
+
+        def fill_chunk(ci: int) -> np.ndarray:
+            w0, w1 = chunk_ranges[ci]
             s0 = int(starts[w0])
             s1 = min(int(starts[w1 - 1]) + cfg.samples_per_window, padded_len)
-            buf[:] = 0.0
-            fill_segment(s0, s1, buf[: s1 - s0])
-            wave_dev = jnp.asarray(buf)
+            b = bufs[ci % 2]
+            b[:] = 0.0
+            fill_segment(s0, s1, b[: s1 - s0])
+            return b
 
-            local = (starts[w0:w1] - s0).astype(np.int32)
-            n = len(local)
-            n_pad = (-n) % B
-            if n_pad:  # padded windows read the zeroed buffer tail; dropped below
-                local = np.concatenate([local, np.zeros(n_pad, np.int32)])
-            pending = [
-                self._fwd(self.variables, wave_dev, jnp.asarray(local[b0 : b0 + B]))
-                for b0 in range(0, len(local), B)
-            ]
-            got = np.concatenate([np.asarray(x, np.float32) for x in pending])[:n]
-            out.append(got)
-            if progress is not None:
-                progress(w1 / n_windows)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(fill_chunk, 0)
+            for ci, (w0, w1) in enumerate(chunk_ranges):
+                buf = fut.result()
+                wave_dev = jnp.asarray(buf)
+                wave_dev.block_until_ready()  # buf is reused two chunks later
+                if ci + 1 < len(chunk_ranges):
+                    fut = ex.submit(fill_chunk, ci + 1)
+
+                s0 = int(starts[w0])
+                local = (starts[w0:w1] - s0).astype(np.int32)
+                n = len(local)
+                if n == chunk_w:
+                    # full chunk: one device call for the whole chunk
+                    got = np.asarray(
+                        self._fwd_chunk(
+                            self.variables, wave_dev, jnp.asarray(local.reshape(-1, B))
+                        ),
+                        np.float32,
+                    ).reshape(n, -1)
+                else:
+                    # ragged tail: per-batch path, padded windows read the
+                    # zeroed buffer tail and are dropped below
+                    n_pad = (-n) % B
+                    if n_pad:
+                        local = np.concatenate([local, np.zeros(n_pad, np.int32)])
+                    pending = [
+                        self._fwd(self.variables, wave_dev, jnp.asarray(local[b0 : b0 + B]))
+                        for b0 in range(0, len(local), B)
+                    ]
+                    got = np.concatenate([np.asarray(x, np.float32) for x in pending])[:n]
+                out.append(got)
+                if progress is not None:
+                    progress(w1 / n_windows)
         return np.concatenate(out)
 
     def mask_logits_for_padded(self, padded: np.ndarray) -> np.ndarray:
@@ -287,10 +336,14 @@ class Detector:
         total = internal_length(path, cfg.dsp.sample_rate)
         padded_len = total + 2 * pad
 
+        backend = cfg.engine.resample_backend
+        if backend == "auto":
+            backend = "device" if jax.default_backend() == "tpu" else "host"
         decode_iter = stream_chunks(
             path,
             chunk_samples=int(cfg.dsp.sample_rate * cfg.engine.chunk_seconds),
             target_sr=cfg.dsp.sample_rate,
+            backend=backend,
         )
         state = {"buf": np.zeros(0, np.float32), "at": 0, "done": False}
 

@@ -5,6 +5,7 @@ from .audio import (
     internal_length,
     load_audio,
     load_audio_startstop,
+    read_mono,
     stream_chunks,
     to_mono,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "load_audio_startstop",
     "stream_chunks",
     "to_mono",
+    "read_mono",
     "resample",
     "jax_resample",
     "resampled_length",

@@ -44,6 +44,28 @@ def to_mono(data: np.ndarray) -> np.ndarray:
     return data
 
 
+def read_mono(path: str, start: int = 0, frames: Optional[int] = None) -> Tuple[np.ndarray, int]:
+    """Float32 mono samples — fused native decode+downmix when possible.
+
+    PCM16 files (the common field-recorder format) decode through the C++
+    kernel in one pass; everything else takes the generic decode + mean.
+    """
+    from . import native
+
+    if native.native_available():
+        try:
+            inf = wavio.info(path)
+            if inf.subtype == "PCM_16":
+                raw, _ = wavio.read_raw(path, start=start, frames=frames)
+                out = native.pcm16_to_mono_f32(raw.view("<i2"), inf.channels)
+                if out is not None:
+                    return out, inf.samplerate
+        except Exception:  # noqa: BLE001 — fall through to the generic path
+            pass
+    data, sr = wavio.read(path, start=start, frames=frames if frames is not None else None)
+    return to_mono(np.asarray(data, np.float32)), sr
+
+
 def load_audio(
     path: str, start: Optional[int] = None, target_sr: int = _SR
 ) -> Tuple[Optional[np.ndarray], Optional[int]]:
@@ -56,17 +78,16 @@ def load_audio(
     """
     try:
         if start is None:
-            data, sr = wavio.read(path)
+            data, sr = read_mono(path)
         else:
             inf = wavio.info(path)
             sr = inf.samplerate
             read_start = int(start * (sr / target_sr))
-            data, sr = wavio.read(path, start=read_start, frames=int(sr * 3))
+            data, sr = read_mono(path, start=read_start, frames=int(sr * 3))
     except Exception as e:  # noqa: BLE001 — decode errors skip the file
         log.error("failed to read %s: %s", path, e)
         return None, None
 
-    data = to_mono(np.asarray(data, dtype=np.float32))
     if sr != target_sr:
         data = resample(data, sr, target_sr)
         sr = target_sr
@@ -119,6 +140,7 @@ def stream_chunks(
     path: str,
     chunk_samples: int,
     target_sr: int = _SR,
+    backend: str = "host",
 ) -> Iterator[AudioChunk]:
     """Yield the file as bounded-size internal-rate chunks.
 
@@ -128,26 +150,42 @@ def stream_chunks(
     bounded-memory decode path for multi-hour recordings; the reference loads
     whole files into RAM (worker.py:57) which SURVEY.md §5 notes is its actual
     scaling limit.
+
+    ``backend``: "host" (scipy/C++ polyphase) or "device" (one fixed-shape
+    jitted conv per chunk — the right choice on TPU, where a 1-core host
+    can't keep up with the accelerator).
     """
-    from .resample import design_taps
+    from .resample import design_taps, get_device_resampler
     import math
 
     inf = wavio.info(path)
     sr = inf.samplerate
     total_internal = resampled_length(inf.frames, sr, target_sr)
 
+    def read_native(start: int, frames: int) -> np.ndarray:
+        data, _ = read_mono(path, start=start, frames=frames)
+        return data
+
     if sr == target_sr:
         pos = 0
         while pos < inf.frames:
             n = min(chunk_samples, inf.frames - pos)
-            data, _ = wavio.read(path, start=pos, frames=n)
             yield AudioChunk(
-                to_mono(np.asarray(data, np.float32)),
-                pos,
-                total_internal,
-                pos + n >= inf.frames,
+                read_native(pos, n), pos, total_internal, pos + n >= inf.frames
             )
             pos += n
+        return
+
+    if backend == "device":
+        rs_dev = get_device_resampler(sr, target_sr, chunk_samples)
+        out_pos = 0
+        while out_pos < total_internal:
+            out_n = min(chunk_samples, total_internal - out_pos)
+            data = rs_dev.resample_range(read_native, inf.frames, out_pos, out_n)
+            yield AudioChunk(
+                data, out_pos, total_internal, out_pos + out_n >= total_internal
+            )
+            out_pos += out_n
         return
 
     g = math.gcd(sr, target_sr)
@@ -165,8 +203,7 @@ def stream_chunks(
         rs = max(0, in_first - context)
         rs -= rs % down  # snap to the output grid: res[k] ↦ global rs*up/down + k
         re = min(inf.frames, in_last + context)
-        data, _ = wavio.read(path, start=rs, frames=re - rs)
-        mono = to_mono(np.asarray(data, np.float32))
+        mono = read_native(rs, re - rs)
         res = resample(mono, sr, target_sr)
         first_out_global = (rs * up) // down  # exact (rs % down == 0)
         lo = out_pos - first_out_global

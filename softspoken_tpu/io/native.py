@@ -1,0 +1,140 @@
+"""Native host-DSP loader (csrc/ssdsp.cpp via ctypes).
+
+Compiles the C++ kernels on first use with g++ (cached as a .so keyed by a
+source hash) and exposes them as numpy-friendly wrappers.  Everything
+degrades gracefully to the pure-Python/scipy paths when no compiler is
+available — the native path is a performance tier, not a dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "csrc", "ssdsp.cpp")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _cache_dir() -> str:
+    d = os.environ.get(
+        "SOFTSPOKEN_NATIVE_CACHE",
+        os.path.expanduser("~/.cache/softspoken_tpu/native"),
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _build() -> Optional[str]:
+    if not os.path.exists(_SRC):
+        return None
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    so_path = os.path.join(_cache_dir(), f"ssdsp_{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    tmp = so_path + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           "-o", tmp, _SRC, "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so_path)
+        return so_path
+    except Exception as e:  # noqa: BLE001 — no compiler / failed build
+        log.info("native DSP build unavailable (%s); using scipy paths", e)
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("SOFTSPOKEN_DISABLE_NATIVE"):
+        return None
+    so = _build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.ss_resample_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+    ]
+    lib.ss_downmix_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+    ]
+    lib.ss_pcm16_to_mono_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+    ]
+    _lib = lib
+    return _lib
+
+
+def _threads() -> int:
+    return max(1, min(8, (os.cpu_count() or 2) - 1))
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def resample_f32(x: np.ndarray, up: int, down: int, taps: np.ndarray) -> Optional[np.ndarray]:
+    """scipy.resample_poly-equivalent conversion; None if native is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    taps = np.ascontiguousarray(taps, np.float64)
+    n_out = -(-(len(x) * up) // down)
+    y = np.empty(n_out, np.float32)
+    lib.ss_resample_f32(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_out,
+        taps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(taps),
+        up, down, _threads(),
+    )
+    return y
+
+
+def downmix_f32(x: np.ndarray) -> Optional[np.ndarray]:
+    """(frames, channels) f32 → mono mean; None if native is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    frames, channels = x.shape
+    y = np.empty(frames, np.float32)
+    lib.ss_downmix_f32(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), frames, channels,
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), _threads(),
+    )
+    return y
+
+
+def pcm16_to_mono_f32(raw: np.ndarray, channels: int) -> Optional[np.ndarray]:
+    """Interleaved int16 → mono float (fused decode+downmix)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, np.int16)
+    frames = len(raw) // channels
+    y = np.empty(frames, np.float32)
+    lib.ss_pcm16_to_mono_f32(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), frames, channels,
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), _threads(),
+    )
+    return y

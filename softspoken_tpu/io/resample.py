@@ -51,11 +51,20 @@ def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     """Resample 1-D (or [..., time]) float audio on the host.
 
     Output length is ``ceil(n * target_sr / orig_sr)`` (librosa convention).
+    Uses the multithreaded native kernel (csrc/ssdsp.cpp) when available,
+    else scipy's polyphase — both share the same taps and alignment.
     """
     if orig_sr == target_sr:
         return np.asarray(x, dtype=np.float32)
     up, down = _ratio(orig_sr, target_sr)
     taps = design_taps(up, down)
+
+    if np.ndim(x) == 1:
+        from . import native
+
+        y = native.resample_f32(np.asarray(x, np.float32), up, down, taps)
+        if y is not None:
+            return y
     y = scipy.signal.resample_poly(
         np.asarray(x, dtype=np.float64), up, down, axis=-1, window=taps
     )
@@ -67,6 +76,135 @@ def resampled_length(n: int, orig_sr: int, target_sr: int) -> int:
         return n
     up, down = _ratio(orig_sr, target_sr)
     return -(-(n * up) // down)  # ceil
+
+
+_DEVICE_RESAMPLERS = {}
+
+
+def get_device_resampler(orig_sr: int, target_sr: int, out_chunk: int):
+    """Cached DeviceChunkResampler — a fresh jit closure per file would
+    re-load the program on the device every time (minutes on remote TPUs)."""
+    key = (orig_sr, target_sr, out_chunk)
+    if key not in _DEVICE_RESAMPLERS:
+        _DEVICE_RESAMPLERS[key] = DeviceChunkResampler(orig_sr, target_sr, out_chunk)
+    return _DEVICE_RESAMPLERS[key]
+
+
+def polyphase_matmul_weights(up: int, down: int):
+    """Reorganize the polyphase filter as one dense (width, up) matrix.
+
+    Derivation (matches scipy.resample_poly exactly): with H = taps·up,
+    half = (T−1)/2 and output m = j·up + q,
+
+        y[m] = Σ_j H[r_q + jj·up] · x[j·down + c_q − jj]
+        r_q = (q·down + half) mod up,   c_q = (q·down + half − r_q)/up
+
+    so every block of ``up`` consecutive outputs is ONE matvec against a
+    shared window of ``width ≈ down + T/up`` native samples:
+
+        Y[j, q] = Σ_w W[w, q] · x[j·down + wmin + w]  →  Y = X @ W
+
+    This turns resampling into an MXU matmul — the dilated-conv
+    formulation compiles poorly on TPU (huge dilation × 40961 taps).
+    Returns (W float32 (width, up), wmin int).
+    """
+    taps = design_taps(up, down)
+    H = (taps * up).astype(np.float64)
+    T = len(H)
+    half = (T - 1) // 2
+    q = np.arange(up, dtype=np.int64)
+    r = (q * down + half) % up
+    c = (q * down + half - r) // up
+    J = (T - 1 - r) // up
+    wmin = int((c - J).min())
+    wmax = int(c.max())
+    width = wmax - wmin + 1
+    W = np.zeros((width, up), np.float64)
+    for qq in range(up):
+        jj = np.arange(J[qq] + 1)
+        W[c[qq] - jj - wmin, qq] = H[r[qq] + jj * up]
+    return W.astype(np.float32), wmin
+
+
+class DeviceChunkResampler:
+    """Fixed-shape, jit-compiled device resampler for streaming decode.
+
+    One compiled program per (orig_sr, target_sr, out_chunk) converts a
+    native chunk to internal-rate samples as a single MXU matmul (see
+    polyphase_matmul_weights) — on a 1-core host the polyphase filter
+    dominates decode wall time.  Alignment contract: the native read start
+    must be a multiple of ``down`` so chunk outputs land exactly on the
+    whole-file resampling grid (same invariant as the host chunk path).
+
+    Not thread-safe per instance (owns a scratch buffer); use one stream at
+    a time per (rate, chunk) key.
+    """
+
+    def __init__(self, orig_sr: int, target_sr: int, out_chunk: int):
+        import jax
+        import jax.numpy as jnp
+
+        self.orig_sr, self.target_sr = orig_sr, target_sr
+        self.up, self.down = _ratio(orig_sr, target_sr)
+        up, down = self.up, self.down
+        W, wmin = polyphase_matmul_weights(up, down)
+        width = W.shape[0]
+        assert width <= 2 * down, "polyphase window exceeds two native blocks"
+        self.wmin = wmin
+        self.out_chunk = out_chunk
+        # +5 blocks: alignment slack (lo can reach ~3·up) plus tail coverage
+        self.n_blocks = -(-out_chunk // up) + 5
+        # xp must cover j·down + wmin + width for j < n_blocks, plus the
+        # left shift pad_l = -wmin (wmin can be negative)
+        self.pad_l = max(0, -wmin)
+        self.in_len = (self.n_blocks + 1) * down + self.pad_l + width
+        W_dev = jnp.asarray(W)
+        n_blocks, pad_l = self.n_blocks, self.pad_l
+
+        def fn(xp):
+            # block starts: j*down + wmin + pad_l  (pad_l cancels wmin ≤ 0;
+            # for wmin > 0 shift the base instead)
+            base = wmin + pad_l
+            a = jax.lax.dynamic_slice(xp, (base,), ((n_blocks + 1) * down,))
+            A = a.reshape(n_blocks + 1, down)
+            X = jnp.concatenate([A[:-1], A[1:]], axis=1)[:, :width]
+            Y = jnp.matmul(X, W_dev)        # (n_blocks, up), f32 accum
+            return Y.reshape(-1)
+
+        self._fn = jax.jit(fn)
+        self._buf = np.zeros(self.in_len, np.float32)
+
+    def resample_range(
+        self, read_native, native_frames: int, out_pos: int, out_n: int
+    ) -> np.ndarray:
+        """Internal-rate samples [out_pos, out_pos+out_n).
+
+        ``read_native(start, frames) -> float32 mono`` supplies native
+        samples (clamped at EOF); zero-fill at the edges matches the
+        whole-file resample's zero padding.
+        """
+        assert out_n <= self.out_chunk
+        # choose an aligned native start: out index o maps to block
+        # j = o // up with in-block phase o % up; native base = j*down.
+        # We read from rs (multiple of down) and treat it as block 0 of a
+        # local grid whose first output index is rs·up/down.
+        in_first = (out_pos * self.down) // self.up
+        rs = max(0, in_first - 2 * self.down)
+        rs -= rs % self.down
+        first_out_global = (rs * self.up) // self.down
+        lo = out_pos - first_out_global
+        assert 0 <= lo <= 4 * self.up
+        assert lo + out_n <= self.n_blocks * self.up
+
+        self._buf[:] = 0.0
+        # local layout: native sample (rs + i) sits at buf[pad_l + i]; the
+        # filter's left context (indices below rs) must be real audio too
+        left = min(rs, self.pad_l)
+        re = min(native_frames, rs + self.in_len - self.pad_l)
+        got = read_native(rs - left, re - (rs - left))
+        self._buf[self.pad_l - left : self.pad_l - left + len(got)] = got
+        y = np.asarray(self._fn(self._buf))
+        return y[lo : lo + out_n]
 
 
 def jax_resample(x, orig_sr: int, target_sr: int):

@@ -150,6 +150,26 @@ def _decode(raw: np.ndarray, subtype: str) -> np.ndarray:
     raise WavFormatError(f"unsupported subtype {subtype}")
 
 
+def read_raw(
+    path: str, start: int = 0, frames: Optional[int] = None
+) -> Tuple[np.ndarray, WavInfo]:
+    """Read a frame range as raw sample bytes (uint8) + header info.
+
+    Lets callers decode with fused fast paths (e.g. the native PCM16→mono
+    kernel) without paying a generic decode first.
+    """
+    with open(path, "rb") as f:
+        inf = _parse_header(f)
+        bpf = inf.channels * (inf.bits_per_sample // 8)
+        start = max(0, min(int(start), inf.frames))
+        if frames is None:
+            frames = inf.frames - start
+        frames = max(0, min(int(frames), inf.frames - start))
+        f.seek(inf.data_offset + start * bpf)
+        raw = np.frombuffer(f.read(frames * bpf), dtype=np.uint8)
+    return raw, inf
+
+
 def read(
     path: str,
     start: int = 0,

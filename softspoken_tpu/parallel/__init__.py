@@ -1,0 +1,3 @@
+from .mesh import MeshDetector, make_mesh, shard_windows_forward
+
+__all__ = ["make_mesh", "MeshDetector", "shard_windows_forward"]

@@ -48,12 +48,19 @@ def shard_windows_forward(detector, mesh: Mesh):
     """
     repl = NamedSharding(mesh, P())
     shard_b = NamedSharding(mesh, P("data"))
+    shard_nb = NamedSharding(mesh, P(None, "data"))
 
-    return jax.jit(
+    fwd = jax.jit(
         detector._forward,
         in_shardings=(None, repl, shard_b),
         out_shardings=shard_b,
     )
+    fwd_chunk = jax.jit(
+        detector._forward_chunk,
+        in_shardings=(None, repl, shard_nb),
+        out_shardings=NamedSharding(mesh, P(None, "data", None)),
+    )
+    return fwd, fwd_chunk
 
 
 class MeshDetector:
@@ -70,10 +77,11 @@ class MeshDetector:
                 f"device_batch ({detector.cfg.engine.device_batch}) must be a "
                 f"multiple of the mesh size ({n})"
             )
-        self._sharded_fwd = shard_windows_forward(detector, self.mesh)
-        # route the detector's chunk executor through the sharded forward
-        self._orig_fwd = detector._fwd
-        detector._fwd = lambda v, w, s: self._sharded_fwd(v, w, s)
+        fwd, fwd_chunk = shard_windows_forward(detector, self.mesh)
+        # route the detector's chunk executor through the sharded forwards
+        self._orig = (detector._fwd, detector._fwd_chunk)
+        detector._fwd = fwd
+        detector._fwd_chunk = fwd_chunk
 
     def __getattr__(self, name):
         return getattr(self.det, name)

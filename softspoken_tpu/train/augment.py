@@ -79,7 +79,12 @@ def get_parameters(rng: jax.Array, augmentations: Sequence[str]) -> List[Dict[st
 # --------------------------------------------------------------------------
 
 def change_pitch(audio, sr=SR, pitch_factor=0.0):
-    """Linear-interpolation pitch shift by `pitch_factor` semitones."""
+    """Linear-interpolation pitch shift by `pitch_factor` semitones.
+
+    Note (reference parity): the reference reads source index j/factor
+    (voice_activity.py:406), so *positive* semitones LOWER the pitch —
+    opposite to its own docstring.  We reproduce the code's behavior.
+    """
     n = audio.shape[-1]
     factor = 2.0 ** (pitch_factor / 12.0)
     src = jnp.arange(n, dtype=jnp.float32) / factor
@@ -148,7 +153,16 @@ def _phase_vocoder(spec, speed_factor, hop=256):
 
 
 def change_speed(audio, sr=SR, speed_factor=1.0, n_fft=1024, hop=256):
-    """Phase-vocoder time stretch, clip length preserved."""
+    """Phase-vocoder time stretch, clip length preserved.
+
+    Note (reference parity): the reference short-circuits speed 1.0
+    (voice_activity.py:608-609) — its STFT→iSTFT round trip is not
+    unit-gain (the Hann window is applied in both directions with no
+    window-sum normalization), so stretched outputs carry a ~1.5× level
+    change.  We reproduce both behaviors.
+    """
+    if isinstance(speed_factor, (int, float)) and float(speed_factor) == 1.0:
+        return jnp.asarray(audio, jnp.float32)
     n = audio.shape[-1]
     spec = _stft(audio, n_fft, hop)
     stretched = _phase_vocoder(spec, jnp.asarray(speed_factor, jnp.float32), hop)

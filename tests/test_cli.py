@@ -1,0 +1,111 @@
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from softspoken_tpu.cli import main
+from softspoken_tpu.io import wavio
+
+
+@pytest.fixture
+def workspace(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    wavdir = tmp_path / "audio"
+    wavdir.mkdir()
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(2):
+        p = str(wavdir / f"rec{i}.wav")
+        wavio.write(p, rng.uniform(-0.4, 0.4, 22050 * 4).astype(np.float32), 22050)
+        paths.append(p)
+    return tmp_path, paths
+
+
+def _pdir(ws):
+    return str(ws / "projects")
+
+
+def test_cli_full_workflow(workspace, capsys):
+    ws, paths = workspace
+    pdir = _pdir(ws)
+
+    main(["--project-dir", pdir, "project", "new", "cliproj"])
+    main(["--project-dir", pdir, "project", "add-files", "cliproj", *paths])
+    main(["--project-dir", pdir, "project", "list"])
+    out = capsys.readouterr().out
+    assert "cliproj" in out
+
+    main(
+        [
+            "--project-dir", pdir,
+            "detect", "--project", "cliproj", "--random-init",
+            "--precision", "parity", "--device-batch", "4",
+        ]
+    )
+    out = capsys.readouterr().out
+    tail = out[out.index("{") :]
+    rep = json.loads(tail)
+    assert rep["files_done"] == 2 and not rep["errors"]
+
+    main(["--project-dir", pdir, "project", "status", "cliproj"])
+    st = json.loads(capsys.readouterr().out)
+    assert st["detect"] == "Complete"
+
+    # grade everything as erase, then export + silence
+    main(["--project-dir", pdir, "review", "list", "--project", "cliproj"])
+    n = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["total"]
+    if n:
+        main(["--project-dir", pdir, "review", "erase", "--project", "cliproj",
+              "--rows", *[str(i) for i in range(n)]])
+        capsys.readouterr()
+    else:  # random weights may produce only full-file regions filtered out
+        main(["--project-dir", pdir, "review", "export", "--project", "cliproj"])
+        capsys.readouterr()
+
+    outdir = str(ws / "silenced")
+    main(["--project-dir", pdir, "silence", "--project", "cliproj",
+          "--output-dir", outdir])
+    capsys.readouterr()
+    main(["--project-dir", pdir, "project", "status", "cliproj"])
+    st = json.loads(capsys.readouterr().out)
+    assert st["silence"] == "Complete"
+
+
+def test_cli_adhoc_detect(workspace, capsys):
+    ws, paths = workspace
+    out_csv = str(ws / "adhoc.csv")
+    main(
+        [
+            "detect", "--files", paths[0], "--out", out_csv,
+            "--random-init", "--precision", "parity", "--device-batch", "4",
+        ]
+    )
+    assert os.path.exists(out_csv)
+    capsys.readouterr()
+    df = pd.read_csv(out_csv)
+    assert set(df.columns) >= {"ID", "file_name", "start_time", "end_time"}
+
+
+def test_cli_review_render_and_segment(workspace, capsys):
+    ws, paths = workspace
+    pdir = _pdir(ws)
+    main(["--project-dir", pdir, "project", "new", "p2"])
+    main(["--project-dir", pdir, "project", "add-files", "p2", paths[0]])
+    main(["--project-dir", pdir, "detect", "--project", "p2", "--random-init",
+          "--precision", "parity", "--device-batch", "4"])
+    capsys.readouterr()
+    main(["--project-dir", pdir, "review", "list", "--project", "p2"])
+    n = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["total"]
+    if n == 0:
+        pytest.skip("random-net produced no reviewable detections")
+    png = str(ws / "det.png")
+    main(["--project-dir", pdir, "review", "render", "--project", "p2",
+          "--row", "0", "--out", png])
+    capsys.readouterr()
+    assert os.path.getsize(png) > 1000
+    seg = str(ws / "seg.wav")
+    main(["--project-dir", pdir, "review", "segment", "--project", "p2",
+          "--row", "0", "--out", seg])
+    assert os.path.getsize(seg) > 44

@@ -1,0 +1,60 @@
+import jax
+import numpy as np
+import pytest
+
+from softspoken_tpu import Config, ckpt
+from softspoken_tpu.engine import Detector
+from softspoken_tpu.parallel import MeshDetector, make_mesh
+
+CFG = Config().with_engine(precision="parity", device_batch=8, chunk_seconds=12.0)
+
+
+def test_mesh_shapes():
+    m = make_mesh(("data",))
+    assert m.devices.shape == (8,)
+    m2 = make_mesh(("data", "seq"), shape=(4, 2))
+    assert dict(zip(m2.axis_names, m2.devices.shape)) == {"data": 4, "seq": 2}
+
+
+def test_sharded_detection_matches_single_device():
+    """Windows sharded over 8 virtual chips must bit-match the single-device
+    run (SURVEY.md §4: sharded run equals unsharded)."""
+    rng = np.random.default_rng(0)
+    audio = rng.uniform(-0.4, 0.4, 22050 * 20).astype(np.float32)
+
+    single = Detector(CFG, variables=ckpt.fixture_variables(seed=0))
+    res_single = single.detect_waveform(audio)
+
+    sharded_det = Detector(CFG, variables=ckpt.fixture_variables(seed=0))
+    mesh = make_mesh(("data",))
+    wrapped = MeshDetector(sharded_det, mesh)
+    res_mesh = wrapped.detect_waveform(audio)
+
+    assert res_mesh.num_windows == res_single.num_windows
+    np.testing.assert_allclose(
+        res_mesh.avg_values, res_single.avg_values, rtol=1e-5, atol=1e-6
+    )
+    assert res_mesh.intervals == res_single.intervals
+
+
+def test_mesh_detector_rejects_bad_batch():
+    det = Detector(
+        Config().with_engine(precision="parity", device_batch=6, chunk_seconds=12.0),
+        variables=ckpt.fixture_variables(seed=0),
+    )
+    with pytest.raises(ValueError):
+        MeshDetector(det, make_mesh(("data",)))
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_entry_compiles_on_cpu():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (32, 256)

@@ -1,0 +1,123 @@
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from softspoken_tpu import Config
+from softspoken_tpu.io import wavio
+from softspoken_tpu.project import ProjectManager
+from softspoken_tpu.ui import ReviewSession, display_spec, plan_view_window, render_review_png
+
+
+@pytest.fixture
+def project(tmp_path):
+    cfg = Config().with_paths(project_dir=str(tmp_path / "projects"))
+    pm = ProjectManager(cfg)
+    pm.add_project("rev")
+    proj = pm.set_active_project("rev")
+    wavdir = tmp_path / "audio"
+    wavdir.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ["a.wav", "b.wav"]:
+        wavio.write(str(wavdir / name), rng.uniform(-0.5, 0.5, 22050 * 8).astype(np.float32), 22050)
+    det = pd.DataFrame(
+        {
+            "ID": [1, 2, 3],
+            "file_path": [str(wavdir)] * 3,
+            "file_name": ["b.wav", "a.wav", "a.wav"],
+            "start_time": [1.0, 2.0, 0.5],
+            "end_time": [1.5, 2.05, 1.2],   # row 1 is 0.05s → filtered out
+            "erase": [0, 0, 0],
+            "user_comment": ["", "", ""],
+            "review_datetime": ["", "", ""],
+        }
+    )
+    det.to_csv(proj["detections_file"], index=False)
+    return cfg, pm, proj, str(wavdir)
+
+
+def _fixed_now():
+    return "2026-08-16 12:00:00"
+
+
+def test_load_filters_and_sorts(project):
+    cfg, pm, proj, wavdir = project
+    s = ReviewSession(proj, pm.projects_folder, cfg, now_fn=_fixed_now)
+    # min-length filter dropped the 0.05 s row; sorted by (file_name, start)
+    assert len(s) == 2
+    assert s.df.iloc[0]["file_name"] == "a.wav"
+    assert s.df.iloc[1]["file_name"] == "b.wav"
+
+
+def test_keep_erase_autoadvance_and_persist(project):
+    cfg, pm, proj, wavdir = project
+    s = ReviewSession(proj, pm.projects_folder, cfg, now_fn=_fixed_now)
+    s.keep()
+    assert s.current_index == 1
+    s.erase()
+    df = pd.read_csv(proj["review_file"], keep_default_na=False)
+    assert df["erase"].tolist() == [0, 1]
+    assert df["review_datetime"].tolist() == [_fixed_now()] * 2
+    assert s.stats() == {"total": 2, "reviewed": 2, "erased": 1, "kept": 1}
+    # exporters ran on persist
+    assert os.path.exists(
+        os.path.join(pm.projects_folder, "Kaleidoscope Outputs", "rev", "rev.csv")
+    )
+
+
+def test_review_resumes_from_review_csv(project):
+    cfg, pm, proj, wavdir = project
+    s = ReviewSession(proj, pm.projects_folder, cfg, now_fn=_fixed_now)
+    s.erase(index=0)
+    s2 = ReviewSession(proj, pm.projects_folder, cfg)
+    assert int(s2.df.iloc[0]["erase"]) == 1
+    assert s2.reviewed_mask().tolist() == [True, False]
+
+
+def test_add_keeps_sort_order_and_assigns_id(project):
+    cfg, pm, proj, wavdir = project
+    s = ReviewSession(proj, pm.projects_folder, cfg, now_fn=_fixed_now)
+    pos = s.add(wavdir, "a.wav", 0.9, 1.8)
+    assert pos == 1  # between a.wav@0.5 and b.wav@1.0
+    ids = s.df["ID"].tolist()
+    assert len(set(ids)) == 3  # new unique ID assigned on save
+    assert s.add(wavdir, "a.wav", 2.0, 1.0) is None  # end <= start rejected
+
+
+def test_delete_rows(project):
+    cfg, pm, proj, wavdir = project
+    s = ReviewSession(proj, pm.projects_folder, cfg, now_fn=_fixed_now)
+    s.delete([0])
+    assert len(s) == 1
+    assert pd.read_csv(proj["review_file"]).shape[0] == 1
+
+
+def test_plan_view_window_centers_and_clamps(project):
+    cfg, pm, proj, wavdir = project
+    p = os.path.join(wavdir, "a.wav")
+    start, end, total = plan_view_window(p, 4.0, 4.5, widget_width_px=96 * 6, dpi=96, zoom_level=1.0)
+    assert total == 6
+    assert start <= 4.0 and end >= 4.5
+    # detection near EOF clamps against duration (8 s file)
+    start2, end2, _ = plan_view_window(p, 7.5, 7.9, widget_width_px=96 * 6, dpi=96)
+    assert end2 <= 8.0 + 1e-9
+
+
+def test_display_spec_shape():
+    x = np.random.default_rng(0).normal(0, 0.2, 22050 * 3).astype(np.float32)
+    d = display_spec(x)
+    assert d.shape == (256, 256)
+    full = display_spec(x, trim_edges=False)
+    assert full.shape[0] == 257
+
+
+def test_render_review_png(project):
+    cfg, pm, proj, wavdir = project
+    png = render_review_png(
+        os.path.join(wavdir, "a.wav"), 2.0, 2.8,
+        other_detections=[(0.5, 1.2)], widget_width_px=480, widget_height_px=320,
+        config=cfg,
+    )
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert len(png) > 5000

@@ -1,0 +1,189 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from softspoken_tpu.train import (
+    augment,
+    create_train_state,
+    make_train_step,
+    targets,
+)
+
+SR = 22050
+CLIP = 66150
+
+
+def _tone(freq=440.0, n=CLIP, amp=0.5):
+    t = np.arange(n) / SR
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# augmentations
+# ---------------------------------------------------------------------------
+
+def _ref_pitch_shift(audio, n_steps):
+    """Independent loop-based linear-interp resampler for cross-checking."""
+    factor = 2.0 ** (n_steps / 12.0)
+    n = audio.shape[-1]
+    out = np.zeros_like(audio)
+    for j in range(n):
+        src = j / factor
+        lo = min(int(np.floor(src)), n - 1)
+        hi = min(lo + 1, n - 1)
+        w = src - lo
+        out[..., j] = (1 - w) * audio[..., lo] + w * audio[..., hi]
+    return out
+
+
+def test_change_pitch_matches_reference_interp():
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 0.3, (2, 2000)).astype(np.float32)
+    got = np.asarray(augment.change_pitch(jnp.asarray(x), pitch_factor=2.5))
+    want = _ref_pitch_shift(x, 2.5)
+    np.testing.assert_allclose(got, want, atol=2e-4)  # f32 interp round-off
+
+
+def test_change_pitch_shifts_frequency():
+    # reference-parity: positive semitones read src j/factor → pitch LOWERS
+    # (voice_activity.py:406 contradicts its own docstring; we match the code)
+    x = _tone(440.0)[None]
+    down = np.asarray(augment.change_pitch(jnp.asarray(x), pitch_factor=12.0))[0]
+    zc = np.sum(np.diff(np.signbit(down[:SR])))  # 1 s worth
+    assert zc / 2 == pytest.approx(220.0, rel=0.02)
+
+
+def test_reduce_volume_and_distortion_and_compression():
+    x = jnp.asarray(_tone()[None])
+    assert np.allclose(np.asarray(augment.reduce_volume(x, reduction_level=0.25)), 0.25 * np.asarray(x))
+
+    d = np.asarray(augment.add_harmonic_distortion(x, distortion_level=30.0))
+    xx = np.asarray(x)
+    np.testing.assert_allclose(d, np.sign(xx) * (1 - np.exp(-30.0 * np.abs(xx))), atol=1e-6)
+
+    c = np.asarray(augment.compress_dynamics(x, compression_ratio=4.0, threshold_level=-20.0))
+    thr = 10 ** (-20.0 / 20)
+    quiet = np.abs(xx) <= thr
+    # reference-parity quirk: sign(x)·x flips quiet NEGATIVE samples positive
+    # (voice_activity.py:880-886); we match the code
+    np.testing.assert_allclose(c[quiet], np.sign(xx[quiet]) * xx[quiet], atol=1e-6)
+    loud = np.abs(xx) > thr
+    want_loud = np.sign(xx[loud]) * (thr + (np.abs(xx[loud]) - thr) / 4.0)
+    np.testing.assert_allclose(c[loud], want_loud, atol=1e-6)
+
+
+def test_add_echo_delay():
+    x = np.zeros((1, SR), np.float32)
+    x[0, 100] = 1.0
+    y = np.asarray(augment.add_echo(jnp.asarray(x), echo_delay=0.25, decay_factor=0.5))
+    d = int(0.25 * SR)
+    assert y[0, 100] == 1.0
+    assert y[0, 100 + d] == pytest.approx(0.5)
+
+
+def test_add_reverb_taps():
+    x = np.zeros((1, SR), np.float32)
+    x[0, 0] = 1.0
+    y = np.asarray(
+        augment.add_reverb(jnp.asarray(x), reverb_level=0.6, decay_time=0.5, num_delays=4)
+    )
+    # dry tap attenuated to (1-level)
+    assert y[0, 0] == pytest.approx(0.4)
+    delays = np.linspace(0, int(SR * 0.5), 5, dtype=int)[1:]
+    decays = np.exp(-np.linspace(0, 3, 4))
+    decays /= decays.sum()
+    for d, g in zip(delays, decays):
+        assert y[0, d] == pytest.approx(0.6 * g, rel=1e-4)
+
+
+def test_bandpass_filter_response():
+    # steady-state attenuation should match scipy lfilter away from edges
+    import scipy.signal
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 0.3, (1, 4 * SR)).astype(np.float32)
+    y = np.asarray(augment.bandpass_filter(jnp.asarray(x), low_freq=300.0, high_freq=2000.0))
+    b, a = scipy.signal.butter(1, [300 / (SR / 2), 2000 / (SR / 2)], btype="band")
+    want = scipy.signal.lfilter(b, a, x[0]).astype(np.float32)
+    mid = slice(SR, 3 * SR)
+    err = np.abs(y[0, mid] - want[mid]).max()
+    assert err < 5e-3  # circular vs causal edge handling only
+
+
+def test_change_speed_properties():
+    x = _tone(500.0)[None]
+    same = np.asarray(augment.change_speed(jnp.asarray(x), speed_factor=1.0))
+    np.testing.assert_allclose(same, x, atol=1e-6)  # identity short-circuits? no — full path
+    fast = np.asarray(augment.change_speed(jnp.asarray(x), speed_factor=1.25))
+    assert fast.shape == x.shape
+    assert np.all(np.isfinite(fast))
+    # pitch preserved: dominant frequency of the stretched middle ~500 Hz
+    seg = fast[0, 10000:30000]
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    peak_hz = np.argmax(spec) * SR / len(seg)
+    assert peak_hz == pytest.approx(500.0, abs=10.0)
+    # energy ends earlier: tail becomes (near-)silent when sped up
+    tail = fast[0, int(CLIP / 1.25) + 2048 :]
+    assert np.abs(tail).max() < 0.05
+
+
+def test_apply_augmentations_dispatch_and_params():
+    rng = jax.random.PRNGKey(0)
+    augs = ["reduce_volume", "add_echo"]
+    params = augment.get_parameters(rng, augs)
+    assert len(params) == 2
+    assert 0.1 <= params[0]["reduction_level"] <= 0.99
+    assert 0.1 <= params[1]["echo_delay"] <= 0.7
+    x = jnp.asarray(_tone()[None])
+    y = augment.apply_augmentations(x, SR, augs, params)
+    assert y.shape == x.shape
+    with pytest.raises(KeyError):
+        augment.apply_augmentations(x, SR, ["nope"], [{}])
+
+
+# ---------------------------------------------------------------------------
+# targets
+# ---------------------------------------------------------------------------
+
+def test_process_spec_scaling():
+    # wav_to_spec output for a 3 s clip is (257, 259); trim → (256, 256)
+    spec = np.full((257, 259), -40.0, np.float32)
+    out = targets.process_spec(spec)
+    assert out.shape == (256, 256, 1)
+    np.testing.assert_allclose(out, 0.5)
+    # all-ones (pure silence sentinel) zeroed
+    silence = np.zeros((257, 259), np.float32)  # (0+80)/80 = 1 everywhere
+    out2 = targets.process_spec(silence)
+    assert out2.sum() == 0
+
+
+def test_frame_mask():
+    spec = np.zeros((2, 128, 256), np.float32)
+    spec[0, 5, 10] = 1.0
+    spec[1, :, 20] = 0.5
+    m = np.asarray(targets.frame_mask(spec))
+    assert m.shape == (2, 256)
+    assert m[0, 10] == 1.0 and m[0, 11] == 0.0
+    assert m[1, 20] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# training step
+# ---------------------------------------------------------------------------
+
+def test_train_step_decreases_loss():
+    model, state, tx = create_train_state(jax.random.PRNGKey(0), learning_rate=3e-3)
+    step = jax.jit(make_train_step(model, tx))
+    rng = np.random.default_rng(0)
+    batch = {
+        "mel": jnp.asarray(rng.uniform(0, 1, (4, 128, 64, 1)), jnp.float32),
+        "mask": jnp.asarray((rng.uniform(size=(4, 64)) > 0.5), jnp.float32),
+        "spec": jnp.asarray(rng.uniform(0, 1, (4, 128, 64, 2)), jnp.float32),
+    }
+    key = jax.random.PRNGKey(42)
+    state, m0 = step(state, batch, key)
+    for _ in range(8):
+        state, m = step(state, batch, key)
+    assert float(m["loss"]) < float(m0["loss"])
+    assert int(state.step) == 9
