@@ -77,9 +77,15 @@ class EngineConfig:
     # Skip files whose detections already exist (fixes reference resume quirk
     # SURVEY.md §2.3; set False for strict reference behavior).
     skip_processed_files: bool = True
-    # Streaming-decode resampler: "host" (scipy/C++ polyphase), "device"
-    # (fixed-shape jitted conv), or "auto" (device iff running on TPU).
-    resample_backend: str = "auto"
+    # Streaming-decode resampler for the host pipeline: "host" (scipy/C++
+    # polyphase), "device" (fixed-shape jitted matmul), or "auto" (device
+    # iff running on TPU).
+    resample_backend: str = "host"
+    # Streaming pipeline: "fused" runs decode→resample→mel→U-Net→grid in one
+    # device program (raw PCM up, score grid down — the TPU-native path);
+    # "host" resamples host-side with exact reference-pad numerics;
+    # "auto" picks fused on TPU, host elsewhere.
+    pipeline: str = "auto"
 
 
 @dataclass(frozen=True)

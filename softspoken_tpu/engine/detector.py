@@ -320,10 +320,24 @@ class Detector:
             raise IOError(f"failed to decode {path}")
         return self.detect_waveform(audio, progress)
 
+    def detect_file_fused(
+        self, path: str, progress: Optional[Callable[[float], None]] = None
+    ) -> DetectionResult:
+        """Fully-fused device pipeline (engine.fused): raw PCM streams to the
+        accelerator; decode, resample, mel, U-Net and the overlap grid all
+        run in one program per chunk."""
+        from .fused import detect_file_fused
+
+        return detect_file_fused(self, path, progress)
+
     def detect_file_streaming(
         self, path: str, progress: Optional[Callable[[float], None]] = None
     ) -> DetectionResult:
         """Bounded-memory decode for multi-hour recordings.
+
+        Dispatches to the fused device pipeline when
+        cfg.engine.pipeline is "fused" (or "auto" on TPU); the host pipeline
+        below keeps exact reference-pad numerics.
 
         A rolling decode buffer follows the (monotonically advancing) chunk
         requests; only the inter-chunk window halo is retained between
@@ -332,6 +346,12 @@ class Detector:
         from ..io import internal_length, stream_chunks
 
         cfg = self.cfg
+        pipeline = cfg.engine.pipeline
+        if pipeline == "auto":
+            pipeline = "fused" if jax.default_backend() == "tpu" else "host"
+        if pipeline == "fused":
+            return self.detect_file_fused(path, progress)
+
         pad = cfg.pad_samples
         total = internal_length(path, cfg.dsp.sample_rate)
         padded_len = total + 2 * pad

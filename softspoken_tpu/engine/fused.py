@@ -1,0 +1,291 @@
+"""Fused on-device streaming detection: raw PCM up, score grids down.
+
+Measured on the remote-attached TPU, the link is wildly asymmetric
+(host→device ~60 MB/s, device→host ~15 MB/s with multi-second stalls), and
+the 1-core host cannot resample in real-time×500.  So the entire signal
+path lives in ONE jitted program per chunk:
+
+    int16 PCM ─▶ ÷32768 ─▶ polyphase-matmul resample (io.resample) ─▶
+    window slice/frame views ─▶ mel (MXU DFT matmuls) ─▶ U-Net ─▶
+    overlap scatter-add grid ─▶ averaged scores
+
+Per ~8-minute chunk the host uploads ~29 MB of int16 and downloads a
+~160 KB f32 score grid; the inter-chunk grid overlap (windows straddling a
+chunk boundary) is threaded through the program as a device-resident carry,
+so chunking never changes results.
+
+Numerics note: this path resamples the *zero-padded native* stream, whereas
+the reference (and our host path) resamples the audio first and zero-pads in
+the internal domain (worker.py:59-62).  The two differ only within a filter
+length (~1.5 ms) of the ±3 s pad joins; detection intervals are unaffected
+except for sub-bin effects at exactly those joins.  Use the host pipeline
+for strict numeric parity.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from functools import partial
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..io import wavio
+from ..io.resample import polyphase_matmul_weights, _ratio
+from . import regions as R
+from .detector import DetectionResult, Detector
+from .planner import num_windows_for_padded_length, window_starts
+
+log = logging.getLogger(__name__)
+
+CARRY = 512  # bins of inter-chunk grid overlap (needs ≥ 256 − min bin stride)
+
+
+class FusedStreamingEngine:
+    """One compiled chunk program per (native_sr, input kind).
+
+    Not thread-safe per instance (owns host staging buffers).
+    """
+
+    def __init__(self, detector: Detector, native_sr: int, kind: str = "i16"):
+        assert kind in ("i16", "f32")
+        self.det = detector
+        self.cfg = cfg = detector.cfg
+        self.kind = kind
+        self.native_sr = native_sr
+        self.up, self.down = _ratio(native_sr, cfg.dsp.sample_rate)
+        up, down = self.up, self.down
+
+        self.chunk_w = detector.chunk_windows()
+        self.B = cfg.engine.device_batch
+        self.nb = self.chunk_w // self.B
+        self.buf_len = detector.chunk_buffer_len()
+
+        # local grid: window i of the chunk lands at ≤ round(i·step/dt)+1
+        step, dt = cfg.engine.step_seconds, R.TIME_RESOLUTION
+        self.glen = int(round((self.chunk_w - 1) * step / dt)) + 256 + 2
+
+        if up == 1 and down == 1:
+            self.W = None
+            self.pad_l = 0
+            self.in_len = self.buf_len
+            self.n_blocks = 0
+        else:
+            W, wmin = polyphase_matmul_weights(up, down)
+            self.W = W
+            self.width = W.shape[0]
+            assert self.width <= 2 * down
+            self.pad_l = max(0, -wmin)
+            self.wmin = wmin
+            self.n_blocks = -(-self.buf_len // up) + 8
+            self.in_len = (self.n_blocks + 1) * down + self.pad_l + self.width
+
+        self._fn = jax.jit(self._program)
+        dtype = np.int16 if kind == "i16" else np.float32
+        self._staging = np.zeros(self.in_len, dtype)
+        self._carry_sum = jnp.zeros((CARRY,), jnp.float32)
+        self._carry_cnt = jnp.zeros((CARRY,), jnp.float32)
+
+    # ------------------------------------------------------------------
+    def _program(self, variables, native, lo, fin, starts, bins, valid,
+                 carry_sum, carry_cnt):
+        """native (in_len,) → (avg (glen,), cnt (glen,), carry', carry_cnt')."""
+        x = native.astype(jnp.float32)
+        if self.kind == "i16":
+            x = x * (1.0 / 32768.0)
+
+        if self.W is None:
+            internal = jax.lax.dynamic_slice(x, (lo,), (self.buf_len,))
+        else:
+            base = self.wmin + self.pad_l
+            a = jax.lax.dynamic_slice(x, (base,), ((self.n_blocks + 1) * self.down,))
+            A = a.reshape(self.n_blocks + 1, self.down)
+            X = jnp.concatenate([A[:-1], A[1:]], axis=1)[:, : self.width]
+            y = jnp.matmul(X, jnp.asarray(self.W)).reshape(-1)
+            internal = jax.lax.dynamic_slice(y, (lo,), (self.buf_len,))
+
+        frame_idx = jnp.arange(256, dtype=jnp.int32)
+
+        def body(carry, xs):
+            s, b, v = xs
+            logits = self.det._forward(variables, internal, s)      # (B, 256)
+            sum_g, cnt_g = carry
+            idx = (b[:, None] + frame_idx[None, :]).reshape(-1)
+            vals = (logits * v[:, None].astype(logits.dtype)).reshape(-1)
+            sum_g = sum_g.at[idx].add(vals)
+            cnt_g = cnt_g.at[idx].add(
+                jnp.broadcast_to(v[:, None], (self.B, 256)).astype(jnp.float32).reshape(-1)
+            )
+            return (sum_g, cnt_g), None
+
+        init = (jnp.zeros(self.glen, jnp.float32), jnp.zeros(self.glen, jnp.float32))
+        (sum_g, cnt_g), _ = jax.lax.scan(body, init, (starts, bins, valid))
+        sum_g = sum_g.at[:CARRY].add(carry_sum)
+        cnt_g = cnt_g.at[:CARRY].add(carry_cnt)
+
+        avg = sum_g / jnp.maximum(cnt_g, 1.0)
+        new_carry_sum = jax.lax.dynamic_slice(sum_g, (fin,), (CARRY,))
+        new_carry_cnt = jax.lax.dynamic_slice(cnt_g, (fin,), (CARRY,))
+        return avg, cnt_g, new_carry_sum, new_carry_cnt
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        read_native: Callable[[int, int], np.ndarray],
+        native_frames: int,
+        progress: Optional[Callable[[float], None]] = None,
+    ) -> DetectionResult:
+        """Detect over a native-rate stream of ``native_frames`` samples.
+
+        ``read_native(start, frames)`` returns raw samples of the engine's
+        input kind (int16 or float32 mono), clamped at EOF.
+        """
+        cfg = self.cfg
+        up, down = self.up, self.down
+        pad_native = 3 * self.native_sr             # exact: ·up/down = 66150
+        n_nat_padded = native_frames + 2 * pad_native
+        padded_len = -(-n_nat_padded * up // down) if self.W is not None else n_nat_padded
+
+        n_windows = num_windows_for_padded_length(padded_len, cfg)
+        if n_windows <= 0:
+            return DetectionResult([], np.zeros(0), 0, 0.0)
+        starts_g = window_starts(n_windows, cfg)
+        bins_g = R.window_bin_offset(np.arange(n_windows), cfg.engine.step_seconds)
+        covered = int(bins_g[-1]) + 256
+
+        def read_padded(start: int, frames: int) -> np.ndarray:
+            """Native padded-stream samples [start, start+frames)."""
+            out = np.zeros(frames, self._staging.dtype)
+            a0 = max(start, pad_native)
+            a1 = min(start + frames, pad_native + native_frames)
+            if a1 > a0:
+                got = read_native(a0 - pad_native, a1 - a0)
+                out[a0 - start : a0 - start + len(got)] = got
+            return out
+
+        carry_sum = jnp.zeros((CARRY,), jnp.float32)
+        carry_cnt = jnp.zeros((CARRY,), jnp.float32)
+
+        n_chunks = -(-n_windows // self.chunk_w)
+
+        def prepare(ci: int):
+            """Host side of chunk ci: staging fill + window metadata.
+
+            Runs on a read-ahead thread; returns fresh arrays (no shared
+            staging) so device uploads never alias a buffer being refilled.
+            """
+            w0 = ci * self.chunk_w
+            w1 = min(w0 + self.chunk_w, n_windows)
+            s0 = int(starts_g[w0])
+            base = int(bins_g[w0])
+            next_base = (
+                int(R.window_bin_offset(np.array([w0 + self.chunk_w]))[0])
+                if w1 == w0 + self.chunk_w
+                else covered
+            )
+            fin = min(next_base, covered) - base
+
+            staging = np.zeros(self.in_len, self._staging.dtype)
+            if self.W is None:
+                rs, lo = s0, 0
+                got = read_padded(rs, min(self.in_len, n_nat_padded - rs))
+                staging[: len(got)] = got
+            else:
+                in_first = (s0 * down) // up
+                rs = max(0, in_first - 2 * down)
+                rs -= rs % down
+                lo = s0 - (rs * up) // down
+                left = min(rs, self.pad_l)
+                re = min(n_nat_padded, rs + self.in_len - self.pad_l)
+                got = read_padded(rs - left, re - (rs - left))
+                staging[self.pad_l - left : self.pad_l - left + len(got)] = got
+
+            n = w1 - w0
+            starts_l = np.zeros(self.chunk_w, np.int32)
+            bins_l = np.zeros(self.chunk_w, np.int32)
+            valid = np.zeros(self.chunk_w, np.float32)
+            starts_l[:n] = (starts_g[w0:w1] - s0).astype(np.int32)
+            bins_l[:n] = (bins_g[w0:w1] - base).astype(np.int32)
+            valid[:n] = 1.0
+            return staging, lo, fin, starts_l, bins_l, valid, w1
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending: List[Tuple[int, object]] = []  # (fin, device avg handle)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(prepare, 0)
+            for ci in range(n_chunks):
+                staging, lo, fin, starts_l, bins_l, valid, w1 = fut.result()
+                if ci + 1 < n_chunks:
+                    fut = ex.submit(prepare, ci + 1)
+                avg, cnt, carry_sum, carry_cnt = self._fn(
+                    self.det.variables,
+                    jax.device_put(staging),
+                    jnp.int32(lo),
+                    jnp.int32(max(fin, 0)),
+                    jnp.asarray(starts_l.reshape(self.nb, self.B)),
+                    jnp.asarray(bins_l.reshape(self.nb, self.B)),
+                    jnp.asarray(valid.reshape(self.nb, self.B)),
+                    carry_sum,
+                    carry_cnt,
+                )
+                # defer downloads: keep the device handle, fetch after the
+                # whole queue is dispatched (host syncs stall the pipeline)
+                pending.append((fin, avg))
+                if progress is not None:
+                    progress(w1 / n_windows)
+
+        avg_parts = [np.asarray(avg[:fin], np.float32) for fin, avg in pending]
+        avg_values = np.concatenate(avg_parts)[:covered]
+        regions = R.find_speech_regions(
+            avg_values, cfg.engine.threshold, cfg.engine.break_duration
+        )
+        regions = R.shift_regions(regions, -cfg.engine.pad_seconds)
+        audio_seconds = (
+            native_frames / self.native_sr
+        )
+        return DetectionResult(regions, avg_values, n_windows, audio_seconds)
+
+
+# cache: one engine per (detector id, native_sr, kind, chunk shape)
+_ENGINES = {}
+
+
+def get_fused_engine(detector: Detector, native_sr: int, kind: str) -> FusedStreamingEngine:
+    key = (id(detector), native_sr, kind, detector.cfg.engine.device_batch,
+           detector.cfg.engine.chunk_seconds)
+    if key not in _ENGINES:
+        _ENGINES[key] = FusedStreamingEngine(detector, native_sr, kind)
+    return _ENGINES[key]
+
+
+def detect_file_fused(
+    detector: Detector, path: str, progress: Optional[Callable[[float], None]] = None
+) -> DetectionResult:
+    """Whole-file detection through the fused device pipeline.
+
+    PCM16 files stream raw int16 to the device (no host decode at all);
+    other formats decode+downmix on host to float32 native.
+    """
+    inf = wavio.info(path)
+    if inf.subtype == "PCM_16" and inf.channels == 1:
+        engine = get_fused_engine(detector, inf.samplerate, "i16")
+
+        def read_native(start: int, frames: int) -> np.ndarray:
+            raw, _ = wavio.read_raw(path, start=start, frames=frames)
+            return raw.view("<i2")
+
+    else:
+        from ..io import read_mono
+
+        engine = get_fused_engine(detector, inf.samplerate, "f32")
+
+        def read_native(start: int, frames: int) -> np.ndarray:
+            data, _ = read_mono(path, start=start, frames=frames)
+            return data
+
+    return engine.run(read_native, inf.frames, progress)

@@ -1,0 +1,86 @@
+import numpy as np
+import pytest
+
+from softspoken_tpu import Config, ckpt
+from softspoken_tpu.engine import Detector
+from softspoken_tpu.engine.fused import detect_file_fused
+from softspoken_tpu.io import wavio
+
+CFG = Config().with_engine(
+    precision="parity", device_batch=4, chunk_seconds=12.0, pipeline="host"
+)
+
+
+@pytest.fixture(scope="module")
+def detector():
+    return Detector(CFG, variables=ckpt.fixture_variables(seed=0))
+
+
+def _wav(tmp_path, sr, seconds, subtype="PCM_16", channels=1, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (int(sr * seconds),) if channels == 1 else (int(sr * seconds), channels)
+    x = rng.uniform(-0.5, 0.5, shape).astype(np.float32)
+    p = str(tmp_path / f"f_{sr}_{subtype}_{channels}.wav")
+    wavio.write(p, x, sr, subtype=subtype)
+    return p
+
+
+def test_fused_matches_host_native_rate(tmp_path, detector):
+    """At the internal rate there is no resampler, so fused == host exactly
+    (same windows, same mel, same net)."""
+    p = _wav(tmp_path, 22050, 30.0, subtype="PCM_16")
+    host = detector.detect_file_streaming(p)
+    fused = detect_file_fused(detector, p)
+    assert fused.num_windows == host.num_windows
+    assert len(fused.avg_values) == len(host.avg_values)
+    # 2e-3: fused and host are different XLA programs; f32 conv reduction
+    # orders differ and the BN'd U-Net amplifies that to ~1e-3 (float64
+    # agreement is exact — see test_model.py comment)
+    np.testing.assert_allclose(fused.avg_values, host.avg_values, atol=2e-3)
+    assert fused.intervals == host.intervals
+
+
+def test_fused_matches_host_resampled(tmp_path, detector):
+    """With resampling the pad-join numerics differ inside a filter length
+    of ±3 s (documented); intervals and interior grid bins must agree."""
+    p = _wav(tmp_path, 32000, 35.0, subtype="PCM_16", seed=3)
+    host = detector.detect_file_streaming(p)
+    fused = detect_file_fused(detector, p)
+    assert fused.num_windows == host.num_windows
+    assert len(fused.avg_values) == len(host.avg_values)
+    # compare away from the pad joins: ±3 s ≈ bins 256 each side
+    interior = slice(300, len(host.avg_values) - 300)
+    np.testing.assert_allclose(
+        fused.avg_values[interior], host.avg_values[interior], atol=1e-3
+    )
+    # intervals agree to a bin or two at the pad joins
+    assert len(fused.intervals) == len(host.intervals)
+    for (fs, fe), (hs, he) in zip(fused.intervals, host.intervals):
+        assert abs(fs - hs) < 0.05 and abs(fe - he) < 0.05
+
+
+def test_fused_stereo_float_fallback(tmp_path, detector):
+    p = _wav(tmp_path, 32000, 20.0, subtype="FLOAT", channels=2, seed=5)
+    host = detector.detect_file_streaming(p)
+    fused = detect_file_fused(detector, p)
+    assert fused.num_windows == host.num_windows
+    assert len(fused.intervals) == len(host.intervals)
+
+
+def test_fused_multi_chunk_carry(tmp_path, detector):
+    """Chunk carries: a file spanning several chunks must match a config
+    with one giant chunk (chunking independence through the carry)."""
+    p = _wav(tmp_path, 22050, 40.0, seed=7)
+    small = detect_file_fused(detector, p)
+
+    big_det = Detector(
+        Config().with_engine(precision="parity", device_batch=4,
+                             chunk_seconds=60.0, pipeline="host"),
+        variables=ckpt.fixture_variables(seed=0),
+    )
+    big = detect_file_fused(big_det, p)
+    assert small.num_windows == big.num_windows
+    # different chunk shapes = different compiled programs → f32 reduction
+    # order differs (see tolerance note above)
+    np.testing.assert_allclose(small.avg_values, big.avg_values, atol=2e-3)
+    assert small.intervals == big.intervals
