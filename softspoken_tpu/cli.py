@@ -258,6 +258,12 @@ def cmd_convert_ckpt(args) -> None:
     print(f"converted {args.pth} (epoch {epoch}) → {args.out}")
 
 
+def cmd_gui(args) -> None:
+    from .ui import qt_app
+
+    raise SystemExit(qt_app.main(_load_config(args)))
+
+
 def cmd_bench(args) -> None:
     os.environ.setdefault("BENCH_SECONDS", str(args.seconds))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -329,6 +335,9 @@ def build_parser() -> argparse.ArgumentParser:
     pb = sub.add_parser("bench", help="throughput benchmark")
     pb.add_argument("--seconds", type=float, default=1800.0)
     pb.set_defaults(func=cmd_bench)
+
+    pg = sub.add_parser("gui", help="Qt desktop app (requires PySide6)")
+    pg.set_defaults(func=cmd_gui)
 
     return p
 

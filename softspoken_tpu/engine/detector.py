@@ -117,6 +117,9 @@ class Detector:
         self._mel_precision = (
             jax.lax.Precision.HIGHEST if not fast else jax.lax.Precision.DEFAULT
         )
+        # "auto" resolves to the XLA path: measured 0.138 s vs 0.155 s per
+        # 461 s chunk on v5e (see config.EngineConfig.mel_kernel)
+        self._use_pallas_mel = config.engine.mel_kernel == "pallas"
 
         self._fwd = jax.jit(self._forward)
         self._fwd_full = jax.jit(self._forward_full)
@@ -127,7 +130,12 @@ class Detector:
     # ------------------------------------------------------------------
     def _forward(self, variables, wave, starts):
         """(chunk_buf,), (B,) → mask logits (B, 256). Spec head is DCE'd."""
-        mel = melops.log_mel_windows(wave, starts, precision=self._mel_precision)
+        if self._use_pallas_mel:
+            from ..ops.pallas_mel import log_mel_windows_pallas
+
+            mel = log_mel_windows_pallas(wave, starts)
+        else:
+            mel = melops.log_mel_windows(wave, starts, precision=self._mel_precision)
         _, logits = self.model.apply(variables, mel[..., None])
         return logits
 

@@ -1,0 +1,55 @@
+"""Multi-host initialization & work partitioning.
+
+The reference is strictly single-process (SURVEY.md §5: no comm backend at
+all).  The TPU-native equivalent for multi-host pods: ``jax.distributed``
+over DCN for process bootstrap, a global mesh over every chip, and — since
+detection is embarrassingly parallel per file — a deterministic round-robin
+partition of the file list per process, with detections gathered through
+the filesystem exactly like the reference's CSV handoff.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Optional, Sequence
+
+import jax
+
+log = logging.getLogger(__name__)
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize jax.distributed (no-op when single-process).
+
+    Arguments default to the standard JAX_* / cloud-TPU environment
+    discovery; call once before any jax computation on each host.
+    """
+    if num_processes in (None, 1) and "JAX_COORDINATOR_ADDRESS" not in os.environ \
+            and coordinator_address is None:
+        log.debug("single-process run; jax.distributed not initialized")
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    log.info(
+        "distributed: process %d/%d, %d local / %d global devices",
+        jax.process_index(), jax.process_count(),
+        jax.local_device_count(), jax.device_count(),
+    )
+
+
+def partition_files(files: Sequence[str], process_id: Optional[int] = None,
+                    num_processes: Optional[int] = None) -> List[str]:
+    """Deterministic per-process slice of the work list (sorted round-robin,
+    so adding hosts rebalances without coordination)."""
+    pid = jax.process_index() if process_id is None else process_id
+    n = jax.process_count() if num_processes is None else num_processes
+    ordered = sorted(files)
+    return ordered[pid::n]

@@ -158,12 +158,22 @@ class DetectRunner:
 
             cb.emit("file_started", path)
             progress = lambda frac: cb.emit("file_progress", frac * 100.0)  # noqa: E731
-            try:
+
+            def run_detection():
                 with self.timers.time("detect"):
                     if isinstance(payload, str) and payload == "stream":
-                        result = self.detector.detect_file_streaming(path, progress)
-                    else:
-                        result = self.detector.detect_waveform(payload, progress)
+                        return self.detector.detect_file_streaming(path, progress)
+                    return self.detector.detect_waveform(payload, progress)
+
+            try:
+                try:
+                    result = run_detection()
+                except IOError:
+                    raise
+                except Exception as e:  # noqa: BLE001 — transient device or
+                    # tunnel faults get exactly one retry (preemption story)
+                    cb.emit("message", f"retrying {path} after: {e}")
+                    result = run_detection()
             except Exception as e:  # noqa: BLE001
                 report.errors[path] = str(e)
                 cb.emit("message", f"detection failed for {path}: {e}")
