@@ -183,6 +183,8 @@ def cmd_review(args) -> None:
     elif args.action == "export":
         session.save()  # persists review.csv + all three exporters
         print(f"review saved + exports re-run under {pm.projects_folder}")
+    elif args.action == "grade":
+        _grade_loop(session, args)
     elif args.action == "render":
         r = session.df.iloc[args.row]
         full = os.path.join(r["file_path"], r["file_name"])
@@ -205,6 +207,58 @@ def cmd_review(args) -> None:
             full, (float(r["start_time"]), float(r["end_time"])), args.out, cfg
         )
         print(out)
+
+
+def _grade_loop(session, args) -> None:
+    """Interactive terminal grading: the review screen's Keep/Erase flow
+    (review_detections.py:677-717) over stdin.  [k]eep [e]rase [s]kip
+    [p]lay [r]ender [b]ack [q]uit."""
+    import os as _os
+
+    from .ui import export_segment_wav, play_segment, render_review_png
+
+    while session.current() is not None:
+        row = session.current()
+        total = len(session)
+        reviewed = "✓" if str(row.get("review_datetime", "")).strip() else " "
+        print(
+            f"\n[{session.current_index + 1}/{total}]{reviewed} #{row['ID']} "
+            f"{row['file_name']}  {float(row['start_time']):.3f}–"
+            f"{float(row['end_time']):.3f}s  erase={row['erase']}"
+        )
+        try:
+            cmd = input("  [k]eep [e]rase [s]kip [p]lay [r]ender [b]ack [q]uit > ").strip().lower()
+        except EOFError:
+            break
+        full = _os.path.join(row["file_path"], row["file_name"])
+        if cmd == "k":
+            session.keep()
+        elif cmd == "e":
+            session.erase()
+        elif cmd == "s":
+            session.next()
+        elif cmd == "b":
+            session.prev()
+        elif cmd == "p":
+            seg = (max(0.0, float(row["start_time"])), float(row["end_time"]))
+            if not play_segment(full, seg):
+                out = export_segment_wav(full, seg)
+                print(f"  (no audio device; segment written to {out})")
+        elif cmd == "r":
+            png = render_review_png(
+                full, float(row["start_time"]), float(row["end_time"]),
+                zoom_level=args.zoom,
+            )
+            out = f"detection_{int(row['ID'])}.png"
+            with open(out, "wb") as f:
+                f.write(png)
+            print(f"  rendered {out}")
+        elif cmd == "q":
+            break
+        if session.current_index >= total - 1 and cmd in ("k", "e", "s"):
+            print("  (end of detections)")
+            break
+    print(json.dumps(session.stats()))
 
 
 # ---------------------------------------------------------------------------
@@ -258,6 +312,32 @@ def cmd_convert_ckpt(args) -> None:
     print(f"converted {args.pth} (epoch {epoch}) → {args.out}")
 
 
+def cmd_train(args) -> None:
+    from .train import fit
+
+    mesh = None
+    if args.mesh:
+        from .parallel import make_mesh
+
+        import jax as _jax
+
+        n = len(_jax.devices())
+        seq = 2 if n % 2 == 0 and n > 1 else 1
+        mesh = make_mesh(("data", "seq"), shape=(n // seq, seq))
+    metrics = fit(
+        args.speech_dir,
+        args.noise_dir,
+        steps=args.steps,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        ckpt_out=args.out,
+        augmentations=args.augment,
+        seed=args.seed,
+        mesh=mesh,
+    )
+    print(json.dumps(metrics))
+
+
 def cmd_gui(args) -> None:
     from .ui import qt_app
 
@@ -306,8 +386,8 @@ def build_parser() -> argparse.ArgumentParser:
     pd_.set_defaults(func=cmd_detect)
 
     pr = sub.add_parser("review", help="review detections")
-    pr.add_argument("action", choices=["list", "keep", "erase", "add", "delete",
-                                        "export", "render", "segment"])
+    pr.add_argument("action", choices=["list", "grade", "keep", "erase", "add",
+                                        "delete", "export", "render", "segment"])
     pr.add_argument("--project")
     pr.add_argument("--rows", type=int, nargs="*", default=[], help="row indexes")
     pr.add_argument("--row", type=int, default=0, help="row index (render/segment)")
@@ -338,6 +418,18 @@ def build_parser() -> argparse.ArgumentParser:
 
     pg = sub.add_parser("gui", help="Qt desktop app (requires PySide6)")
     pg.set_defaults(func=cmd_gui)
+
+    pt = sub.add_parser("train", help="train SpecUNet_2D from speech/noise WAV dirs")
+    pt.add_argument("--speech-dir", required=True)
+    pt.add_argument("--noise-dir", required=True)
+    pt.add_argument("--steps", type=int, default=1000)
+    pt.add_argument("--batch-size", type=int, default=16)
+    pt.add_argument("--lr", type=float, default=1e-3)
+    pt.add_argument("--out", help="orbax checkpoint output dir")
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--augment", nargs="*", default=["add_reverb", "reduce_volume"])
+    pt.add_argument("--mesh", action="store_true", help="dp×sp over all devices")
+    pt.set_defaults(func=cmd_train)
 
     return p
 

@@ -1,4 +1,5 @@
-from . import augment, targets
+from . import augment, data, targets
+from .fit import fit, list_wavs
 from .loop import (
     TrainState,
     create_train_state,
@@ -9,7 +10,10 @@ from .loop import (
 
 __all__ = [
     "augment",
+    "data",
     "targets",
+    "fit",
+    "list_wavs",
     "TrainState",
     "create_train_state",
     "loss_fn",

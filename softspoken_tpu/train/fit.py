@@ -1,0 +1,119 @@
+"""Training driver: fit SpecUNet_2D from directories of speech/noise WAVs.
+
+The reference ships no trainer — only the latent data-prep code this module
+builds on (SURVEY.md §2.1 "training-data augmentation suite").  Batches are
+synthesized the way that code implies: clean 3 s speech clips mixed into
+environmental noise at random SNR, optionally augmented, with the clean/
+noise mel images as the spec-head separation targets and any-speech-energy
+frames as the mask-head targets (train/data.py).
+
+Checkpoints are orbax (ckpt.save) and load straight into the Detector.
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from .. import ckpt as ckpt_mod
+from ..config import DEFAULT_CONFIG
+from ..io import internal_length, load_audio
+from . import data as D
+from .loop import create_train_state, make_sharded_train_step, make_train_step
+
+log = logging.getLogger(__name__)
+
+
+def list_wavs(directory: str) -> List[str]:
+    return sorted(glob.glob(os.path.join(directory, "**", "*.wav"), recursive=True))
+
+
+class ClipSampler:
+    """Random 3 s internal-rate clips from a file pool (bounded reads)."""
+
+    def __init__(self, files: Sequence[str], rng: np.random.Generator, tile_short: bool):
+        if not files:
+            raise ValueError("empty file pool")
+        self.files = list(files)
+        self.rng = rng
+        self.tile_short = tile_short
+        self._lengths = {f: internal_length(f) for f in self.files}
+
+    def sample(self) -> np.ndarray:
+        f = self.files[int(self.rng.integers(len(self.files)))]
+        n = self._lengths[f]
+        start = int(self.rng.integers(max(1, n - D.CLIP + 1)))
+        if self.tile_short and n < D.CLIP:
+            clip = D.load_environmental_noise(f, 0)
+            if clip is not None:
+                return clip
+        wav, _ = load_audio(f, start=start)
+        clip = np.zeros(D.CLIP, np.float32)
+        if wav is not None:
+            m = min(len(wav), D.CLIP)
+            clip[:m] = wav[:m]
+        return clip
+
+    def batch(self, b: int) -> np.ndarray:
+        return np.stack([self.sample() for _ in range(b)])
+
+
+def fit(
+    speech_dir: str,
+    noise_dir: str,
+    steps: int = 1000,
+    batch_size: int = 16,
+    learning_rate: float = 1e-3,
+    ckpt_out: Optional[str] = None,
+    augmentations: Sequence[str] = ("add_reverb", "reduce_volume", "bandpass_filter"),
+    seed: int = 0,
+    mesh=None,
+    log_every: int = 20,
+    save_every: int = 200,
+    on_metrics=None,
+) -> Dict[str, float]:
+    """Run training; returns the final metrics dict."""
+    rng = np.random.default_rng(seed)
+    speech = ClipSampler(list_wavs(speech_dir), rng, tile_short=False)
+    noise = ClipSampler(list_wavs(noise_dir), rng, tile_short=True)
+
+    model, state, tx = create_train_state(jax.random.PRNGKey(seed), learning_rate)
+    if mesh is not None:
+        step_fn, shardings = make_sharded_train_step(model, tx, mesh)
+    else:
+        step_fn = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+        shardings = None
+    key = jax.random.PRNGKey(seed + 1)
+
+    metrics = {}
+    t0 = time.perf_counter()
+    for step in range(1, steps + 1):
+        batch = D.build_batch(
+            speech.batch(batch_size), noise.batch(batch_size), rng,
+            augmentations=augmentations,
+        )
+        if shardings is not None:
+            batch = {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+        if mesh is not None:
+            with mesh:
+                state, m = step_fn(state, batch, key)
+        else:
+            state, m = step_fn(state, batch, key)
+        if step % log_every == 0 or step == steps:
+            metrics = {k: float(v) for k, v in m.items()}
+            rate = step * batch_size / (time.perf_counter() - t0)
+            log.info("step %d  loss=%.4f  mask=%.4f  spec=%.4f  (%.1f clips/s)",
+                     step, metrics["loss"], metrics["mask_loss"],
+                     metrics["spec_loss"], rate)
+            if on_metrics:
+                on_metrics(step, metrics)
+        if ckpt_out and (step % save_every == 0 or step == steps):
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            ckpt_mod.save(ckpt_out, jax.device_get(variables), epoch=step)
+    return metrics
