@@ -94,6 +94,16 @@ class DetectRunner:
     def _use_streaming(self, path: str) -> bool:
         if self.streaming is not None:
             return self.streaming
+        # on TPU the fused streaming pipeline wins at every file size (raw
+        # PCM up, grids down); on hosts, stream only when the file is too
+        # big to decode comfortably in memory
+        import jax
+
+        pipeline = self.cfg.engine.pipeline
+        if pipeline == "fused" or (
+            pipeline == "auto" and jax.default_backend() == "tpu"
+        ):
+            return True
         try:
             return os.path.getsize(path) > (1 << 30)
         except OSError:
