@@ -35,7 +35,7 @@ import numpy as np
 
 from ..config import Config
 from ..io import wavio
-from ..io.resample import polyphase_matmul_weights, _ratio
+from ..io.resample import _ratio
 from . import regions as R
 from .detector import DetectionResult, Detector
 from .planner import num_windows_for_padded_length, window_starts
@@ -75,14 +75,13 @@ class FusedStreamingEngine:
             self.in_len = self.buf_len
             self.n_blocks = 0
         else:
-            W, wmin = polyphase_matmul_weights(up, down)
-            self.W = W
-            self.width = W.shape[0]
-            assert self.width <= 2 * down
-            self.pad_l = max(0, -wmin)
-            self.wmin = wmin
-            self.n_blocks = -(-self.buf_len // up) + 8
-            self.in_len = (self.n_blocks + 1) * down + self.pad_l + self.width
+            from ..io.resample import polyphase_block_geometry
+
+            (self.W, self.wmin, self.n_blocks, self.n_copies,
+             self.pad_l, self.in_len) = polyphase_block_geometry(
+                up, down, self.buf_len
+            )
+            self.width = self.W.shape[0]
 
         self._fn = jax.jit(self._program)
         dtype = np.int16 if kind == "i16" else np.float32
@@ -102,9 +101,13 @@ class FusedStreamingEngine:
             internal = jax.lax.dynamic_slice(x, (lo,), (self.buf_len,))
         else:
             base = self.wmin + self.pad_l
-            a = jax.lax.dynamic_slice(x, (base,), ((self.n_blocks + 1) * self.down,))
-            A = a.reshape(self.n_blocks + 1, self.down)
-            X = jnp.concatenate([A[:-1], A[1:]], axis=1)[:, : self.width]
+            a = jax.lax.dynamic_slice(
+                x, (base,), ((self.n_blocks + self.n_copies) * self.down,)
+            )
+            A = a.reshape(self.n_blocks + self.n_copies, self.down)
+            X = jnp.concatenate(
+                [A[k : k + self.n_blocks] for k in range(self.n_copies)], axis=1
+            )[:, : self.width]
             y = jnp.matmul(X, jnp.asarray(self.W)).reshape(-1)
             internal = jax.lax.dynamic_slice(y, (lo,), (self.buf_len,))
 

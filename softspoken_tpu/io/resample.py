@@ -126,6 +126,24 @@ def polyphase_matmul_weights(up: int, down: int):
     return W.astype(np.float32), wmin
 
 
+def polyphase_block_geometry(up: int, down: int, out_chunk: int):
+    """Static geometry for the blocked polyphase matmul.
+
+    Returns (W, wmin, n_blocks, n_copies, pad_l, in_len): output block j of
+    ``up`` samples is X[j] @ W with X[j] = xp[base + j·down : … + width],
+    and X is assembled from ``n_copies`` shifted views of a
+    (n_blocks+n_copies, down) reshape (handles any ratio, including small
+    ``down`` where the filter spans many native blocks).
+    """
+    W, wmin = polyphase_matmul_weights(up, down)
+    width = W.shape[0]
+    n_blocks = -(-out_chunk // up) + 5  # slack: alignment lo can reach ~4·up
+    n_copies = -(-width // down) + 1
+    pad_l = max(0, -wmin)
+    in_len = (n_blocks + n_copies) * down + pad_l + width
+    return W, wmin, n_blocks, n_copies, pad_l, in_len
+
+
 class DeviceChunkResampler:
     """Fixed-shape, jit-compiled device resampler for streaming decode.
 
@@ -147,27 +165,25 @@ class DeviceChunkResampler:
         self.orig_sr, self.target_sr = orig_sr, target_sr
         self.up, self.down = _ratio(orig_sr, target_sr)
         up, down = self.up, self.down
-        W, wmin = polyphase_matmul_weights(up, down)
+        W, wmin, n_blocks, n_copies, pad_l, in_len = polyphase_block_geometry(
+            up, down, out_chunk
+        )
         width = W.shape[0]
-        assert width <= 2 * down, "polyphase window exceeds two native blocks"
         self.wmin = wmin
         self.out_chunk = out_chunk
-        # +5 blocks: alignment slack (lo can reach ~3·up) plus tail coverage
-        self.n_blocks = -(-out_chunk // up) + 5
-        # xp must cover j·down + wmin + width for j < n_blocks, plus the
-        # left shift pad_l = -wmin (wmin can be negative)
-        self.pad_l = max(0, -wmin)
-        self.in_len = (self.n_blocks + 1) * down + self.pad_l + width
+        self.n_blocks = n_blocks
+        self.pad_l = pad_l
+        self.in_len = in_len
         W_dev = jnp.asarray(W)
-        n_blocks, pad_l = self.n_blocks, self.pad_l
 
         def fn(xp):
-            # block starts: j*down + wmin + pad_l  (pad_l cancels wmin ≤ 0;
-            # for wmin > 0 shift the base instead)
+            # block starts: j·down + wmin + pad_l (pad_l cancels wmin ≤ 0)
             base = wmin + pad_l
-            a = jax.lax.dynamic_slice(xp, (base,), ((n_blocks + 1) * down,))
-            A = a.reshape(n_blocks + 1, down)
-            X = jnp.concatenate([A[:-1], A[1:]], axis=1)[:, :width]
+            a = jax.lax.dynamic_slice(xp, (base,), ((n_blocks + n_copies) * down,))
+            A = a.reshape(n_blocks + n_copies, down)
+            X = jnp.concatenate(
+                [A[k : k + n_blocks] for k in range(n_copies)], axis=1
+            )[:, :width]
             Y = jnp.matmul(X, W_dev)        # (n_blocks, up), f32 accum
             return Y.reshape(-1)
 

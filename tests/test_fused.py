@@ -59,6 +59,28 @@ def test_fused_matches_host_resampled(tmp_path, detector):
         assert abs(fs - hs) < 0.05 and abs(fe - he) < 0.05
 
 
+@pytest.mark.parametrize("sr", [44100, 48000, 16000])
+def test_fused_other_rates(tmp_path, detector, sr):
+    """Ratios with small `down` (44.1k: up=1,down=2) need the multi-copy
+    block assembly; upsampling (16k) exercises up>down."""
+    p = _wav(tmp_path, sr, 15.0, subtype="PCM_16", seed=sr)
+    host = detector.detect_file_streaming(p)
+    fused = detect_file_fused(detector, p)
+    assert fused.num_windows == host.num_windows
+    interior = slice(300, len(host.avg_values) - 300)
+    np.testing.assert_allclose(
+        fused.avg_values[interior], host.avg_values[interior], atol=2e-3
+    )
+
+
+def test_fused_subwindow_file(tmp_path, detector):
+    p = _wav(tmp_path, 22050, 0.5, subtype="PCM_16", seed=1)
+    host = detector.detect_file_streaming(p)
+    fused = detect_file_fused(detector, p)
+    assert fused.num_windows == host.num_windows == 6
+    np.testing.assert_allclose(fused.avg_values, host.avg_values, atol=2e-3)
+
+
 def test_fused_stereo_float_fallback(tmp_path, detector):
     p = _wav(tmp_path, 32000, 20.0, subtype="FLOAT", channels=2, seed=5)
     host = detector.detect_file_streaming(p)
