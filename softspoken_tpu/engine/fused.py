@@ -51,9 +51,11 @@ class FusedStreamingEngine:
     Not thread-safe per instance (owns host staging buffers).
     """
 
-    def __init__(self, detector: Detector, native_sr: int, kind: str = "i16"):
+    def __init__(self, detector: Detector, native_sr: int, kind: str = "i16",
+                 mesh=None):
         assert kind in ("i16", "f32")
         self.det = detector
+        self.mesh = mesh
         self.cfg = cfg = detector.cfg
         self.kind = kind
         self.native_sr = native_sr
@@ -83,7 +85,20 @@ class FusedStreamingEngine:
             )
             self.width = self.W.shape[0]
 
-        self._fn = jax.jit(self._program)
+        if mesh is None:
+            self._fn = jax.jit(self._program)
+        else:
+            # dp over windows: each chip gathers/scores its share of every
+            # batch; GSPMD turns the shared-grid scatter-adds into psums
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            sb = NamedSharding(mesh, P(None, "data"))
+            self._fn = jax.jit(
+                self._program,
+                in_shardings=(None, repl, repl, repl, sb, sb, sb, repl, repl),
+                out_shardings=(repl, repl, repl, repl),
+            )
         dtype = np.int16 if kind == "i16" else np.float32
         self._staging = np.zeros(self.in_len, dtype)
         self._carry_sum = jnp.zeros((CARRY,), jnp.float32)
@@ -259,10 +274,11 @@ _ENGINES = {}
 
 
 def get_fused_engine(detector: Detector, native_sr: int, kind: str) -> FusedStreamingEngine:
+    mesh = getattr(detector, "_fused_mesh", None)
     key = (id(detector), native_sr, kind, detector.cfg.engine.device_batch,
-           detector.cfg.engine.chunk_seconds)
+           detector.cfg.engine.chunk_seconds, id(mesh) if mesh is not None else None)
     if key not in _ENGINES:
-        _ENGINES[key] = FusedStreamingEngine(detector, native_sr, kind)
+        _ENGINES[key] = FusedStreamingEngine(detector, native_sr, kind, mesh=mesh)
     return _ENGINES[key]
 
 

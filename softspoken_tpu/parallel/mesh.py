@@ -82,6 +82,8 @@ class MeshDetector:
         self._orig = (detector._fwd, detector._fwd_chunk)
         detector._fwd = fwd
         detector._fwd_chunk = fwd_chunk
+        # the fused streaming pipeline shards its batches over the same mesh
+        detector._fused_mesh = self.mesh
 
     def __getattr__(self, name):
         return getattr(self.det, name)

@@ -37,6 +37,27 @@ def test_sharded_detection_matches_single_device():
     assert res_mesh.intervals == res_single.intervals
 
 
+def test_sharded_fused_matches_single_device(tmp_path):
+    from softspoken_tpu.engine.fused import detect_file_fused
+    from softspoken_tpu.io import wavio
+
+    rng = np.random.default_rng(4)
+    p = str(tmp_path / "f.wav")
+    wavio.write(p, rng.uniform(-0.4, 0.4, 22050 * 15).astype(np.float32), 22050,
+                subtype="PCM_16")
+
+    single = Detector(CFG, variables=ckpt.fixture_variables(seed=0))
+    res_single = detect_file_fused(single, p)
+
+    det2 = Detector(CFG, variables=ckpt.fixture_variables(seed=0))
+    MeshDetector(det2, make_mesh(("data",)))
+    res_mesh = detect_file_fused(det2, p)
+
+    assert res_mesh.num_windows == res_single.num_windows
+    np.testing.assert_allclose(res_mesh.avg_values, res_single.avg_values, atol=2e-3)
+    assert res_mesh.intervals == res_single.intervals
+
+
 def test_mesh_detector_rejects_bad_batch():
     det = Detector(
         Config().with_engine(precision="parity", device_batch=6, chunk_seconds=12.0),
