@@ -142,8 +142,6 @@ def cmd_detect(args) -> None:
 # ---------------------------------------------------------------------------
 
 def cmd_review(args) -> None:
-    import pandas as pd
-
     from .ui import ReviewSession, export_segment_wav, render_review_png
 
     cfg = _load_config(args)

@@ -25,8 +25,6 @@ for strict numeric parity.
 from __future__ import annotations
 
 import logging
-import math
-from functools import partial
 from typing import Callable, List, Optional, Tuple
 
 import jax
