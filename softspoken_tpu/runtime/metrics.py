@@ -45,11 +45,13 @@ class ThroughputMeter:
         return self.audio_sec_per_wall_sec / max(1, self.n_chips)
 
     def summary(self) -> Dict[str, float]:
+        wall = self.wall_seconds  # one clock snapshot for a consistent record
+        rate = self.audio_seconds / wall if wall > 0 else 0.0
         return {
             "audio_seconds": self.audio_seconds,
-            "wall_seconds": self.wall_seconds,
-            "audio_sec_per_wall_sec": self.audio_sec_per_wall_sec,
-            "audio_sec_per_wall_sec_per_chip": self.per_chip,
+            "wall_seconds": wall,
+            "audio_sec_per_wall_sec": rate,
+            "audio_sec_per_wall_sec_per_chip": rate / max(1, self.n_chips),
         }
 
 
