@@ -291,6 +291,11 @@ class Detector:
         cfg = self.cfg
         sum_g, cnt_g = R.average_grid_host(logits, cfg.engine.step_seconds)
         avg = np.divide(sum_g, cnt_g, out=np.zeros_like(sum_g), where=cnt_g > 0)
+        if cfg.engine.min_count > 1:
+            # reference drops bins with coverage < min_count
+            # (NNDetector.py:153,181-183); forcing them below threshold
+            # excludes them from regions identically
+            avg = np.where(cnt_g >= cfg.engine.min_count, avg, -np.inf)
         regions = R.find_speech_regions(
             avg, cfg.engine.threshold, cfg.engine.break_duration
         )

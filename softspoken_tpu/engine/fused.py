@@ -25,6 +25,7 @@ for strict numeric parity.
 from __future__ import annotations
 
 import logging
+import weakref
 from typing import Callable, List, Optional, Tuple
 
 import jax
@@ -52,7 +53,10 @@ class FusedStreamingEngine:
     def __init__(self, detector: Detector, native_sr: int, kind: str = "i16",
                  mesh=None):
         assert kind in ("i16", "f32")
-        self.det = detector
+        # weak: the engine lives in a WeakKeyDictionary keyed on the detector;
+        # a strong back-reference would keep the key alive forever. The
+        # detector is always alive while run() executes (the caller holds it).
+        self._det_ref = weakref.ref(detector)
         self.mesh = mesh
         self.cfg = cfg = detector.cfg
         self.kind = kind
@@ -102,6 +106,13 @@ class FusedStreamingEngine:
         self._carry_sum = jnp.zeros((CARRY,), jnp.float32)
         self._carry_cnt = jnp.zeros((CARRY,), jnp.float32)
 
+    @property
+    def det(self) -> Detector:
+        d = self._det_ref()
+        if d is None:  # pragma: no cover — misuse guard
+            raise RuntimeError("FusedStreamingEngine outlived its Detector")
+        return d
+
     # ------------------------------------------------------------------
     def _program(self, variables, native, lo, fin, starts, bins, valid,
                  carry_sum, carry_cnt):
@@ -128,7 +139,7 @@ class FusedStreamingEngine:
 
         def body(carry, xs):
             s, b, v = xs
-            logits = self.det._forward(variables, internal, s)      # (B, 256)
+            logits = self.det._forward(variables, internal, s)  # (B, 256); traced while caller holds det
             sum_g, cnt_g = carry
             idx = (b[:, None] + frame_idx[None, :]).reshape(-1)
             vals = (logits * v[:, None].astype(logits.dtype)).reshape(-1)
@@ -257,6 +268,14 @@ class FusedStreamingEngine:
 
         avg_parts = [np.asarray(avg[:fin], np.float32) for fin, avg in pending]
         avg_values = np.concatenate(avg_parts)[:covered]
+        if cfg.engine.min_count > 1:
+            # coverage counts are a pure function of the window offsets
+            # (NNDetector.py:153,181-183); recompute them host-side and force
+            # under-covered bins below threshold, matching detector._finalize
+            cnt = np.zeros(covered, np.int64)
+            idx = (bins_g[:, None] + np.arange(256)[None, :]).ravel()
+            np.add.at(cnt, idx[idx < covered], 1)
+            avg_values = np.where(cnt >= cfg.engine.min_count, avg_values, -np.inf)
         regions = R.find_speech_regions(
             avg_values, cfg.engine.threshold, cfg.engine.break_duration
         )
@@ -267,17 +286,20 @@ class FusedStreamingEngine:
         return DetectionResult(regions, avg_values, n_windows, audio_seconds)
 
 
-# cache: one engine per (detector id, native_sr, kind, chunk shape)
-_ENGINES = {}
+# cache: per live detector (weak — entries die with the detector, so a new
+# Detector can never alias a GC'd one's id and the cache can't grow unbounded),
+# then by (native_sr, kind, mesh identity, chunk shape)
+_ENGINES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def get_fused_engine(detector: Detector, native_sr: int, kind: str) -> FusedStreamingEngine:
     mesh = getattr(detector, "_fused_mesh", None)
-    key = (id(detector), native_sr, kind, detector.cfg.engine.device_batch,
+    per_det = _ENGINES.setdefault(detector, {})
+    key = (native_sr, kind, detector.cfg.engine.device_batch,
            detector.cfg.engine.chunk_seconds, id(mesh) if mesh is not None else None)
-    if key not in _ENGINES:
-        _ENGINES[key] = FusedStreamingEngine(detector, native_sr, kind, mesh=mesh)
-    return _ENGINES[key]
+    if key not in per_det:
+        per_det[key] = FusedStreamingEngine(detector, native_sr, kind, mesh=mesh)
+    return per_det[key]
 
 
 def detect_file_fused(

@@ -55,7 +55,7 @@ class RunCallbacks:
 
 @dataclass
 class RunReport:
-    files_done: int = 0
+    files_done: int = 0      # successful completions only
     files_skipped: int = 0
     rows_added: int = 0
     errors: Dict[str, str] = field(default_factory=dict)
@@ -195,6 +195,7 @@ class DetectRunner:
                 self.store.save()  # per-file checkpoint (worker.py:128)
 
             self.meter.add_audio(result.audio_seconds)
+            report.files_done += 1
             cb.emit("file_done", path)
             cb.emit(
                 "message",
@@ -209,5 +210,7 @@ class DetectRunner:
         return report
 
     def _advance_overall(self, cb: RunCallbacks, report: RunReport, total: int) -> None:
-        report.files_done += 1
-        cb.emit("overall_progress", report.files_done / max(1, total) * 100.0)
+        # progress advances for every file leaving the queue (done, skipped,
+        # or errored); files_done itself counts only successful completions
+        advanced = report.files_done + report.files_skipped + len(report.errors)
+        cb.emit("overall_progress", advanced / max(1, total) * 100.0)

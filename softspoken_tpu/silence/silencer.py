@@ -102,13 +102,14 @@ class SilenceRunner:
                 report.outputs.append(out_path)
                 if on_file_done:
                     on_file_done(out_path)
+                report.files_done += 1
             except Exception as e:  # noqa: BLE001 — skip-and-continue parity
                 log.error("silencing failed for %s: %s", full, e)
                 report.errors[full] = str(e)
                 report.files_failed += 1
-            report.files_done += 1
             if on_progress:
-                on_progress(int(report.files_done / total * 100))
+                advanced = report.files_done + report.files_failed
+                on_progress(int(advanced / total * 100))
         return report
 
     # ------------------------------------------------------------------

@@ -75,7 +75,7 @@ def test_detect_runner_error_manifest(tmp_path, detector):
     store = DetectionStore(str(tmp_path / "det.csv"))
     report = DetectRunner(detector, store, CFG).run([bad])
     assert bad in report.errors
-    assert report.files_done == 1
+    assert report.files_done == 0  # errored files are not completions
 
 
 def test_detect_runner_strict_reference_mode(tmp_path, detector, wavs):

@@ -132,7 +132,7 @@ def test_silence_runner_skips_bad_file(tmp_path, review_setup):
     df2.loc[0, "file_name"] = "missing.wav"
     report = SilenceRunner(str(tmp_path / "o")).run(df2)
     assert report.files_failed == 1
-    assert report.files_done == 1
+    assert report.files_done == 0  # failures are not completions
     assert list(report.errors) == [os.path.join(str(src), "missing.wav")]
 
 
