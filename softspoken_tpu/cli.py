@@ -311,7 +311,7 @@ def cmd_convert_ckpt(args) -> None:
 
 
 def cmd_train(args) -> None:
-    from .train import fit
+    from .train import fit, fit_synthetic
 
     mesh = None
     if args.mesh:
@@ -322,18 +322,56 @@ def cmd_train(args) -> None:
         n = len(_jax.devices())
         seq = 2 if n % 2 == 0 and n > 1 else 1
         mesh = make_mesh(("data", "seq"), shape=(n // seq, seq))
-    metrics = fit(
-        args.speech_dir,
-        args.noise_dir,
-        steps=args.steps,
-        batch_size=args.batch_size,
-        learning_rate=args.lr,
-        ckpt_out=args.out,
-        augmentations=args.augment,
-        seed=args.seed,
-        mesh=mesh,
-    )
+    if args.synthetic:
+        metrics = fit_synthetic(
+            steps=args.steps,
+            batch_size=args.batch_size,
+            learning_rate=args.lr,
+            ckpt_out=args.out,
+            augmentations=args.augment,
+            seed=args.seed,
+            mesh=mesh,
+            n_inner=args.n_inner,
+            pool_speech=args.pool_size,
+            pool_noise=args.pool_size,
+        )
+    else:
+        if not (args.speech_dir and args.noise_dir):
+            raise SystemExit("train: need --speech-dir and --noise-dir "
+                             "(or use --synthetic)")
+        metrics = fit(
+            args.speech_dir,
+            args.noise_dir,
+            steps=args.steps,
+            batch_size=args.batch_size,
+            learning_rate=args.lr,
+            ckpt_out=args.out,
+            augmentations=args.augment,
+            seed=args.seed,
+            mesh=mesh,
+        )
     print(json.dumps(metrics))
+
+
+def cmd_eval(args) -> None:
+    from .engine import Detector
+    from .train import evaluate as E
+
+    if args.make_synthetic:
+        labels = E.make_eval_set(
+            args.make_synthetic, n_files=args.eval_files,
+            seconds=args.eval_seconds, seed=args.seed,
+        )
+        print(f"synthesized eval set → {labels}", file=sys.stderr)
+    else:
+        labels = args.labels
+    if not labels:
+        raise SystemExit("eval: need --labels or --make-synthetic DIR")
+
+    cfg = _load_config(args)
+    det = Detector(cfg, checkpoint_path=args.ckpt) if args.ckpt else Detector(cfg)
+    result = E.evaluate_detector(det, E.load_labels(labels), iou=args.iou)
+    print(json.dumps(result))
 
 
 def cmd_gui(args) -> None:
@@ -417,17 +455,35 @@ def build_parser() -> argparse.ArgumentParser:
     pg = sub.add_parser("gui", help="Qt desktop app (requires PySide6)")
     pg.set_defaults(func=cmd_gui)
 
-    pt = sub.add_parser("train", help="train SpecUNet_2D from speech/noise WAV dirs")
-    pt.add_argument("--speech-dir", required=True)
-    pt.add_argument("--noise-dir", required=True)
+    pt = sub.add_parser("train", help="train SpecUNet_2D (WAV dirs or --synthetic)")
+    pt.add_argument("--speech-dir", help="clean-speech WAVs (omit with --synthetic)")
+    pt.add_argument("--noise-dir", help="environment WAVs (omit with --synthetic)")
+    pt.add_argument("--synthetic", action="store_true",
+                    help="train from the synthetic corpus with fully on-device "
+                         "batch synthesis (train/synth.py + device_data.py)")
     pt.add_argument("--steps", type=int, default=1000)
     pt.add_argument("--batch-size", type=int, default=16)
+    pt.add_argument("--n-inner", type=int, default=10,
+                    help="(--synthetic) optimizer steps fused per device call")
+    pt.add_argument("--pool-size", type=int, default=768,
+                    help="(--synthetic) device-resident clips per pool")
     pt.add_argument("--lr", type=float, default=1e-3)
     pt.add_argument("--out", help="orbax checkpoint output dir")
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--augment", nargs="*", default=["add_reverb", "reduce_volume"])
     pt.add_argument("--mesh", action="store_true", help="dp×sp over all devices")
     pt.set_defaults(func=cmd_train)
+
+    pe = sub.add_parser("eval", help="score detections vs labeled intervals (F1)")
+    pe.add_argument("--labels", help="labels.csv (file,start_time,end_time)")
+    pe.add_argument("--make-synthetic", metavar="DIR",
+                    help="first synthesize a labeled eval set into DIR")
+    pe.add_argument("--eval-files", type=int, default=8)
+    pe.add_argument("--eval-seconds", type=float, default=120.0)
+    pe.add_argument("--ckpt", help="checkpoint (default: config model path)")
+    pe.add_argument("--iou", type=float, default=0.5)
+    pe.add_argument("--seed", type=int, default=1234)
+    pe.set_defaults(func=cmd_eval)
 
     return p
 

@@ -1,5 +1,6 @@
 from .mel import (
     gather_frames,
+    log_mel_clips,
     log_mel_from_frames,
     log_mel_single,
     log_mel_windows,
@@ -8,6 +9,7 @@ from .mel import (
 
 __all__ = [
     "gather_frames",
+    "log_mel_clips",
     "log_mel_from_frames",
     "log_mel_single",
     "log_mel_windows",

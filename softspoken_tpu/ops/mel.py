@@ -182,3 +182,20 @@ def log_mel_single(waveform: np.ndarray, precision=jax.lax.Precision.HIGHEST):
     wf = jnp.asarray(waveform, jnp.float32)
     out = log_mel_windows(wf, jnp.zeros((1,), jnp.int32), precision=precision)
     return np.asarray(out[0])
+
+def log_mel_clips(clips: jnp.ndarray, precision=None) -> jnp.ndarray:
+    """(B, 66150) independent 3 s clips → (B, n_mels, 256) compressed log-mel.
+
+    Same frame layout as gather_frames but each clip IS its window, so no
+    dynamic_slice is needed — pure reshape/concat views that XLA fuses.
+    Used by the on-device training batch synthesizer (train/device_data.py).
+    """
+
+    def one(w):
+        b = w[: (FRAMES + 1) * HOP_LENGTH].reshape(FRAMES + 1, HOP_LENGTH)
+        mid = jnp.concatenate([b[: FRAMES - 1], b[1:FRAMES]], axis=1)
+        f0 = jnp.concatenate([w[1 : HOP_LENGTH + 1][::-1], w[:HOP_LENGTH]])[None, :]
+        return jnp.concatenate([f0, mid], axis=0)
+
+    f = jax.vmap(one)(clips.astype(jnp.float32))
+    return log_mel_from_frames(f, precision=precision)

@@ -1,5 +1,5 @@
 from . import augment, data, targets
-from .fit import fit, list_wavs
+from .fit import fit, fit_synthetic, list_wavs
 from .loop import (
     TrainState,
     create_train_state,
@@ -13,6 +13,7 @@ __all__ = [
     "data",
     "targets",
     "fit",
+    "fit_synthetic",
     "list_wavs",
     "TrainState",
     "create_train_state",

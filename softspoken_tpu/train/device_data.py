@@ -1,0 +1,281 @@
+"""On-device training-batch synthesis — the round-2 throughput fix.
+
+Round 1 built every batch on the host (train/data.py): decode, SNR mix,
+augment, mel, targets, then a ~50 MB host→device upload per step — ~3.7 s/
+step over the remote-TPU tunnel, 50× slower than the actual train step.
+
+Here the host uploads two *clip pools* once — ``speech (Ns, 66150)`` and
+``noise (Nn, 66150)`` float32 — and every batch is synthesized inside the
+jitted step itself: index sampling, circular time shifts, SNR mixing,
+the batched augmentation suite (train/augment.py), the matmul mel frontend
+(ops.mel.log_mel_clips), and the mask/spec targets all run on device, so a
+training step transfers nothing but a PRNG key and the metrics scalars.
+``make_fused_train_step`` additionally lax.scans ``n_inner`` optimizer
+steps into ONE device call, amortizing tunnel dispatch latency the same way
+the inference engine's chunk scan does (engine/detector.py:148-160).
+
+Target semantics match train/data.py exactly (clean-speech mel → mask and
+spec channel 0, scaled noise mel → spec channel 1); a ``silence_prob``
+fraction of rows zero out the speech so the detector sees true negatives.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import mel as melops
+from .targets import frame_mask
+
+SR = 22050
+CLIP = SR * 3
+
+
+# --------------------------------------------------------------------------
+# traced, per-row augmentations
+#
+# train/augment.py keeps reference-exact semantics but takes *static* Python
+# params — every new random draw is a fresh jit specialization (one
+# recompile per step, the round-1 killer). The device pipeline needs params
+# as traced tensors, sampled per ROW, inside one compiled program. The
+# filtering augmentations (reverb taps, echo, Butterworth band-pass) compose
+# into a single per-row frequency response applied in one rfft/irfft round;
+# this is numerically the augment.py behavior (which already applies the
+# band-pass via its exact circular frequency response).
+# --------------------------------------------------------------------------
+
+_DEVICE_AUGS = (
+    "change_pitch",
+    "add_reverb",
+    "reduce_volume",
+    "add_echo",
+    "bandpass_filter",
+    "add_harmonic_distortion",
+    "compress_dynamics",
+)
+
+
+def _butter1_band_response(theta: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
+                           sr: float) -> jnp.ndarray:
+    """H(e^{jθ}) of scipy.signal.butter(1, [lo, hi], 'band'), traced.
+
+    Evaluates the bilinear transform directly: the analog first-order
+    band-pass H(s) = BW·s / (s² + BW·s + w0²) at s = 4(z−1)/(z+1) with the
+    prewarped edges w = 4·tan(π f / sr) — identical to evaluating scipy's
+    (b, a) polynomial response (verified in tests/test_train.py).
+    """
+    w1 = 4.0 * jnp.tan(jnp.pi * lo / sr)
+    w2 = 4.0 * jnp.tan(jnp.pi * hi / sr)
+    bw = w2 - w1
+    w0sq = w1 * w2
+    z = jnp.exp(1j * theta)
+    s = 4.0 * (z - 1.0) / (z + 1.0 + 1e-12)
+    return (bw * s) / (s * s + bw * s + w0sq + 1e-12)
+
+
+def make_device_augment_fn(augmentations: Sequence[str], sr: int = SR):
+    """Returns traced ``augment(mix (B, n), key) -> (B, n)`` applying the
+    named augmentations with independent per-row random parameters
+    (ranges: augment.PARAM_RANGES / voice_activity.py:314-343)."""
+    augs = [a for a in augmentations if a in _DEVICE_AUGS]
+    unknown = set(augmentations) - set(augs)
+    if unknown - {"change_speed"}:
+        raise KeyError(f"no device augmentation for {sorted(unknown)}")
+    if not augs:
+        return lambda mix, key: mix
+
+    def augment(mix: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        B, n = mix.shape
+        keys = dict(zip(augs, jax.random.split(key, len(augs))))
+
+        def u(k, lohi, shape=(B, 1)):
+            return jax.random.uniform(k, shape, minval=lohi[0], maxval=lohi[1])
+
+        if "change_pitch" in keys:
+            semi = u(keys["change_pitch"], (-3.0, 3.0), (B,))
+            factor = 2.0 ** (semi / 12.0)
+            src = jnp.arange(n, dtype=jnp.float32)[None, :] / factor[:, None]
+            lo_i = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n - 1)
+            w = src - lo_i.astype(jnp.float32)
+            hi_i = jnp.clip(lo_i + 1, 0, n - 1)
+            mix = (1.0 - w) * jnp.take_along_axis(mix, lo_i, axis=1) + \
+                w * jnp.take_along_axis(mix, hi_i, axis=1)
+
+        # one combined frequency response for all filtering augs.
+        # Zero-pad to a power of two: TPU XLA lowers non-radix FFTs into a
+        # dense DFT matmul (a 66150² = 17.5 GB buffer!), and the padding
+        # turns circular filtering into linear convolution for every delay
+        # shorter than the pad (max reverb delay 1 s ≪ 2.9 s pad).
+        filt_augs = [a for a in ("add_reverb", "add_echo", "bandpass_filter")
+                     if a in keys]
+        if filt_augs:
+            nfft = 1 << (n - 1).bit_length()
+            theta = 2.0 * jnp.pi * jnp.fft.rfftfreq(nfft).astype(jnp.float32)
+            H = jnp.ones((B, theta.shape[0]), jnp.complex64)
+            if "add_reverb" in keys:
+                k1, k2, k3 = jax.random.split(keys["add_reverb"], 3)
+                level = u(k1, (0.2, 0.8))
+                decay_time = u(k2, (0.2, 1.0))
+                n_del = jax.random.randint(k3, (B, 1), 1, 6).astype(jnp.float32)
+                taps = jnp.arange(5, dtype=jnp.float32)[None, :]       # (1, 5)
+                live = (taps < n_del).astype(jnp.float32)               # (B, 5)
+                # delays: linspace(0, sr·decay, k+1)[1:] ≈ (i+1)/k · sr·decay
+                d = (taps + 1.0) / jnp.maximum(n_del, 1.0) * sr * decay_time
+                g = jnp.exp(-3.0 * taps / jnp.maximum(n_del - 1.0, 1.0)) * live
+                g = g / jnp.sum(g, axis=1, keepdims=True)
+                tap_resp = jnp.sum(
+                    g[..., None] * jnp.exp(-1j * d[..., None] * theta), axis=1
+                )
+                H = H * ((1.0 - level) + level * tap_resp)
+            if "add_echo" in keys:
+                k1, k2 = jax.random.split(keys["add_echo"])
+                d = u(k1, (0.1, 0.7)) * sr
+                decay = u(k2, (0.3, 0.7))
+                H = H * (1.0 + decay * jnp.exp(-1j * d * theta))
+            if "bandpass_filter" in keys:
+                k1, k2 = jax.random.split(keys["bandpass_filter"])
+                f_lo = u(k1, (100.0, 500.0))
+                f_hi = u(k2, (600.0, 2500.0))
+                H = H * _butter1_band_response(theta[None, :], f_lo, f_hi, sr)
+            padded = jnp.pad(mix, ((0, 0), (0, nfft - n)))
+            mix = jnp.fft.irfft(jnp.fft.rfft(padded) * H, n=nfft)[
+                :, :n
+            ].astype(jnp.float32)
+
+        if "reduce_volume" in keys:
+            mix = mix * u(keys["reduce_volume"], (0.1, 0.99))
+        if "add_harmonic_distortion" in keys:
+            k_dist = u(keys["add_harmonic_distortion"], (10.0, 50.0))
+            mix = jnp.sign(mix) * (1.0 - jnp.exp(-k_dist * jnp.abs(mix)))
+        if "compress_dynamics" in keys:
+            k1, k2 = jax.random.split(keys["compress_dynamics"])
+            ratio = u(k1, (1.5, 6.0))
+            thr = 10.0 ** (u(k2, (-40.0, -10.0)) / 20.0)
+            mag = jnp.abs(mix)
+            mix = jnp.sign(mix) * jnp.where(
+                mag > thr, thr + (mag - thr) / ratio, mag
+            )
+        return mix.astype(jnp.float32)
+
+    return augment
+
+
+def make_synth_batch_fn(
+    batch_size: int,
+    augmentations: Sequence[str] = (),
+    snr_db_range: Tuple[float, float] = (-5.0, 20.0),
+    silence_prob: float = 0.2,
+):
+    """Returns jit-able ``synth(speech_pool, noise_pool, key) -> batch``."""
+    augment_fn = make_device_augment_fn(augmentations)
+
+    def synth(speech_pool: jnp.ndarray, noise_pool: jnp.ndarray, key: jax.Array):
+        B = batch_size
+        k_si, k_ni, k_roll, k_sil, k_snr, k_aug = jax.random.split(key, 6)
+
+        si = jax.random.randint(k_si, (B,), 0, speech_pool.shape[0])
+        ni = jax.random.randint(k_ni, (B,), 0, noise_pool.shape[0])
+        speech = speech_pool[si]
+        noise = noise_pool[ni]
+
+        # circular time shift decorrelates repeated pool draws
+        shift = jax.random.randint(k_roll, (B,), 0, CLIP)
+        speech = jax.vmap(jnp.roll)(speech, shift)
+
+        # true negatives: drop speech entirely on some rows
+        keep = (jax.random.uniform(k_sil, (B, 1)) >= silence_prob).astype(jnp.float32)
+        speech = speech * keep
+
+        snr_db = jax.random.uniform(
+            k_snr, (B, 1), minval=snr_db_range[0], maxval=snr_db_range[1]
+        )
+        sp_rms = jnp.sqrt(jnp.mean(speech**2, axis=1, keepdims=True) + 1e-12)
+        nz_rms = jnp.sqrt(jnp.mean(noise**2, axis=1, keepdims=True) + 1e-12)
+        gain = sp_rms / (nz_rms * 10.0 ** (snr_db / 20.0))
+        # silent rows: keep the noise at its natural level instead of ×~0
+        gain = jnp.where(keep > 0, gain, 1.0)
+        noise_scaled = noise * gain
+
+        mix = speech + noise_scaled
+        if augmentations:
+            mix = augment_fn(mix, k_aug)
+
+        mel_mix = melops.log_mel_clips(mix)
+        mel_speech = melops.log_mel_clips(speech)
+        mel_noise = melops.log_mel_clips(noise_scaled)
+
+        mask = frame_mask(jnp.where(mel_speech > 1e-4, mel_speech, 0.0))
+        return {
+            "mel": mel_mix[..., None],
+            "mask": mask,
+            "spec": jnp.stack([mel_speech, mel_noise], axis=-1),
+        }
+
+    return synth
+
+
+def make_fused_train_step(model, tx, synth_fn, n_inner: int = 8):
+    """One device call = ``n_inner`` full {synthesize → forward → backward →
+    update} steps via lax.scan. Returns ``step(state, pools, key)`` →
+    (state, metrics averaged over the inner steps)."""
+    from .loop import make_train_step
+
+    base_step = make_train_step(model, tx)
+
+    def fused(state, speech_pool, noise_pool, key):
+        def body(state, k):
+            k_batch, k_drop = jax.random.split(k)
+            batch = synth_fn(speech_pool, noise_pool, k_batch)
+            return base_step(state, batch, k_drop)
+
+        keys = jax.random.split(key, n_inner)
+        state, ms = jax.lax.scan(body, state, keys)
+        return state, {k: v.mean() for k, v in ms.items()}
+
+    return jax.jit(fused, donate_argnums=(0,))
+
+
+def make_sharded_fused_train_step(model, tx, synth_fn, mesh, n_inner: int = 8):
+    """Mesh variant: pools replicated, the synthesized batch dp-sharded.
+
+    The synthesizer's output is constrained to ``P('data', …)`` so GSPMD
+    splits the U-Net forward/backward over chips; parameters/optimizer state
+    stay replicated (1.7 M params — far below the threshold where sharding
+    them pays).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .loop import make_train_step
+
+    base_step = make_train_step(model, tx)
+
+    def constrain(batch):
+        seq = "seq" if "seq" in mesh.axis_names else None
+        spec = {
+            "mel": P("data", None, seq, None),
+            "mask": P("data", None),
+            "spec": P("data", None, seq, None),
+        }
+        return {
+            k: jax.lax.with_sharding_constraint(v, NamedSharding(mesh, spec[k]))
+            for k, v in batch.items()
+        }
+
+    def fused(state, speech_pool, noise_pool, key):
+        def body(state, k):
+            k_batch, k_drop = jax.random.split(k)
+            batch = constrain(synth_fn(speech_pool, noise_pool, k_batch))
+            return base_step(state, batch, k_drop)
+
+        keys = jax.random.split(key, n_inner)
+        state, ms = jax.lax.scan(body, state, keys)
+        return state, {k: v.mean() for k, v in ms.items()}
+
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        fused,
+        in_shardings=(None, repl, repl, repl),
+        donate_argnums=(0,),
+    )

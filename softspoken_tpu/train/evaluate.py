@@ -1,0 +1,208 @@
+"""Detection-quality evaluation: precision / recall / F1 on labeled audio.
+
+The reference ships no quality harness (BASELINE.md: "detection quality —
+none published"); this module defines one so a trained checkpoint gets a
+number. Two complementary views:
+
+  * **frame-level** — precision/recall/F1 of speech presence on the
+    engine's own 3/256 s score grid (the natural resolution of the model's
+    mask head).
+  * **event-level**  — greedy one-to-one matching of predicted to labeled
+    intervals at an IoU threshold (0.5 default), the bioacoustics-standard
+    event metric.
+
+Labels are ``<stem>.txt`` Audacity-style files (start\\tend\\tlabel) or the
+``labels.csv`` written by ``make_eval_set`` (file,start_time,end_time rows —
+one row per speech span). ``make_eval_set`` synthesizes labeled outdoor
+recordings via train/synth.py, so an F1 is measurable with zero external
+data.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+Interval = Tuple[float, float]
+
+
+# --------------------------------------------------------------------------
+# metrics
+# --------------------------------------------------------------------------
+
+def _grid_mask(intervals: Sequence[Interval], n_bins: int, dt: float) -> np.ndarray:
+    m = np.zeros(n_bins, bool)
+    for s, e in intervals:
+        a = max(0, int(np.floor(s / dt)))
+        b = min(n_bins, int(np.ceil(e / dt)))
+        if b > a:
+            m[a:b] = True
+    return m
+
+
+def frame_metrics(
+    pred: Sequence[Interval],
+    truth: Sequence[Interval],
+    duration: float,
+    dt: float = 3.0 / 256.0,
+) -> Dict[str, float]:
+    """Speech-presence P/R/F1 on the engine's score grid."""
+    n = max(1, int(np.ceil(duration / dt)))
+    p = _grid_mask(pred, n, dt)
+    t = _grid_mask(truth, n, dt)
+    tp = float((p & t).sum())
+    fp = float((p & ~t).sum())
+    fn = float((~p & t).sum())
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn,
+            "precision": prec, "recall": rec, "f1": f1}
+
+
+def _iou(a: Interval, b: Interval) -> float:
+    inter = max(0.0, min(a[1], b[1]) - max(a[0], b[0]))
+    union = max(a[1], b[1]) - min(a[0], b[0])
+    return inter / union if union > 0 else 0.0
+
+
+def event_metrics(
+    pred: Sequence[Interval], truth: Sequence[Interval], iou: float = 0.5
+) -> Dict[str, float]:
+    """Greedy IoU matching (each truth matched to ≤1 prediction)."""
+    pairs = sorted(
+        ((_iou(p, t), i, j) for i, p in enumerate(pred) for j, t in enumerate(truth)),
+        reverse=True,
+    )
+    used_p, used_t = set(), set()
+    tp = 0
+    for score, i, j in pairs:
+        if score < iou:
+            break
+        if i in used_p or j in used_t:
+            continue
+        used_p.add(i)
+        used_t.add(j)
+        tp += 1
+    fp = len(pred) - tp
+    fn = len(truth) - tp
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"tp": float(tp), "fp": float(fp), "fn": float(fn),
+            "precision": prec, "recall": rec, "f1": f1}
+
+
+def _accumulate(total: Dict[str, float], part: Dict[str, float]) -> None:
+    for k in ("tp", "fp", "fn"):
+        total[k] = total.get(k, 0.0) + part[k]
+
+
+def _finalize(total: Dict[str, float]) -> Dict[str, float]:
+    tp, fp, fn = total.get("tp", 0.0), total.get("fp", 0.0), total.get("fn", 0.0)
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn,
+            "precision": prec, "recall": rec, "f1": f1}
+
+
+# --------------------------------------------------------------------------
+# label IO
+# --------------------------------------------------------------------------
+
+def save_labels(path: str, labeled: Sequence[Tuple[str, Sequence[Interval]]]) -> None:
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["file", "start_time", "end_time"])
+        for fname, ivs in labeled:
+            for s, e in ivs:
+                w.writerow([fname, f"{s:.6f}", f"{e:.6f}"])
+
+
+def load_labels(path: str) -> List[Tuple[str, List[Interval]]]:
+    by_file: Dict[str, List[Interval]] = {}
+    order: List[str] = []
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f):
+            fn = row["file"]
+            if fn not in by_file:
+                by_file[fn] = []
+                order.append(fn)
+            by_file[fn].append((float(row["start_time"]), float(row["end_time"])))
+    base = os.path.dirname(os.path.abspath(path))
+    out = []
+    for fn in order:
+        full = fn if os.path.isabs(fn) else os.path.join(base, fn)
+        out.append((full, sorted(by_file[fn])))
+    return out
+
+
+def make_eval_set(
+    outdir: str,
+    n_files: int = 8,
+    seconds: float = 120.0,
+    sr: int = 32000,
+    seed: int = 1234,
+) -> str:
+    """Synthesize labeled field recordings; returns the labels.csv path."""
+    from ..io import wavio
+    from . import synth
+
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    labeled = []
+    for i in range(n_files):
+        audio, ivs = synth.synth_field_recording(rng, seconds, sr=sr)
+        name = f"eval_{i:03d}.wav"
+        wavio.write(os.path.join(outdir, name), audio, sr, subtype="PCM_16")
+        labeled.append((name, ivs))
+    labels_path = os.path.join(outdir, "labels.csv")
+    save_labels(labels_path, labeled)
+    return labels_path
+
+
+# --------------------------------------------------------------------------
+# the harness
+# --------------------------------------------------------------------------
+
+def evaluate_detector(
+    detector,
+    labeled: Sequence[Tuple[str, Sequence[Interval]]],
+    iou: float = 0.5,
+    min_len: float = 0.1,
+) -> Dict[str, object]:
+    """Run detection over labeled files; returns aggregate + per-file metrics.
+
+    Applies the review-stage minimum-length filter (settings.py:26) to the
+    predictions, mirroring what a reviewer would export.
+    """
+    from ..engine import regions as R
+    from ..io import wavio
+
+    frame_total: Dict[str, float] = {}
+    event_total: Dict[str, float] = {}
+    per_file = []
+    for path, truth in labeled:
+        res = detector.detect_file(path)
+        pred = R.filter_min_length(res.intervals, min_len)
+        pred = [(max(0.0, s), e) for s, e in pred if e > 0]
+        inf = wavio.info(path)
+        dur = inf.frames / inf.samplerate
+        fm = frame_metrics(pred, truth, dur)
+        em = event_metrics(pred, truth, iou)
+        _accumulate(frame_total, fm)
+        _accumulate(event_total, em)
+        per_file.append({
+            "file": os.path.basename(path),
+            "n_pred": len(pred), "n_truth": len(truth),
+            "frame_f1": fm["f1"], "event_f1": em["f1"],
+        })
+    return {
+        "frame": _finalize(frame_total),
+        "event": _finalize(event_total),
+        "files": per_file,
+    }

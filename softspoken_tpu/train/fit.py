@@ -117,3 +117,92 @@ def fit(
             variables = {"params": state.params, "batch_stats": state.batch_stats}
             ckpt_mod.save(ckpt_out, jax.device_get(variables), epoch=step)
     return metrics
+
+
+def fit_synthetic(
+    steps: int = 2000,
+    batch_size: int = 32,
+    learning_rate: float = 1e-3,
+    ckpt_out: Optional[str] = None,
+    augmentations: Sequence[str] = ("add_reverb", "reduce_volume", "bandpass_filter"),
+    seed: int = 0,
+    mesh=None,
+    n_inner: int = 10,
+    pool_speech: int = 768,
+    pool_noise: int = 768,
+    pool_refresh_outer: int = 50,
+    log_every_outer: int = 5,
+    save_every_outer: int = 25,
+    on_metrics=None,
+) -> Dict[str, float]:
+    """Train from the synthetic corpus with fully on-device batch synthesis.
+
+    Round-1's host batch builder cost ~3.7 s/step over the remote-TPU tunnel;
+    here the host uploads a clip pool once (~400 MB at 768+768 clips), each
+    device call runs ``n_inner`` complete steps (train/device_data.py), and
+    fresh pools are generated on a background thread and swapped in every
+    ``pool_refresh_outer`` outer iterations, so host work never blocks the
+    device.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from . import synth
+    from .device_data import (
+        make_fused_train_step,
+        make_sharded_fused_train_step,
+        make_synth_batch_fn,
+    )
+
+    rng = np.random.default_rng(seed)
+    log.info("generating initial clip pools (%d speech + %d noise)…",
+             pool_speech, pool_noise)
+    sp_np, nz_np = synth.make_pools(rng, pool_speech, pool_noise)
+    speech_pool, noise_pool = jax.device_put(sp_np), jax.device_put(nz_np)
+
+    model, state, tx = create_train_state(jax.random.PRNGKey(seed), learning_rate)
+    synth_fn = make_synth_batch_fn(batch_size, augmentations)
+    if mesh is not None:
+        step_fn = make_sharded_fused_train_step(model, tx, synth_fn, mesh,
+                                                n_inner=n_inner)
+    else:
+        step_fn = make_fused_train_step(model, tx, synth_fn, n_inner=n_inner)
+
+    outer_total = -(-steps // n_inner)
+    key = jax.random.PRNGKey(seed + 1)
+    pool_rng = np.random.default_rng(seed + 2)
+    pool_pending = None
+    metrics: Dict[str, float] = {}
+    t0 = time.perf_counter()
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        for outer in range(1, outer_total + 1):
+            if pool_refresh_outer and outer % pool_refresh_outer == 1 and outer > 1:
+                if pool_pending is not None:
+                    sp_np, nz_np = pool_pending.result()
+                    speech_pool = jax.device_put(sp_np)
+                    noise_pool = jax.device_put(nz_np)
+                pool_pending = ex.submit(
+                    synth.make_pools, pool_rng, pool_speech, pool_noise
+                )
+            key, sub = jax.random.split(key)
+            if mesh is not None:
+                with mesh:
+                    state, m = step_fn(state, speech_pool, noise_pool, sub)
+            else:
+                state, m = step_fn(state, speech_pool, noise_pool, sub)
+            step = outer * n_inner
+            if outer % log_every_outer == 0 or outer == outer_total:
+                metrics = {k: float(v) for k, v in m.items()}
+                rate = step * batch_size / (time.perf_counter() - t0)
+                log.info(
+                    "step %d/%d  loss=%.4f  mask=%.4f  spec=%.4f  (%.1f clips/s, %.2f s/step)",
+                    step, outer_total * n_inner, metrics["loss"],
+                    metrics["mask_loss"], metrics["spec_loss"], rate,
+                    (time.perf_counter() - t0) / step,
+                )
+                if on_metrics:
+                    on_metrics(step, metrics)
+            if ckpt_out and (outer % save_every_outer == 0 or outer == outer_total):
+                variables = {"params": state.params, "batch_stats": state.batch_stats}
+                ckpt_mod.save(ckpt_out, jax.device_get(variables), epoch=step)
+    return metrics

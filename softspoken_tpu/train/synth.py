@@ -1,0 +1,327 @@
+"""Synthetic training corpus: formant speech + ecological soundscapes.
+
+The reference trains on PeoplesSpeech (speech) mixed into ESC-50
+(environmental noise) — its latent loaders are voice_activity.py:257-297.
+Neither dataset is redistributable inside this build environment, so this
+module synthesizes acoustically analogous material from first principles:
+
+  * ``synth_speech``      — source-filter (formant) speech: a glottal pulse
+    train with pitch contour/jitter, filtered through per-syllable vowel
+    formant resonators, with fricative onsets/offsets, syllable amplitude
+    envelopes, utterance/pause structure.  Returns sample-accurate voice
+    activity alongside the audio, which is what makes a labeled F1 eval set
+    possible at all.
+  * ``synth_environment`` — wind / rain / stream / bird chirps / insects /
+    low rumble, the confusers an outdoor recorder actually picks up (bird
+    FM sweeps are the classic speech-detector false positive).
+
+Everything is vectorized numpy + scipy.signal.lfilter (host side, one-time
+corpus generation); training itself consumes pre-materialized clip pools on
+device (train/device_data.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+from scipy import signal
+
+SR = 22050
+CLIP = SR * 3
+
+
+# --------------------------------------------------------------------------
+# formant speech
+# --------------------------------------------------------------------------
+
+# steady-state vowel formant targets (Hz), classic Peterson–Barney ballpark
+_VOWELS = np.array(
+    [
+        # F1    F2    F3
+        [730, 1090, 2440],  # ɑ
+        [270, 2290, 3010],  # i
+        [300, 870, 2240],   # u
+        [530, 1840, 2480],  # ɛ
+        [570, 840, 2410],   # ɔ
+        [440, 1020, 2240],  # ʊ
+        [660, 1720, 2410],  # æ
+        [490, 1350, 1690],  # ɝ
+    ],
+    np.float64,
+)
+
+
+def _resonator(x: np.ndarray, freq: float, bw: float, sr: int = SR) -> np.ndarray:
+    """Second-order all-pole resonance at ``freq`` with bandwidth ``bw``."""
+    r = np.exp(-np.pi * bw / sr)
+    w = 2.0 * np.pi * freq / sr
+    a = [1.0, -2.0 * r * np.cos(w), r * r]
+    b = [(1.0 - r) * np.sqrt(1.0 - 2.0 * r * np.cos(2.0 * w) + r * r)]
+    return signal.lfilter(b, a, x)
+
+
+def _glottal_pulses(n: int, f0: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Impulse train whose instantaneous rate follows f0 (per-sample Hz)."""
+    phase = np.cumsum(f0) / SR
+    pulses = np.zeros(n, np.float32)
+    idx = np.searchsorted(phase, np.arange(1, int(phase[-1]) + 1))
+    idx = idx[idx < n]
+    # shimmer: per-pulse amplitude variation
+    pulses[idx] = 1.0 + 0.15 * rng.standard_normal(len(idx))
+    return pulses
+
+
+def synth_speech(
+    rng: np.random.Generator,
+    n_samples: int,
+    return_activity: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Speech-like audio of length ``n_samples`` at 22050 Hz.
+
+    Returns (audio float32, activity bool per sample). Activity covers every
+    syllable (voiced core + consonant margins); pauses are digital silence.
+    """
+    audio = np.zeros(n_samples, np.float32)
+    active = np.zeros(n_samples, bool)
+
+    # speaker: pitch register + vocal-tract length scale
+    f0_base = float(rng.uniform(85.0, 255.0))
+    vt_scale = float(rng.uniform(0.85, 1.15))
+    breathiness = float(rng.uniform(0.01, 0.08))
+
+    pos = int(rng.integers(0, SR // 4))
+    while pos < n_samples - SR // 10:
+        # one utterance: 1-8 syllables
+        n_syll = int(rng.integers(1, 9))
+        declination = 1.0
+        for _ in range(n_syll):
+            if pos >= n_samples - SR // 20:
+                break
+            syl_len = int(rng.uniform(0.08, 0.32) * SR)
+            syl_len = min(syl_len, n_samples - pos)
+            seg = np.zeros(syl_len, np.float32)
+
+            # optional fricative onset (~30%)
+            fric_len = 0
+            if rng.uniform() < 0.3 and syl_len > int(0.06 * SR):
+                fric_len = min(int(rng.uniform(0.03, 0.08) * SR), syl_len // 2)
+                noise = rng.standard_normal(fric_len)
+                sos = signal.butter(
+                    2, [min(3000, SR // 2 - 2000), SR // 2 - 500],
+                    btype="band", fs=SR, output="sos",
+                )
+                fric = signal.sosfilt(sos, noise).astype(np.float32)
+                fric *= np.hanning(fric_len).astype(np.float32)
+                seg[:fric_len] = 0.35 * fric / (np.abs(fric).max() + 1e-9)
+
+            # voiced vowel core
+            v_len = syl_len - fric_len
+            if v_len > 64:
+                f0_contour = f0_base * declination * (
+                    1.0
+                    + 0.12 * np.sin(np.linspace(0, np.pi, v_len) * rng.uniform(0.5, 2.0))
+                    + 0.02 * rng.standard_normal(v_len).cumsum() / np.sqrt(np.arange(1, v_len + 1))
+                )
+                f0_contour = np.clip(f0_contour, 60.0, 400.0)
+                src = _glottal_pulses(v_len, f0_contour, rng)
+                # spectral tilt: integrate pulses once (−6 dB/oct like glottal flow)
+                src = signal.lfilter([1.0], [1.0, -0.96], src).astype(np.float32)
+                src += breathiness * rng.standard_normal(v_len).astype(np.float32)
+
+                vowel = _VOWELS[rng.integers(len(_VOWELS))] * vt_scale
+                vowel = vowel * rng.uniform(0.92, 1.08, 3)
+                y = np.zeros(v_len)
+                for fmt, bw, g in zip(vowel, (60.0, 90.0, 140.0), (1.0, 0.63, 0.3)):
+                    y = y + g * _resonator(src, float(fmt), bw)
+                # radiation: differentiate (+6 dB/oct)
+                y = np.diff(y, prepend=0.0)
+                env = np.ones(v_len)
+                a = min(v_len // 2, max(8, int(0.012 * SR)))
+                env[:a] = np.linspace(0, 1, a)
+                d = min(v_len // 2, max(8, int(rng.uniform(0.01, 0.05) * SR)))
+                env[-d:] *= np.linspace(1, 0, d)
+                seg[fric_len:] = (y * env / (np.abs(y).max() + 1e-9)).astype(np.float32)
+
+            amp = float(rng.uniform(0.5, 1.0))
+            audio[pos : pos + syl_len] += amp * seg
+            active[pos : pos + syl_len] = True
+            pos += syl_len
+            declination *= rng.uniform(0.95, 1.0)
+            # short intra-word gap (~40%)
+            if rng.uniform() < 0.4:
+                pos += int(rng.uniform(0.01, 0.06) * SR)
+        # inter-utterance pause
+        pos += int(rng.uniform(0.15, 1.2) * SR)
+
+    peak = np.abs(audio).max()
+    if peak > 0:
+        audio /= peak
+    return audio, active
+
+
+# --------------------------------------------------------------------------
+# ecological soundscapes
+# --------------------------------------------------------------------------
+
+ENVIRONMENT_KINDS = ("wind", "rain", "stream", "birds", "insects", "rumble")
+
+
+def _colored_noise(rng, n: int, alpha: float) -> np.ndarray:
+    """1/f^alpha noise via spectral shaping."""
+    spec = np.fft.rfft(rng.standard_normal(n))
+    f = np.maximum(np.fft.rfftfreq(n, 1.0 / SR), 1.0)
+    out = np.fft.irfft(spec / f ** (alpha / 2.0), n)
+    return (out / (np.abs(out).max() + 1e-12)).astype(np.float32)
+
+
+def synth_environment(
+    rng: np.random.Generator, n_samples: int, kind: Optional[str] = None
+) -> np.ndarray:
+    """One environmental texture (or a random one) of length ``n_samples``."""
+    if kind is None:
+        kind = ENVIRONMENT_KINDS[rng.integers(len(ENVIRONMENT_KINDS))]
+
+    if kind == "wind":
+        base = _colored_noise(rng, n_samples, 2.0)
+        # slow gust amplitude modulation
+        gust = _colored_noise(rng, max(64, n_samples // 256), 1.0)
+        am = 0.55 + 0.45 * np.interp(
+            np.linspace(0, 1, n_samples), np.linspace(0, 1, len(gust)), gust
+        )
+        out = base * am.astype(np.float32)
+
+    elif kind == "rain":
+        # impulsive drops + broadband hiss
+        hiss = 0.25 * _colored_noise(rng, n_samples, 0.5)
+        drops = np.zeros(n_samples, np.float32)
+        n_drops = int(n_samples / SR * rng.uniform(40, 400))
+        at = rng.integers(0, n_samples, n_drops)
+        drops[at] = rng.uniform(0.2, 1.0, n_drops).astype(np.float32)
+        decay = np.exp(-np.arange(64) / rng.uniform(4, 16)).astype(np.float32)
+        out = hiss + signal.fftconvolve(drops, decay)[:n_samples]
+
+    elif kind == "stream":
+        sos = signal.butter(2, [400, 4000], btype="band", fs=SR, output="sos")
+        out = signal.sosfilt(sos, rng.standard_normal(n_samples)).astype(np.float32)
+        warble = 1.0 + 0.2 * np.sin(
+            2 * np.pi * rng.uniform(0.3, 2.0) * np.arange(n_samples) / SR
+        )
+        out = out * warble.astype(np.float32)
+
+    elif kind == "birds":
+        out = np.zeros(n_samples, np.float32)
+        t_all = np.arange(n_samples) / SR
+        n_chirps = max(1, int(n_samples / SR * rng.uniform(0.5, 4.0)))
+        for _ in range(n_chirps):
+            dur = int(rng.uniform(0.05, 0.4) * SR)
+            at = int(rng.integers(0, max(1, n_samples - dur)))
+            f_lo = rng.uniform(1800, 5000)
+            f_hi = f_lo * rng.uniform(1.1, 2.2)
+            tt = t_all[:dur]
+            # FM sweep with trill
+            f = np.linspace(f_lo, f_hi, dur) * (
+                1 + 0.05 * np.sin(2 * np.pi * rng.uniform(10, 40) * tt)
+            )
+            chirp = np.sin(2 * np.pi * np.cumsum(f) / SR) * np.hanning(dur)
+            out[at : at + dur] += rng.uniform(0.3, 1.0) * chirp.astype(np.float32)
+
+    elif kind == "insects":
+        t = np.arange(n_samples) / SR
+        f_c = rng.uniform(3500, 7000)
+        am = 0.5 * (1 + signal.square(2 * np.pi * rng.uniform(5, 30) * t, duty=0.5))
+        out = (np.sin(2 * np.pi * f_c * t) * am).astype(np.float32)
+        out += 0.05 * _colored_noise(rng, n_samples, 1.0)
+
+    elif kind == "rumble":
+        sos = signal.butter(4, 150, btype="low", fs=SR, output="sos")
+        bursts = _colored_noise(rng, n_samples, 1.5)
+        env = np.clip(_colored_noise(rng, max(64, n_samples // 512), 1.0), 0, None)
+        am = np.interp(np.linspace(0, 1, n_samples), np.linspace(0, 1, len(env)), env)
+        out = signal.sosfilt(sos, bursts).astype(np.float32) * (0.3 + am).astype(
+            np.float32
+        )
+
+    else:  # pragma: no cover
+        raise ValueError(f"unknown environment kind {kind!r}")
+
+    peak = np.abs(out).max()
+    return (out / peak).astype(np.float32) if peak > 0 else out.astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# pools + labeled field recordings
+# --------------------------------------------------------------------------
+
+def make_pools(
+    rng: np.random.Generator, n_speech: int, n_noise: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(n_speech, CLIP) speech clips and (n_noise, CLIP) environment clips."""
+    speech = np.stack([synth_speech(rng, CLIP)[0] for _ in range(n_speech)])
+    noise = np.stack([synth_environment(rng, CLIP) for _ in range(n_noise)])
+    return speech.astype(np.float32), noise.astype(np.float32)
+
+
+def synth_field_recording(
+    rng: np.random.Generator,
+    seconds: float,
+    sr: int = 32000,
+    speech_events: Tuple[int, int] = (2, 8),
+    snr_db: Tuple[float, float] = (0.0, 20.0),
+) -> Tuple[np.ndarray, List[Tuple[float, float]]]:
+    """A labeled outdoor recording at native rate ``sr``: an environment bed
+    with speech utterances inserted at known times.
+
+    Returns (audio float32 at ``sr``, [(start_s, end_s), ...] speech spans).
+    Used by the eval harness (train/evaluate.py) to score detection F1.
+    """
+    n22 = int(seconds * SR)
+    bed = synth_environment(rng, n22)
+    second_kind = ENVIRONMENT_KINDS[rng.integers(len(ENVIRONMENT_KINDS))]
+    bed = 0.7 * bed + 0.3 * synth_environment(rng, n22, second_kind)
+
+    audio22 = 0.15 * bed
+    intervals: List[Tuple[float, float]] = []
+    n_events = int(rng.integers(speech_events[0], speech_events[1] + 1))
+    for _ in range(n_events):
+        dur = float(rng.uniform(1.0, 6.0))
+        n = int(dur * SR)
+        sp, act = synth_speech(rng, n)
+        if not act.any():
+            continue
+        at = int(rng.integers(0, max(1, n22 - n)))
+        snr = float(rng.uniform(*snr_db))
+        bed_rms = float(np.sqrt(np.mean(audio22[at : at + n] ** 2) + 1e-12))
+        sp_rms = float(np.sqrt(np.mean(sp[act] ** 2) + 1e-12))
+        gain = bed_rms * 10.0 ** (snr / 20.0) / sp_rms
+        audio22[at : at + n] += gain * sp
+        # activity runs → absolute intervals
+        d = np.diff(act.astype(np.int8))
+        starts = list(np.flatnonzero(d == 1) + 1)
+        ends = list(np.flatnonzero(d == -1) + 1)
+        if act[0]:
+            starts = [0] + starts
+        if act[-1]:
+            ends = ends + [n]
+        for s, e in zip(starts, ends):
+            intervals.append(((at + s) / SR, (at + e) / SR))
+
+    # merge label fragments closer than 0.3 s (sub-syllable gaps)
+    intervals.sort()
+    merged: List[Tuple[float, float]] = []
+    for s, e in intervals:
+        if merged and s - merged[-1][1] <= 0.3:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+
+    peak = np.abs(audio22).max()
+    if peak > 0.99:
+        audio22 = audio22 * (0.99 / peak)
+
+    if sr == SR:
+        return audio22.astype(np.float32), merged
+    from ..io.resample import resample
+
+    native = resample(audio22.astype(np.float32), SR, sr)
+    return native.astype(np.float32), merged

@@ -187,3 +187,117 @@ def test_train_step_decreases_loss():
         state, m = step(state, batch, key)
     assert float(m["loss"]) < float(m0["loss"])
     assert int(state.step) == 9
+
+
+# ---------------------------------------------------------------------------
+# round 2: synthetic corpus + on-device batch synthesis
+# ---------------------------------------------------------------------------
+
+def test_synth_speech_activity_and_silence():
+    from softspoken_tpu.train import synth
+
+    rng = np.random.default_rng(3)
+    audio, act = synth.synth_speech(rng, synth.CLIP)
+    assert audio.shape == (synth.CLIP,) and act.shape == (synth.CLIP,)
+    assert 0.05 < act.mean() < 0.95          # speech AND pauses
+    assert np.abs(audio[~act]).max() == 0.0  # pauses are digital silence
+    assert np.abs(audio[act]).max() > 0.1
+
+
+def test_synth_environment_kinds():
+    from softspoken_tpu.train import synth
+
+    rng = np.random.default_rng(4)
+    for kind in synth.ENVIRONMENT_KINDS:
+        e = synth.synth_environment(rng, 22050, kind)
+        assert e.shape == (22050,)
+        assert np.isfinite(e).all()
+        assert 0.01 < np.abs(e).max() <= 1.0
+
+
+def test_synth_field_recording_labels():
+    from softspoken_tpu.train import synth
+
+    rng = np.random.default_rng(5)
+    audio, iv = synth.synth_field_recording(rng, 20.0, sr=32000)
+    assert audio.shape == (20 * 32000,)
+    assert len(iv) >= 1
+    for s, e in iv:
+        assert 0.0 <= s < e <= 20.0
+    # labels are sorted and non-overlapping (merged)
+    for (s1, e1), (s2, e2) in zip(iv, iv[1:]):
+        assert s2 > e1
+
+
+def test_device_bandpass_matches_scipy():
+    """Traced closed-form butter(1, band) response == scipy's polynomial."""
+    import scipy.signal
+
+    from softspoken_tpu.train.device_data import _butter1_band_response
+
+    sr, n = 22050, 4096
+    theta = 2.0 * np.pi * np.fft.rfftfreq(n)
+    for lo, hi in [(100.0, 600.0), (300.0, 2500.0), (150.0, 1000.0)]:
+        b, a = scipy.signal.butter(1, [lo / (sr / 2), hi / (sr / 2)], btype="band")
+        z = np.exp(1j * theta)
+        want = np.polyval(b[::-1], np.exp(-1j * theta)) / np.polyval(
+            a[::-1], np.exp(-1j * theta)
+        )
+        got = np.asarray(_butter1_band_response(jnp.asarray(theta), lo, hi, sr))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_log_mel_clips_matches_windows():
+    from softspoken_tpu.ops import mel as melops
+
+    rng = np.random.default_rng(6)
+    clips = rng.uniform(-0.5, 0.5, (3, 66150)).astype(np.float32)
+    got = np.asarray(melops.log_mel_clips(jnp.asarray(clips)))
+    flat = jnp.asarray(np.concatenate([clips.reshape(-1), np.zeros(1, np.float32)]))
+    want = np.asarray(
+        melops.log_mel_windows(flat, jnp.arange(3, dtype=jnp.int32) * 66150)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_synth_batch_fn_shapes_and_targets():
+    from softspoken_tpu.train.device_data import make_synth_batch_fn
+
+    rng = np.random.default_rng(7)
+    speech = rng.uniform(-0.5, 0.5, (4, 66150)).astype(np.float32)
+    noise = rng.uniform(-0.1, 0.1, (4, 66150)).astype(np.float32)
+    fn = jax.jit(make_synth_batch_fn(6, ("add_reverb", "reduce_volume",
+                                         "bandpass_filter")))
+    batch = fn(jnp.asarray(speech), jnp.asarray(noise), jax.random.PRNGKey(0))
+    assert batch["mel"].shape == (6, 128, 256, 1)
+    assert batch["mask"].shape == (6, 256)
+    assert batch["spec"].shape == (6, 128, 256, 2)
+    for v in batch.values():
+        assert np.isfinite(np.asarray(v)).all()
+    # silence rows exist at silence_prob=0.2 eventually; just check mask is 0/1
+    m = np.asarray(batch["mask"])
+    assert set(np.unique(m)).issubset({0.0, 1.0})
+
+
+def test_fused_train_step_runs_and_advances():
+    """One fused device call = n_inner full optimizer steps.
+
+    (Loss descent of the underlying step is covered by test_fit; on the
+    1-core CPU host a multi-call descent check costs minutes of pure U-Net
+    arithmetic. The real-TPU training run is the descent evidence.)
+    """
+    from softspoken_tpu.train.device_data import (
+        make_fused_train_step, make_synth_batch_fn,
+    )
+    from softspoken_tpu.train.loop import create_train_state
+    from softspoken_tpu.train import synth
+
+    rng = np.random.default_rng(8)
+    sp, nz = synth.make_pools(rng, 2, 2)
+    model, state, tx = create_train_state(jax.random.PRNGKey(0), 1e-3)
+    step = make_fused_train_step(
+        model, tx, make_synth_batch_fn(1, ()), n_inner=2
+    )
+    state, m = step(state, jnp.asarray(sp), jnp.asarray(nz), jax.random.PRNGKey(1))
+    assert int(state.step) == 2
+    assert all(np.isfinite(float(v)) for v in m.values())
