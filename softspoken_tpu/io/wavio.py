@@ -97,8 +97,9 @@ def _parse_header(f: BinaryIO) -> WavInfo:
             data_bytes = csize
             if is_rf64 and csize == 0xFFFFFFFF and rf64_data_size is not None:
                 data_bytes = rf64_data_size
-            # don't read the payload; skip past (may be the last chunk)
-            f.seek(csize + (csize & 1), os.SEEK_CUR)
+            # don't read the payload; skip past by the TRUE size (the 32-bit
+            # field is a 0xFFFFFFFF sentinel in RF64 files)
+            f.seek(data_bytes + (data_bytes & 1), os.SEEK_CUR)
         else:
             f.seek(csize + (csize & 1), os.SEEK_CUR)
 
@@ -271,7 +272,22 @@ class WavWriter:
     Lets the silencer stream multi-GB files chunk-by-chunk instead of holding
     the whole waveform in RAM (the reference loads entire files:
     ``silencer_ui.py:959``).
+
+    **Auto-promotes to RF64** when the payload outgrows the 32-bit RIFF size
+    fields: the header always reserves a 28-byte ``JUNK`` chunk right after
+    the RIFF header (the libsndfile/EBU-3306 technique); on close it either
+    stays ``JUNK`` (plain WAV, readers skip it) or is rewritten in place to
+    the ``ds64`` chunk of an ``RF64`` file — so silencing a >4 GiB recording
+    yields a valid large-file WAV instead of a struct.error.
     """
+
+    # byte layout: RIFF(12) + JUNK/ds64(8+28) + fmt(8+16) + data hdr(8)
+    _DS64_OFFSET = 12
+    _DATA_SIZE_OFFSET = 12 + 36 + 24 + 4  # → the data chunk's 32-bit size field
+    HEADER_BYTES = 12 + 36 + 24 + 8
+
+    # promote a touch below 2^32 so riff_size (payload + header) also fits
+    _RF64_THRESHOLD = 0xFFFFFFFF - 4096
 
     def __init__(self, path: str, samplerate: int, channels: int, subtype: str = "PCM_16"):
         self.path = path
@@ -281,18 +297,20 @@ class WavWriter:
         self._f = open(path, "wb")
         self._payload_bytes = 0
         _, fmt_tag, bits = _ENC[subtype]
-        self._header = (fmt_tag, bits)
+        self._block_align = channels * bits // 8
         # placeholder sizes; fixed up on close
         self._f.write(b"RIFF" + struct.pack("<I", 0) + b"WAVE")
+        self._f.write(b"JUNK" + struct.pack("<I", 28) + b"\x00" * 28)
         byte_rate = samplerate * channels * bits // 8
-        block_align = channels * bits // 8
         self._f.write(
             b"fmt "
             + struct.pack(
-                "<IHHIIHH", 16, fmt_tag, channels, samplerate, byte_rate, block_align, bits
+                "<IHHIIHH", 16, fmt_tag, channels, samplerate, byte_rate,
+                self._block_align, bits
             )
         )
         self._f.write(b"data" + struct.pack("<I", 0))
+        assert self._f.tell() == self.HEADER_BYTES
 
     def write(self, data: np.ndarray) -> None:
         data = np.asarray(data)
@@ -308,10 +326,31 @@ class WavWriter:
             return
         if self._payload_bytes & 1:
             self._f.write(b"\x00")
-        self._f.seek(4)
-        self._f.write(struct.pack("<I", 36 + self._payload_bytes))
-        self._f.seek(40)
-        self._f.write(struct.pack("<I", self._payload_bytes))
+        riff_size = self.HEADER_BYTES - 8 + self._payload_bytes + (self._payload_bytes & 1)
+        if self._payload_bytes < self._RF64_THRESHOLD:
+            self._f.seek(4)
+            self._f.write(struct.pack("<I", riff_size))
+            self._f.seek(self._DATA_SIZE_OFFSET)
+            self._f.write(struct.pack("<I", self._payload_bytes))
+        else:
+            # RF64 promotion: 32-bit size fields become 0xFFFFFFFF sentinels,
+            # JUNK becomes ds64 carrying the real 64-bit sizes (EBU Tech 3306)
+            self._f.seek(0)
+            self._f.write(b"RF64" + struct.pack("<I", 0xFFFFFFFF))
+            self._f.seek(self._DS64_OFFSET)
+            self._f.write(
+                b"ds64"
+                + struct.pack(
+                    "<IQQQI",
+                    28,
+                    riff_size,
+                    self._payload_bytes,
+                    self._payload_bytes // self._block_align,
+                    0,  # no per-chunk size table
+                )
+            )
+            self._f.seek(self._DATA_SIZE_OFFSET)
+            self._f.write(struct.pack("<I", 0xFFFFFFFF))
         self._f.close()
 
     def __enter__(self) -> "WavWriter":
