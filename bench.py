@@ -61,17 +61,35 @@ def main() -> None:
     det.detect_file_streaming(warm_path)
     det.detect_file_streaming(warm_path)
 
-    # best-of-N: the remote-TPU tunnel has multi-second stalls unrelated to
-    # this workload (measured 156x..589x for identical runs); the best run
-    # reflects the pipeline, the others reflect the shared link
+    # best-of-N headline + median/spread for honesty: the remote-TPU tunnel
+    # has multi-second stalls unrelated to this workload (measured
+    # 156x..589x for identical runs); the best run reflects the pipeline,
+    # the spread reflects the shared link
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    trace_dir = os.environ.get("BENCH_TRACE", "")
     walls = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        result = det.detect_file_streaming(bench_path)
-        walls.append(time.perf_counter() - t0)
+    for i in range(repeats):
+        if trace_dir and i == repeats - 1:
+            import jax
 
-    value = result.audio_seconds / min(walls)
+            with jax.profiler.trace(trace_dir):
+                t0 = time.perf_counter()
+                result = det.detect_file_streaming(bench_path)
+                walls.append(time.perf_counter() - t0)
+        else:
+            t0 = time.perf_counter()
+            result = det.detect_file_streaming(bench_path)
+            walls.append(time.perf_counter() - t0)
+
+    from softspoken_tpu.runtime.metrics import (
+        analytic_flops_per_window, mfu,
+    )
+
+    rates = sorted(result.audio_seconds / w for w in walls)
+    value = rates[-1]
+    median = rates[len(rates) // 2] if repeats % 2 else (
+        0.5 * (rates[len(rates) // 2 - 1] + rates[len(rates) // 2])
+    )
     print(
         json.dumps(
             {
@@ -79,6 +97,12 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "audio-sec/wall-sec/chip (e2e: 32kHz WAV → intervals)",
                 "vs_baseline": round(value / BASELINE_X_REALTIME, 3),
+                "median": round(median, 2),
+                "spread": [round(rates[0], 2), round(rates[-1], 2)],
+                "repeats": repeats,
+                "gflop_per_window": round(analytic_flops_per_window() / 1e9, 3),
+                "mfu": round(mfu(value), 4),
+                "mfu_median": round(mfu(median), 4),
             }
         )
     )

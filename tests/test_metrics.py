@@ -44,3 +44,17 @@ def test_setup_logging_idempotent(capsys):
     setup_logging(json_lines=False)  # replaces handlers, no duplicates
     root = logging.getLogger()
     assert len(root.handlers) == 1
+
+
+def test_analytic_flops_per_window():
+    from softspoken_tpu.runtime.metrics import (
+        analytic_flops_per_window, flops_per_audio_second, mfu,
+    )
+
+    f = analytic_flops_per_window()
+    # ~7 GFLOP for mel + U-Net + mask head (spec head DCE'd in detection)
+    assert 5e9 < f < 10e9
+    assert analytic_flops_per_window(include_spec_head=True) > f
+    assert flops_per_audio_second() == f / 0.6
+    # MFU is a fraction of peak
+    assert 0.0 < mfu(600.0) < 1.0
