@@ -95,6 +95,11 @@ def cmd_detect(args) -> None:
     if args.strict_reference:
         cfg = cfg.with_engine(skip_processed_files=False)
 
+    if args.distributed:
+        from .parallel import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+
     variables = None
     if args.random_init:
         variables = fixture_variables(seed=0)
@@ -108,6 +113,18 @@ def cmd_detect(args) -> None:
         proj = _active_project(pm, args.project)
         files = pm.get_unprocessed_list()
         store_path = proj["detections_file"]
+    if args.distributed:
+        from .parallel import partition_files
+
+        files = partition_files(files, args.process_id, args.num_processes)
+        # per-process store: detections gather through the filesystem, one
+        # writer per file (race-free by construction — SURVEY.md §5)
+        import jax as _jax
+
+        pid = args.process_id if args.process_id is not None else _jax.process_index()
+        if pid or (args.num_processes or _jax.process_count()) > 1:
+            base, ext = os.path.splitext(store_path)
+            store_path = f"{base}.p{pid}{ext}"
     store = DetectionStore(store_path)
 
     if args.mesh:
@@ -417,6 +434,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="force bounded-memory streaming decode")
     pd_.add_argument("--mesh", action="store_true",
                      help="shard windows over all available devices")
+    pd_.add_argument("--distributed", action="store_true",
+                     help="multi-host: init jax.distributed and process this "
+                          "host's round-robin share of the file list")
+    pd_.add_argument("--coordinator", help="(--distributed) coordinator addr host:port")
+    pd_.add_argument("--num-processes", type=int, help="(--distributed) process count")
+    pd_.add_argument("--process-id", type=int, help="(--distributed) this process's id")
     pd_.add_argument("--strict-reference", action="store_true",
                      help="reprocess files already in the CSV (reference resume behavior)")
     pd_.set_defaults(func=cmd_detect)

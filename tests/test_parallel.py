@@ -79,3 +79,67 @@ def test_entry_compiles_on_cpu():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (32, 256)
+
+
+# ---------------------------------------------------------------------------
+# round 2: multi-host helpers (parallel/distributed.py)
+# ---------------------------------------------------------------------------
+
+def test_partition_files_deterministic_and_complete():
+    from softspoken_tpu.parallel import partition_files
+
+    files = [f"/x/rec{i:02d}.wav" for i in range(11)][::-1]  # unsorted input
+    n = 4
+    parts = [partition_files(files, process_id=p, num_processes=n) for p in range(n)]
+    # complete, disjoint cover
+    all_assigned = sorted(sum(parts, []))
+    assert all_assigned == sorted(files)
+    assert sum(len(p) for p in parts) == len(files)
+    # deterministic: independent of input order
+    parts2 = [partition_files(sorted(files), process_id=p, num_processes=n)
+              for p in range(n)]
+    assert parts == parts2
+    # balanced within one file
+    sizes = [len(p) for p in parts]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_partition_files_rebalances_on_host_count():
+    from softspoken_tpu.parallel import partition_files
+
+    files = [f"r{i}.wav" for i in range(10)]
+    for n in (1, 2, 3, 5):
+        parts = [partition_files(files, process_id=p, num_processes=n)
+                 for p in range(n)]
+        assert sorted(sum(parts, [])) == sorted(files)
+
+
+def test_init_distributed_single_process_noop(monkeypatch):
+    """Single-process: must not call jax.distributed.initialize at all."""
+    import jax
+
+    from softspoken_tpu.parallel import init_distributed
+
+    called = []
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: called.append(kw))
+    init_distributed()
+    init_distributed(num_processes=1)
+    assert called == []
+
+
+def test_init_distributed_passes_explicit_arguments(monkeypatch):
+    import jax
+
+    from softspoken_tpu.parallel import init_distributed
+
+    called = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: called.append(kw))
+    init_distributed("10.0.0.1:1234", num_processes=2, process_id=1)
+    assert called == [{
+        "coordinator_address": "10.0.0.1:1234",
+        "num_processes": 2,
+        "process_id": 1,
+    }]
