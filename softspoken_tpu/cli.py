@@ -392,9 +392,14 @@ def cmd_eval(args) -> None:
 
 
 def cmd_gui(args) -> None:
+    if args.smoke:
+        os.environ.setdefault("SOFTSPOKEN_QT_SHIM", "1")
     from .ui import qt_app
 
-    raise SystemExit(qt_app.main(_load_config(args)))
+    raise SystemExit(
+        qt_app.main(_load_config(args), smoke_mode=args.smoke,
+                    screenshot=args.screenshot)
+    )
 
 
 def cmd_bench(args) -> None:
@@ -475,7 +480,10 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--seconds", type=float, default=1800.0)
     pb.set_defaults(func=cmd_bench)
 
-    pg = sub.add_parser("gui", help="Qt desktop app (requires PySide6)")
+    pg = sub.add_parser("gui", help="Qt desktop app (PySide6, or headless shim)")
+    pg.add_argument("--smoke", action="store_true",
+                    help="construct + click through every screen headlessly")
+    pg.add_argument("--screenshot", help="(--smoke) save the review spectrogram PNG")
     pg.set_defaults(func=cmd_gui)
 
     pt = sub.add_parser("train", help="train SpecUNet_2D (WAV dirs or --synthetic)")

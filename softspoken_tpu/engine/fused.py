@@ -310,21 +310,38 @@ def detect_file_fused(
     PCM16 files stream raw int16 to the device (no host decode at all);
     other formats decode+downmix on host to float32 native.
     """
-    inf = wavio.info(path)
-    if inf.subtype == "PCM_16" and inf.channels == 1:
-        engine = get_fused_engine(detector, inf.samplerate, "i16")
+    from ..io.audio import probe
 
-        def read_native(start: int, frames: int) -> np.ndarray:
-            raw, _ = wavio.read_raw(path, start=start, frames=frames)
-            return raw.view("<i2")
-
-    else:
-        from ..io import read_mono
+    inf = probe(path)
+    if inf.subtype.startswith("FLAC"):
+        from ..io.flac import SequentialMonoReader
 
         engine = get_fused_engine(detector, inf.samplerate, "f32")
+        with SequentialMonoReader(path) as smr:
+            return engine.run(smr.read, inf.frames, progress)
+
+    if inf.subtype == "PCM_16" and inf.channels == 1:
+        engine = get_fused_engine(detector, inf.samplerate, "i16")
+        # persistent handle + POSIX_FADV_SEQUENTIAL: reopening per chunk
+        # resets kernel readahead, and host disk read is the e2e ceiling
+        reader = wavio.RawReader(path)
 
         def read_native(start: int, frames: int) -> np.ndarray:
-            data, _ = read_mono(path, start=start, frames=frames)
-            return data
+            # hint the NEXT chunk so the kernel prefetches during device time
+            reader.will_need(start + frames, frames)
+            return reader.read_raw(start, frames).view("<i2")
+
+        try:
+            return engine.run(read_native, inf.frames, progress)
+        finally:
+            reader.close()
+
+    from ..io import read_mono
+
+    engine = get_fused_engine(detector, inf.samplerate, "f32")
+
+    def read_native(start: int, frames: int) -> np.ndarray:
+        data, _ = read_mono(path, start=start, frames=frames)
+        return data
 
     return engine.run(read_native, inf.frames, progress)

@@ -31,9 +31,40 @@ log = logging.getLogger(__name__)
 _SR = DEFAULT_CONFIG.dsp.sample_rate  # 22050
 
 
+def probe(path: str):
+    """Format-sniffing header probe: WavInfo for RIFF/RF64, FlacInfo for FLAC.
+
+    Both carry samplerate/channels/frames/subtype/bits_per_sample/duration,
+    so callers duck-type. The reference got incidental FLAC support through
+    libsndfile (voice_activity.py:37); here it comes from csrc/ssflac.cpp.
+    """
+    try:
+        return wavio.info(path)
+    except wavio.WavFormatError:
+        from . import flac as flacmod
+
+        if flacmod.is_flac(path):
+            return flacmod.info(path)
+        raise
+
+
+def read_any(
+    path: str, start: int = 0, frames: Optional[int] = None, always_2d: bool = False
+) -> Tuple[np.ndarray, int]:
+    """Format-dispatching ``wavio.read`` (WAV/RF64 or FLAC)."""
+    try:
+        return wavio.read(path, start=start, frames=frames, always_2d=always_2d)
+    except wavio.WavFormatError:
+        from . import flac as flacmod
+
+        if flacmod.is_flac(path):
+            return flacmod.read(path, start=start, frames=frames, always_2d=always_2d)
+        raise
+
+
 def get_audio_data(path: str) -> Tuple[float, int]:
     """(duration_seconds, native_sample_rate) without loading samples."""
-    inf = wavio.info(path)
+    inf = probe(path)
     return inf.duration, inf.samplerate
 
 
@@ -60,9 +91,11 @@ def read_mono(path: str, start: int = 0, frames: Optional[int] = None) -> Tuple[
                 out = native.pcm16_to_mono_f32(raw.view("<i2"), inf.channels)
                 if out is not None:
                     return out, inf.samplerate
+        except wavio.WavFormatError:
+            pass  # FLAC etc. → read_any below
         except Exception:  # noqa: BLE001 — fall through to the generic path
             pass
-    data, sr = wavio.read(path, start=start, frames=frames if frames is not None else None)
+    data, sr = read_any(path, start=start, frames=frames if frames is not None else None)
     return to_mono(np.asarray(data, np.float32)), sr
 
 
@@ -80,7 +113,7 @@ def load_audio(
         if start is None:
             data, sr = read_mono(path)
         else:
-            inf = wavio.info(path)
+            inf = probe(path)
             sr = inf.samplerate
             read_start = int(start * (sr / target_sr))
             data, sr = read_mono(path, start=read_start, frames=int(sr * 3))
@@ -103,11 +136,11 @@ def load_audio_startstop(
         log.error("invalid start/stop (%s, %s)", start, stop)
         return None, None
     try:
-        inf = wavio.info(path)
+        inf = probe(path)
         sr = inf.samplerate
         read_start = int(start * sr)
         read_stop = min(int(stop * sr), inf.frames)
-        data, sr = wavio.read(path, start=read_start, frames=read_stop - read_start)
+        data, sr = read_any(path, start=read_start, frames=read_stop - read_start)
     except Exception as e:  # noqa: BLE001
         log.error("failed to read %s: %s", path, e)
         return None, None
@@ -132,7 +165,7 @@ class AudioChunk:
 
 def internal_length(path: str, target_sr: int = _SR) -> int:
     """Length of the file after mono downmix + resample, without decoding."""
-    inf = wavio.info(path)
+    inf = probe(path)
     return resampled_length(inf.frames, inf.samplerate, target_sr)
 
 
@@ -158,13 +191,21 @@ def stream_chunks(
     from .resample import design_taps, get_device_resampler
     import math
 
-    inf = wavio.info(path)
+    inf = probe(path)
     sr = inf.samplerate
     total_internal = resampled_length(inf.frames, sr, target_sr)
 
-    def read_native(start: int, frames: int) -> np.ndarray:
-        data, _ = read_mono(path, start=start, frames=frames)
-        return data
+    if inf.subtype.startswith("FLAC"):
+        # persistent sequential decoder: per-range reopen would re-decode
+        # from the stream start on every chunk (no byte index in FLAC)
+        from .flac import SequentialMonoReader
+
+        _smr = SequentialMonoReader(path)
+        read_native = _smr.read
+    else:
+        def read_native(start: int, frames: int) -> np.ndarray:
+            data, _ = read_mono(path, start=start, frames=frames)
+            return data
 
     if sr == target_sr:
         pos = 0

@@ -1,0 +1,243 @@
+"""FLAC reading via the native decoder (csrc/ssflac.cpp, ctypes).
+
+Closes the non-WAV gap: the reference's ``sf.read`` incidentally decodes
+FLAC through libsndfile (voice_activity.py:37); this framework vendors no
+audio libraries, so a field-recorder FLAC corpus decodes through our own
+C++ decoder instead. The API mirrors ``wavio``: ``info`` / ``read`` /
+``FlacReader`` with frame-range random access (SEEKTABLE-assisted).
+
+Float conversion matches libsndfile: integer samples scaled by
+1/2**(bits-1) into [-1, 1).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import threading
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "csrc", "ssflac.cpp")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+_lock = threading.Lock()
+
+
+class FlacError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class FlacInfo:
+    samplerate: int
+    channels: int
+    frames: int
+    subtype: str
+    bits_per_sample: int
+    # parity with wavio.WavInfo so probe callers can duck-type
+    data_offset: int = 0
+    data_bytes: int = 0
+
+    @property
+    def duration(self) -> float:
+        return self.frames / float(self.samplerate)
+
+
+def is_flac(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return f.read(4) == b"fLaC"
+    except OSError:
+        return False
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("SOFTSPOKEN_DISABLE_NATIVE"):
+            return None
+        from .native import build_shared_lib
+
+        so = build_shared_lib(_SRC, "ssflac")
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        lib.ssflac_open.restype = ctypes.c_void_p
+        lib.ssflac_open.argtypes = [ctypes.c_char_p]
+        lib.ssflac_info.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.ssflac_read_i32.restype = ctypes.c_longlong
+        lib.ssflac_read_i32.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong,
+        ]
+        lib.ssflac_seek.restype = ctypes.c_int
+        lib.ssflac_seek.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
+        lib.ssflac_error.restype = ctypes.c_char_p
+        lib.ssflac_error.argtypes = [ctypes.c_void_p]
+        lib.ssflac_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def flac_available() -> bool:
+    return _get_lib() is not None
+
+
+class FlacReader:
+    """Handle-based streaming reader with frame-range random access."""
+
+    def __init__(self, path: str):
+        lib = _get_lib()
+        if lib is None:
+            raise FlacError("native FLAC decoder unavailable (no g++?)")
+        self._lib = lib
+        self._h = lib.ssflac_open(path.encode())
+        if not self._h:
+            raise FlacError(f"not a decodable FLAC file: {path}")
+        total = ctypes.c_longlong()
+        sr = ctypes.c_int()
+        ch = ctypes.c_int()
+        bits = ctypes.c_int()
+        lib.ssflac_info(self._h, ctypes.byref(total), ctypes.byref(sr),
+                        ctypes.byref(ch), ctypes.byref(bits))
+        self.info = FlacInfo(
+            samplerate=sr.value, channels=ch.value, frames=total.value,
+            subtype=f"FLAC_{bits.value}", bits_per_sample=bits.value,
+        )
+        self._pos = 0
+
+    def seek(self, frame: int) -> None:
+        frame = max(0, min(int(frame), self.info.frames))
+        if frame == self._pos:
+            return
+        if self._lib.ssflac_seek(self._h, frame) != 0:
+            raise FlacError(f"seek to frame {frame} failed: "
+                            f"{self._lib.ssflac_error(self._h).decode()}")
+        self._pos = frame
+
+    def read_i32(self, frames: int) -> np.ndarray:
+        """Next ``frames`` interleaved int32 samples at native bit depth;
+        shorter at EOF."""
+        out = np.empty(frames * self.info.channels, np.int32)
+        got = self._lib.ssflac_read_i32(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), frames
+        )
+        if got < 0:
+            raise FlacError(self._lib.ssflac_error(self._h).decode() or "decode error")
+        self._pos += int(got)
+        return out[: int(got) * self.info.channels].reshape(-1, self.info.channels)
+
+    def read_f32(self, start: int = 0, frames: Optional[int] = None,
+                 always_2d: bool = False) -> np.ndarray:
+        inf = self.info
+        start = max(0, min(int(start), inf.frames))
+        if frames is None:
+            frames = inf.frames - start
+        frames = max(0, min(int(frames), inf.frames - start))
+        self.seek(start)
+        raw = self.read_i32(frames)
+        scale = np.float32(1.0 / (1 << (inf.bits_per_sample - 1)))
+        data = raw.astype(np.float32) * scale
+        if inf.channels == 1 and not always_2d:
+            return data[:, 0]
+        return data
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.ssflac_close(self._h)
+            self._h = None
+
+    def __enter__(self) -> "FlacReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def info(path: str) -> FlacInfo:
+    with FlacReader(path) as r:
+        return r.info
+
+
+def read(path: str, start: int = 0, frames: Optional[int] = None,
+         always_2d: bool = False) -> Tuple[np.ndarray, int]:
+    """Read float32 samples (API parity with ``wavio.read``)."""
+    with FlacReader(path) as r:
+        return r.read_f32(start, frames, always_2d), r.info.samplerate
+
+
+class SequentialMonoReader:
+    """Mono float32 range reads tuned for the streaming pipelines.
+
+    FLAC has no random-access index by default — a backward seek without a
+    SEEKTABLE re-decodes from the previous seekpoint (or the stream start).
+    The chunked engines read almost-sequential ranges that overlap by a
+    resampler filter length, so this wrapper keeps a rolling buffer and
+    serves overlaps from memory; the decoder itself only ever moves forward.
+    """
+
+    def __init__(self, path: str):
+        self.reader = FlacReader(path)
+        self.info = self.reader.info
+        self._buf = np.zeros(0, np.float32)
+        self._buf_start = 0
+
+    def _decode_forward(self, frames: int) -> np.ndarray:
+        raw = self.reader.read_i32(frames)
+        scale = np.float32(1.0 / (1 << (self.info.bits_per_sample - 1)))
+        data = raw.astype(np.float32) * scale
+        return data.mean(axis=1) if self.info.channels > 1 else data[:, 0]
+
+    def read(self, start: int, frames: int) -> np.ndarray:
+        inf = self.info
+        start = max(0, min(int(start), inf.frames))
+        frames = max(0, min(int(frames), inf.frames - start))
+        end = start + frames
+        buf_end = self._buf_start + len(self._buf)
+        if start < self._buf_start:             # true backward jump
+            self.reader.seek(start)
+            self._buf = self._decode_forward(frames)
+            self._buf_start = start
+        else:
+            if start > buf_end:                 # forward gap: skip-decode
+                self.reader.seek(start)
+                self._buf = np.zeros(0, np.float32)
+                self._buf_start = start
+                buf_end = start
+            if end > buf_end:                   # extend forward
+                more = self._decode_forward(end - buf_end)
+                self._buf = np.concatenate([self._buf, more])
+        out = self._buf[start - self._buf_start : start - self._buf_start + frames]
+        # trim the consumed prefix, keep one requested span as overlap context
+        keep_from = max(0, start - self._buf_start)
+        self._buf = self._buf[keep_from:]
+        self._buf_start += keep_from
+        return out.copy()
+
+    def close(self) -> None:
+        self.reader.close()
+
+    def __enter__(self) -> "SequentialMonoReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

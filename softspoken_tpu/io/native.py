@@ -35,24 +35,32 @@ def _cache_dir() -> str:
     return d
 
 
-def _build() -> Optional[str]:
-    if not os.path.exists(_SRC):
+def build_shared_lib(src: str, name: str) -> Optional[str]:
+    """Compile a csrc/*.cpp into a content-hash-cached .so; None on failure.
+
+    Shared by the DSP kernels (ssdsp) and the FLAC decoder (io/flac.py).
+    """
+    if not os.path.exists(src):
         return None
-    with open(_SRC, "rb") as f:
+    with open(src, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    so_path = os.path.join(_cache_dir(), f"ssdsp_{digest}.so")
+    so_path = os.path.join(_cache_dir(), f"{name}_{digest}.so")
     if os.path.exists(so_path):
         return so_path
     tmp = so_path + f".tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", tmp, _SRC, "-lpthread"]
+           "-o", tmp, src, "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, so_path)
         return so_path
     except Exception as e:  # noqa: BLE001 — no compiler / failed build
-        log.info("native DSP build unavailable (%s); using scipy paths", e)
+        log.info("native build of %s unavailable (%s)", name, e)
         return None
+
+
+def _build() -> Optional[str]:
+    return build_shared_lib(_SRC, "ssdsp")
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

@@ -358,3 +358,57 @@ class WavWriter:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+class RawReader:
+    """Persistent sequential range reader for the streaming pipelines.
+
+    ``read_raw(path, …)`` reopens the file per chunk, which resets the
+    kernel's readahead window every ~8 min of audio; on the measured
+    ~45 MB/s disk that reopen pattern is the e2e throughput ceiling
+    (docs/STATUS.md). Keeping one handle with POSIX_FADV_SEQUENTIAL doubles
+    the readahead window, and ``will_need`` hints the next chunk so the
+    kernel prefetches it while the device computes the current one.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = open(path, "rb")
+        self.info = _parse_header(self._f)
+        self._bpf = self.info.channels * (self.info.bits_per_sample // 8)
+        try:
+            os.posix_fadvise(self._f.fileno(), 0, 0, os.POSIX_FADV_SEQUENTIAL)
+        except (AttributeError, OSError):  # non-POSIX or odd fs
+            pass
+
+    def read_raw(self, start: int, frames: int) -> np.ndarray:
+        """Raw sample bytes (uint8) for a frame range, clamped at EOF."""
+        inf = self.info
+        start = max(0, min(int(start), inf.frames))
+        frames = max(0, min(int(frames), inf.frames - start))
+        self._f.seek(inf.data_offset + start * self._bpf)
+        return np.frombuffer(self._f.read(frames * self._bpf), dtype=np.uint8)
+
+    def will_need(self, start: int, frames: int) -> None:
+        """Async readahead hint for an upcoming range (no-op if unsupported)."""
+        inf = self.info
+        start = max(0, min(int(start), inf.frames))
+        frames = max(0, min(int(frames), inf.frames - start))
+        try:
+            os.posix_fadvise(
+                self._f.fileno(),
+                inf.data_offset + start * self._bpf,
+                frames * self._bpf,
+                os.POSIX_FADV_WILLNEED,
+            )
+        except (AttributeError, OSError):
+            pass
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self) -> "RawReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

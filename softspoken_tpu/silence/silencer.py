@@ -114,29 +114,51 @@ class SilenceRunner:
 
     # ------------------------------------------------------------------
     def _silence_one(self, src: str, dst: str, intervals: List[Tuple[float, float]]):
-        inf = wavio.info(src)
+        from ..io.audio import probe, read_any
+
+        inf = probe(src)   # WAV/RF64 or FLAC input; output is always WAV
         fade = int(round(self.fade_ms / 1000.0 * inf.samplerate))
-        if inf.data_bytes <= self.stream_threshold_bytes:
-            data, sr = wavio.read(src, always_2d=True)      # (frames, ch)
+        bpf = inf.channels * max(2, inf.bits_per_sample // 8)
+        approx_bytes = inf.data_bytes or inf.frames * bpf
+        if approx_bytes <= self.stream_threshold_bytes:
+            data, sr = read_any(src, always_2d=True)        # (frames, ch)
             out = apply_mute(data.T, intervals, sr, fade_samples=fade).T
             wavio.write(dst, out, sr, subtype=self.subtype)
             return
-        # streaming write-back for huge files
-        with wavio.WavWriter(dst, inf.samplerate, inf.channels, self.subtype) as w:
-            pos = 0
-            while pos < inf.frames:
-                nread = min(self.chunk_frames, inf.frames - pos)
-                data, sr = wavio.read(src, start=pos, frames=nread, always_2d=True)
-                out = apply_mute(
-                    data.T,
-                    intervals,
-                    sr,
-                    fade_samples=fade,
-                    offset=pos,
-                    total_samples=inf.frames,
-                ).T
-                w.write(out)
-                pos += nread
+        # streaming write-back for huge files. FLAC keeps one decoder handle
+        # (range-reopening would re-decode from the stream start per chunk);
+        # the silencer's reads are strictly sequential so this is exact.
+        flac_reader = None
+        if inf.subtype.startswith("FLAC"):
+            from ..io.flac import FlacReader
+
+            flac_reader = FlacReader(src)
+            scale = np.float32(1.0 / (1 << (inf.bits_per_sample - 1)))
+
+        def read_seq(pos: int, nread: int):
+            if flac_reader is not None:
+                return flac_reader.read_i32(nread).astype(np.float32) * scale, inf.samplerate
+            return read_any(src, start=pos, frames=nread, always_2d=True)
+
+        try:
+            with wavio.WavWriter(dst, inf.samplerate, inf.channels, self.subtype) as w:
+                pos = 0
+                while pos < inf.frames:
+                    nread = min(self.chunk_frames, inf.frames - pos)
+                    data, sr = read_seq(pos, nread)
+                    out = apply_mute(
+                        data.T,
+                        intervals,
+                        sr,
+                        fade_samples=fade,
+                        offset=pos,
+                        total_samples=inf.frames,
+                    ).T
+                    w.write(out)
+                    pos += nread
+        finally:
+            if flac_reader is not None:
+                flac_reader.close()
 
 
 def write_status_file(project: Dict, project_output_dir: str) -> str:

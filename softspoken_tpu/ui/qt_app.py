@@ -19,15 +19,33 @@ import os
 import sys
 from typing import Optional
 
-try:
-    from PySide6.QtCore import QObject, QRunnable, Qt, QThreadPool, Signal, Slot
-    from PySide6.QtGui import QAction, QKeySequence, QPixmap
+def _qt_available() -> bool:
+    try:
+        import PySide6  # noqa: F401
+
+        return True
+    except Exception:  # noqa: BLE001
+        if os.environ.get("SOFTSPOKEN_QT_SHIM"):
+            from .qt_shim import install
+
+            return install()
+        return False
+
+
+if _qt_available():
+    from PySide6.QtCore import (
+        QObject, QRunnable, Qt, QThreadPool, QTimer, Signal, Slot,
+    )
+    from PySide6.QtGui import QAction, QColor, QKeySequence, QPixmap
     from PySide6.QtWidgets import (
         QApplication,
+        QDialog,
         QFileDialog,
+        QFormLayout,
         QHBoxLayout,
         QInputDialog,
         QLabel,
+        QLineEdit,
         QListWidget,
         QMainWindow,
         QMessageBox,
@@ -41,7 +59,7 @@ try:
     )
 
     HAVE_QT = True
-except Exception:  # noqa: BLE001 — headless environments
+else:
     HAVE_QT = False
 
 from ..config import Config, DEFAULT_CONFIG
@@ -172,7 +190,7 @@ if HAVE_QT:
             )
 
         def add_files(self):
-            paths, _ = QFileDialog.getOpenFileNames(self, "Add audio files", "", "WAV (*.wav)")
+            paths, _ = QFileDialog.getOpenFileNames(self, "Add audio files", "", "Audio (*.wav *.flac)")
             if paths:
                 self.app.pm.update_file_list([os.path.abspath(p) for p in paths])
                 self.refresh()
@@ -230,8 +248,10 @@ if HAVE_QT:
                 lambda p: self.overall_bar.setValue(int(p))
             )
             self.worker.signals.finished.connect(self._on_finished)
-            QThreadPool.globalInstance().start(self.worker)
+            # disable BEFORE dispatch: guards the double-click race, and the
+            # headless shim's pool runs the worker synchronously
             self.start_btn.setEnabled(False)
+            QThreadPool.globalInstance().start(self.worker)
 
         def stop(self):
             if self.worker:
@@ -249,25 +269,101 @@ if HAVE_QT:
             )
             self.app.workspace.refresh()
 
+    class AddDetectionDialog(QDialog):
+        """Add a detection by hand (review_detections.py:538-675): file name,
+        start and end seconds; insertion keeps (file, start) order and the ID
+        is assigned by the save-time backfill (ReviewSession.add)."""
+
+        def __init__(self, parent=None, default_file: str = ""):
+            super().__init__(parent)
+            self.setWindowTitle("Add Detection")
+            form = QFormLayout(self)
+            self.file_edit = QLineEdit(default_file)
+            self.start_edit = QLineEdit("")
+            self.end_edit = QLineEdit("")
+            form.addRow(QLabel("File name"), self.file_edit)
+            form.addRow(QLabel("Start (s)"), self.start_edit)
+            form.addRow(QLabel("End (s)"), self.end_edit)
+            row = QHBoxLayout()
+            ok = QPushButton("Add")
+            ok.clicked.connect(self._validate_accept)
+            cancel = QPushButton("Cancel")
+            cancel.clicked.connect(self.reject)
+            row.addWidget(ok)
+            row.addWidget(cancel)
+            form.addLayout(row)
+
+        def _validate_accept(self):
+            try:
+                s, e = float(self.start_edit.text()), float(self.end_edit.text())
+            except ValueError:
+                QMessageBox.warning(self, "Add Detection", "times must be numbers")
+                return
+            if e <= s or not self.file_edit.text().strip():
+                QMessageBox.warning(
+                    self, "Add Detection", "need a file name and end > start"
+                )
+                return
+            self.accept()
+
+        def values(self):
+            return (
+                self.file_edit.text().strip(),
+                float(self.start_edit.text()),
+                float(self.end_edit.text()),
+            )
+
     class ReviewScreen(QWidget):
-        """Spectrogram + table + Keep/Erase over ui.ReviewSession."""
+        """Spectrogram + table + grade/zoom/play/edit over ui.ReviewSession.
+
+        Reference parity (review_detections.py): Keep/Erase with timestamps
+        and auto-advance (:677-717), power-of-2 seconds-per-inch zoom
+        (:1078-1092), segment / visible-window playback (:466-536), in-table
+        comment editing + add-detection dialog (:538-675), reviewed-row
+        highlighting (:1002-1011), debounced re-render on resize (:40-59).
+        """
+
+        REVIEWED_COLOR = (208, 240, 192)  # pale green, same intent as :1002
+        ZOOM_MIN, ZOOM_MAX = 0.125, 64.0
 
         def __init__(self, app):
             super().__init__()
             self.app = app
             self.session = None
+            self.zoom_level = 1.0          # seconds-per-inch scale, power of 2
+            self.last_play_path = None     # last exported playback WAV
+            self._updating_table = False
             lay = QVBoxLayout(self)
             self.image = QLabel()
             self.image.setMinimumHeight(260)
             self.image.setAlignment(Qt.AlignmentFlag.AlignCenter)
             lay.addWidget(self.image)
+
+            zoom_row = QHBoxLayout()
+            for text, cb, key in [
+                ("Zoom In (+)", self.zoom_in, "+"),
+                ("Zoom Out (−)", self.zoom_out, "-"),
+                ("Play Segment", self.play_segment, "Shift+Space"),
+                ("Play Window", self.play_window, None),
+            ]:
+                b = QPushButton(text)
+                b.clicked.connect(cb)
+                if key:
+                    b.setShortcut(QKeySequence(key))
+                zoom_row.addWidget(b)
+            self.zoom_label = QLabel("zoom: 1 s/in")
+            zoom_row.addWidget(self.zoom_label)
+            lay.addLayout(zoom_row)
+
             self.table = QTableWidget()
             self.table.itemSelectionChanged.connect(self._on_select)
+            self.table.itemChanged.connect(self._on_item_changed)
             lay.addWidget(self.table)
             row = QHBoxLayout()
             for text, cb, key in [
                 ("Keep (Shift+K)", self.keep, "Shift+K"),
                 ("Erase (Shift+E)", self.erase, "Shift+E"),
+                ("Add Detection…", self.add_detection, None),
                 ("Delete Row", self.delete_row, None),
                 ("Back", self.app.show_workspace, None),
             ]:
@@ -278,29 +374,81 @@ if HAVE_QT:
                 row.addWidget(b)
             lay.addLayout(row)
 
-        def refresh(self):
+            # debounced re-render on resize (review_detections.py:40-59)
+            self._resize_timer = QTimer(self)
+            self._resize_timer.setSingleShot(True)
+            self._resize_timer.timeout.connect(self._render_current)
+
+        # ---- table <-> session ------------------------------------------
+        def refresh(self, reload: bool = True):
             from .review import ReviewSession
 
-            self.session = ReviewSession(
-                self.app.pm.current_project, self.app.pm.projects_folder, self.app.cfg
-            )
+            if reload or self.session is None:
+                self.session = ReviewSession(
+                    self.app.pm.current_project, self.app.pm.projects_folder,
+                    self.app.cfg,
+                )
+            self._rebuild_table()
+
+        def _rebuild_table(self):
             df = self.session.df
-            self.table.clear()
-            self.table.setRowCount(len(df))
-            self.table.setColumnCount(len(df.columns))
-            self.table.setHorizontalHeaderLabels([str(c) for c in df.columns])
-            for r in range(len(df)):
-                for c, col in enumerate(df.columns):
-                    self.table.setItem(r, c, QTableWidgetItem(str(df.iloc[r][col])))
+            reviewed = self.session.reviewed_mask()
+            self._updating_table = True
+            try:
+                self.table.clear()
+                self.table.setRowCount(len(df))
+                self.table.setColumnCount(len(df.columns))
+                self.table.setHorizontalHeaderLabels([str(c) for c in df.columns])
+                for r in range(len(df)):
+                    for c, col in enumerate(df.columns):
+                        item = QTableWidgetItem(str(df.iloc[r][col]))
+                        if r < len(reviewed) and reviewed[r]:
+                            item.setBackground(QColor(*self.REVIEWED_COLOR))
+                        self.table.setItem(r, c, item)
+            finally:
+                self._updating_table = False
             if len(df):
-                self.table.selectRow(0)
+                self.table.selectRow(
+                    min(self.session.current_index, len(df) - 1)
+                )
+
+        def _col_index(self, name: str) -> int:
+            return list(self.session.df.columns).index(name)
 
         def _on_select(self):
             r = self.table.currentRow()
-            if self.session is None or r < 0 or r >= len(self.session.df):
+            if self._updating_table or self.session is None \
+                    or r < 0 or r >= len(self.session.df):
                 return
             self.session.seek(r)
             self._render(r)
+
+        def _on_item_changed(self, item):
+            """In-table edits: comments and start/end times persist through
+            the session (review_detections.py:106-139)."""
+            if self._updating_table or self.session is None:
+                return
+            r, c = item.row(), item.column()
+            if r < 0 or r >= len(self.session.df):
+                return
+            col = list(self.session.df.columns)[c]
+            if col == "user_comment":
+                self.session.set_comment(item.text(), index=r, persist=True)
+            elif col in ("start_time", "end_time"):
+                try:
+                    v = float(item.text())
+                except ValueError:
+                    return
+                row = self.session.df.iloc[r]
+                s = v if col == "start_time" else float(row["start_time"])
+                e = v if col == "end_time" else float(row["end_time"])
+                self.session.set_times(s, e, index=r, persist=True)
+
+        # ---- spectrogram -------------------------------------------------
+        def _render_current(self):
+            r = self.table.currentRow()
+            if self.session is not None and 0 <= r < len(self.session.df):
+                self._render(r)
 
         def _render(self, r: int):
             from .spectrogram import render_review_png
@@ -319,6 +467,7 @@ if HAVE_QT:
                         ].iterrows()
                     ],
                     widget_width_px=max(400, self.width()),
+                    zoom_level=self.zoom_level,
                     config=self.app.cfg,
                 )
                 pix = QPixmap()
@@ -329,21 +478,107 @@ if HAVE_QT:
             except Exception as e:  # noqa: BLE001
                 self.image.setText(f"(no spectrogram: {e})")
 
+        def resizeEvent(self, event=None):
+            self._resize_timer.start(100)
+
+        # ---- zoom (power-of-2 seconds-per-inch, :1078-1092) --------------
+        def zoom_in(self):
+            self.zoom_level = max(self.ZOOM_MIN, self.zoom_level / 2.0)
+            self._after_zoom()
+
+        def zoom_out(self):
+            self.zoom_level = min(self.ZOOM_MAX, self.zoom_level * 2.0)
+            self._after_zoom()
+
+        def _after_zoom(self):
+            z = self.zoom_level
+            self.zoom_label.setText(
+                f"zoom: {z:g} s/in" if z >= 1 else f"zoom: 1/{1 / z:g} s/in"
+            )
+            self._render_current()
+
+        # ---- playback (:466-536) ------------------------------------------
+        def _play(self, start: float, stop: float):
+            from . import playback
+
+            row = self.session.current()
+            if row is None:
+                return
+            full = os.path.join(row["file_path"], row["file_name"])
+            try:
+                if not playback.play_segment(full, (start, stop), self.app.cfg,
+                                             blocking=False):
+                    # no audio backend: export the temp WAV like the
+                    # reference's QMediaPlayer temp-file flow (:466-525)
+                    self.last_play_path = playback.export_segment_wav(
+                        full, (start, stop), config=self.app.cfg
+                    )
+            except Exception as e:  # noqa: BLE001
+                QMessageBox.warning(self, "Playback", str(e))
+
+        def play_segment(self):
+            row = self.session.current() if self.session else None
+            if row is not None:
+                self._play(float(row["start_time"]), float(row["end_time"]))
+
+        def play_window(self):
+            from .spectrogram import plan_view_window
+
+            row = self.session.current() if self.session else None
+            if row is None:
+                return
+            full = os.path.join(row["file_path"], row["file_name"])
+            a, b, _ = plan_view_window(
+                full, float(row["start_time"]), float(row["end_time"]),
+                widget_width_px=max(400, self.width()),
+                zoom_level=self.zoom_level,
+            )
+            self._play(a, b)
+
+        # ---- grading / rows -----------------------------------------------
         def keep(self):
             if self.session:
                 self.session.keep()
-                self.refresh()
+                self.refresh(reload=False)
 
         def erase(self):
             if self.session:
                 self.session.erase()
-                self.refresh()
+                self.refresh(reload=False)
+
+        def add_detection(self):
+            if self.session is None:
+                return
+            cur = self.session.current()
+            dlg = AddDetectionDialog(
+                self, default_file=str(cur["file_name"]) if cur is not None else ""
+            )
+            if dlg.exec() != QDialog.Accepted:
+                return
+            fname, s, e = dlg.values()
+            fpath = (
+                str(cur["file_path"])
+                if cur is not None and str(cur["file_name"]) == fname
+                else self._path_for(fname)
+            )
+            self.session.add(fpath, fname, s, e)
+            self.refresh(reload=False)
+
+        def _path_for(self, fname: str) -> str:
+            df = self.session.df
+            match = df[df["file_name"] == fname]
+            if len(match):
+                return str(match.iloc[0]["file_path"])
+            for f in self.app.pm.get_unprocessed_list():
+                if os.path.basename(f) == fname:
+                    return os.path.dirname(f)
+            return ""
 
         def delete_row(self):
             r = self.table.currentRow()
             if self.session and r >= 0:
                 self.session.delete([r])
-                self.refresh()
+                self.refresh(reload=False)
 
     class SilenceScreen(QWidget):
         def __init__(self, app):
@@ -488,7 +723,32 @@ if HAVE_QT:
             webbrowser.open(self.cfg.paths.user_guide_url)
 
 
-def main(cfg: Config = DEFAULT_CONFIG) -> int:
+def smoke(cfg: Config = DEFAULT_CONFIG, screenshot: Optional[str] = None) -> int:
+    """Construct every screen, click through the navigation, and optionally
+    save the review spectrogram to ``screenshot``. Works headless (under the
+    qt_shim) and under real PySide6 with QT_QPA_PLATFORM=offscreen."""
+    if not HAVE_QT:
+        sys.exit("no Qt available — set SOFTSPOKEN_QT_SHIM=1 for the headless shim")
+    app = QApplication.instance() or QApplication(sys.argv)
+    win = SoftspokenApp(cfg)
+    win.show()
+    assert win.stack.currentWidget() is win.home
+    if win.pm.activate_latest():
+        win.show_workspace()
+        for nav in (win.show_detector, win.show_review, win.show_silence):
+            nav()
+        if screenshot and win.review.image.pixmap() is not None:
+            win.review.image.pixmap().save(screenshot)
+            print(f"screenshot → {screenshot}")
+    win.close()
+    print("gui smoke ok: 5 screens constructed, navigation wired")
+    return 0
+
+
+def main(cfg: Config = DEFAULT_CONFIG, smoke_mode: bool = False,
+         screenshot: Optional[str] = None) -> int:
+    if smoke_mode:
+        return smoke(cfg, screenshot)
     if not HAVE_QT:
         sys.exit("PySide6 is not installed; use the headless CLI: python -m softspoken_tpu")
     app = QApplication(sys.argv)

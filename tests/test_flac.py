@@ -1,0 +1,218 @@
+"""Native FLAC decoder (csrc/ssflac.cpp via io/flac.py) vs the independent
+test encoder (tests/flac_ref.py). Exact integer round-trips: FLAC is
+lossless, so every decoded sample must equal the encoder's input."""
+
+import numpy as np
+import pytest
+
+from softspoken_tpu.io import flac
+
+import flac_ref
+
+pytestmark = pytest.mark.skipif(
+    not flac.flac_available(), reason="no native FLAC decoder (g++ missing)"
+)
+
+
+def _sine_int(frames, channels, bits, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(frames)
+    amp = (1 << (bits - 1)) - 1
+    out = np.stack(
+        [
+            np.rint(
+                0.5 * amp * np.sin(2 * np.pi * (300 + 200 * c) * t / 22050)
+                + 0.05 * amp * rng.standard_normal(frames)
+            )
+            for c in range(channels)
+        ],
+        axis=1,
+    ).astype(np.int64)
+    return np.clip(out, -(1 << (bits - 1)), (1 << (bits - 1)) - 1)
+
+
+def test_info_and_exact_roundtrip_mono16(tmp_path):
+    p = str(tmp_path / "m16.flac")
+    x = _sine_int(10_000, 1, 16)
+    flac_ref.write_flac(p, x, 22050, bits=16)
+    inf = flac.info(p)
+    assert (inf.samplerate, inf.channels, inf.frames, inf.bits_per_sample) == (
+        22050, 1, 10_000, 16,
+    )
+    with flac.FlacReader(p) as r:
+        got = r.read_i32(10_000)
+    np.testing.assert_array_equal(got.astype(np.int64), x)
+
+
+def test_roundtrip_stereo_and_short_last_block(tmp_path):
+    p = str(tmp_path / "s16.flac")
+    x = _sine_int(flac_ref.BLOCKSIZE * 2 + 123, 2, 16, seed=1)  # short tail
+    flac_ref.write_flac(p, x, 32000, bits=16)
+    data, sr = flac.read(p, always_2d=True)
+    assert sr == 32000
+    scale = 1 << 15
+    np.testing.assert_array_equal(np.rint(data * scale).astype(np.int64), x)
+
+
+@pytest.mark.parametrize("force", ["verbatim", "fixed0", "fixed1", "fixed2"])
+def test_all_subframe_types(tmp_path, force):
+    p = str(tmp_path / f"{force}.flac")
+    x = _sine_int(6000, 1, 16, seed=2)
+    flac_ref.write_flac(p, x, 22050, bits=16, force_subframe=force)
+    with flac.FlacReader(p) as r:
+        got = r.read_i32(6000)
+    np.testing.assert_array_equal(got.astype(np.int64), x)
+
+
+def test_constant_subframe(tmp_path):
+    p = str(tmp_path / "const.flac")
+    x = np.full((5000, 1), -1234, np.int64)
+    flac_ref.write_flac(p, x, 22050, bits=16)
+    with flac.FlacReader(p) as r:
+        got = r.read_i32(5000)
+    np.testing.assert_array_equal(got.astype(np.int64), x)
+
+
+def test_left_side_decorrelation(tmp_path):
+    p = str(tmp_path / "ls.flac")
+    x = _sine_int(5000, 2, 16, seed=3)
+    flac_ref.write_flac(p, x, 22050, bits=16, left_side=True)
+    with flac.FlacReader(p) as r:
+        got = r.read_i32(5000)
+    np.testing.assert_array_equal(got.astype(np.int64), x)
+
+
+def test_24bit_roundtrip(tmp_path):
+    p = str(tmp_path / "b24.flac")
+    x = _sine_int(4100, 1, 24, seed=4)
+    flac_ref.write_flac(p, x, 48000, bits=24)
+    with flac.FlacReader(p) as r:
+        assert r.info.bits_per_sample == 24
+        got = r.read_i32(4100)
+    np.testing.assert_array_equal(got.astype(np.int64), x)
+
+
+def test_range_reads_and_seek(tmp_path):
+    p = str(tmp_path / "seek.flac")
+    x = _sine_int(flac_ref.BLOCKSIZE * 5, 1, 16, seed=5)
+    flac_ref.write_flac(p, x, 22050, bits=16, seektable_every=2)
+    scale = 1 << 15
+    with flac.FlacReader(p) as r:
+        for start, n in [(0, 100), (5000, 1000), (12_000, 4097),
+                         (100, 50), (flac_ref.BLOCKSIZE * 5 - 10, 100)]:
+            got = r.read_f32(start, n)
+            want = x[start : start + n, 0].astype(np.float32) / scale
+            np.testing.assert_allclose(got, want, atol=0)
+
+
+def test_is_flac_and_bad_file(tmp_path):
+    p = str(tmp_path / "x.flac")
+    with open(p, "wb") as f:
+        f.write(b"fLaCgarbage")
+    assert flac.is_flac(p)
+    with pytest.raises(flac.FlacError):
+        flac.FlacReader(p)
+    assert not flac.is_flac(__file__)
+
+
+def test_flac_through_audio_dispatch(tmp_path):
+    """probe/read_any/load_audio/stream_chunks handle FLAC like WAV."""
+    from softspoken_tpu.io import audio as A, wavio
+
+    rng = np.random.default_rng(7)
+    x16 = np.clip(np.rint(12000 * rng.standard_normal(44100)), -32768, 32767
+                  ).astype(np.int64)
+    fp = str(tmp_path / "field.flac")
+    wp = str(tmp_path / "field.wav")
+    flac_ref.write_flac(fp, x16, 44100, bits=16)
+    wavio.write(wp, (x16 / 32768.0).astype(np.float32), 44100, subtype="PCM_16")
+
+    assert A.get_audio_data(fp) == A.get_audio_data(wp)
+    assert A.internal_length(fp) == A.internal_length(wp)
+
+    la_f, sr_f = A.load_audio(fp)
+    la_w, sr_w = A.load_audio(wp)
+    assert sr_f == sr_w == 22050
+    np.testing.assert_allclose(la_f, la_w, atol=1e-6)
+
+    ss_f, _ = A.load_audio_startstop(fp, (0.25, 1.0))
+    ss_w, _ = A.load_audio_startstop(wp, (0.25, 1.0))
+    np.testing.assert_allclose(ss_f, ss_w, atol=1e-6)
+
+    cf = [c.data for c in A.stream_chunks(fp, 10_000)]
+    cw = [c.data for c in A.stream_chunks(wp, 10_000)]
+    np.testing.assert_allclose(np.concatenate(cf), np.concatenate(cw), atol=1e-6)
+
+
+def test_flac_detection_matches_wav(tmp_path):
+    """End-to-end: detection intervals on a FLAC must equal the same audio
+    as WAV, through both the host and fused pipelines."""
+    from softspoken_tpu import Config, ckpt
+    from softspoken_tpu.engine import Detector
+    from softspoken_tpu.engine.fused import detect_file_fused
+    from softspoken_tpu.io import wavio
+
+    rng = np.random.default_rng(8)
+    x16 = np.clip(np.rint(9000 * rng.standard_normal(8 * 22050)), -32768, 32767
+                  ).astype(np.int64)
+    fp = str(tmp_path / "d.flac")
+    wp = str(tmp_path / "d.wav")
+    flac_ref.write_flac(fp, x16, 22050, bits=16)
+    wavio.write(wp, (x16 / 32768.0).astype(np.float32), 22050, subtype="PCM_16")
+
+    det = Detector(
+        Config().with_engine(precision="parity", device_batch=4,
+                             chunk_seconds=12.0, pipeline="host"),
+        variables=ckpt.fixture_variables(seed=0),
+    )
+    host_w = det.detect_file(wp)
+    host_f = det.detect_file(fp)
+    assert host_f.intervals == host_w.intervals
+    np.testing.assert_allclose(host_f.avg_values, host_w.avg_values, atol=1e-6)
+
+    fused_f = detect_file_fused(det, fp)
+    assert fused_f.num_windows == host_f.num_windows
+    assert fused_f.intervals == host_f.intervals
+
+
+def test_flac_silencing_memory_and_streaming(tmp_path):
+    """Silencing a FLAC input (both in-memory and streaming) equals
+    silencing the identical WAV (output is always WAV, like the reference)."""
+    import pandas as pd
+
+    from softspoken_tpu.io import wavio
+    from softspoken_tpu.silence import SilenceRunner
+
+    rng = np.random.default_rng(9)
+    x16 = np.clip(np.rint(11000 * rng.standard_normal((2 * 22050, 2))),
+                  -32768, 32767).astype(np.int64)
+    src = tmp_path / "in"
+    src.mkdir()
+    fp = str(src / "rec.flac")
+    wp = str(src / "rec.wav")
+    flac_ref.write_flac(fp, x16, 22050, bits=16)
+    wavio.write(wp, (x16 / 32768.0).astype(np.float32), 22050, subtype="PCM_16")
+
+    def df_for(name):
+        return pd.DataFrame([{
+            "ID": 1, "file_path": str(src), "file_name": name,
+            "start_time": 0.4, "end_time": 0.9, "erase": 1,
+            "user_comment": "", "review_datetime": "",
+        }])
+
+    mem_f = SilenceRunner(str(tmp_path / "mf"))
+    mem_f.run(df_for("rec.flac"))
+    mem_w = SilenceRunner(str(tmp_path / "mw"))
+    mem_w.run(df_for("rec.wav"))
+    a, _ = wavio.read(str(tmp_path / "mf" / "rec_silenced.wav"), always_2d=True)
+    b, _ = wavio.read(str(tmp_path / "mw" / "rec_silenced.wav"), always_2d=True)
+    np.testing.assert_array_equal(a, b)
+    sr = 22050
+    assert np.abs(a[int(0.4 * sr) : int(0.9 * sr)]).max() == 0.0
+
+    stream_f = SilenceRunner(str(tmp_path / "sf"), stream_threshold_bytes=1,
+                             chunk_frames=5000)
+    rep = stream_f.run(df_for("rec.flac"))
+    assert rep.files_done == 1, rep.errors
+    c, _ = wavio.read(str(tmp_path / "sf" / "rec_silenced.wav"), always_2d=True)
+    np.testing.assert_array_equal(c, a)

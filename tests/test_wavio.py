@@ -161,3 +161,17 @@ def test_wavwriter_header_level_4gib(tmp_path):
     # header-only probe sees the 64-bit size
     inf = wavio.info(p)
     assert inf.frames == fake_payload // 4
+
+
+def test_rawreader_matches_read_raw(tmp_path):
+    p = str(tmp_path / "r.wav")
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-0.9, 0.9, 48000).astype(np.float32)
+    wavio.write(p, x, 16000, subtype="PCM_16")
+    with wavio.RawReader(p) as r:
+        assert r.info.frames == 48000
+        for start, n in [(0, 1000), (100, 777), (47000, 5000), (48000, 10)]:
+            got = r.read_raw(start, n)
+            want, _ = wavio.read_raw(p, start=start, frames=n)
+            np.testing.assert_array_equal(got, want)
+        r.will_need(0, 48000)  # must not raise anywhere
