@@ -69,3 +69,77 @@ def test_silence_is_finite():
     out = melops.log_mel_single(x)
     assert np.all(np.isfinite(out))
     np.testing.assert_array_equal(out, np.zeros_like(out))
+
+
+# ---------------------------------------------------------------------------
+# round 2: real-library and high-precision cross-checks (VERDICT r1 #9).
+# torchaudio itself is not installable in this image, but
+# torchaudio.transforms.MelSpectrogram is literally Spectrogram(torch.stft,
+# power=2) + a melscale_fbanks matmul — and torch.stft IS available. Testing
+# against genuine torch.stft removes the re-derivation risk for the framing/
+# window/reflect-pad/power stages; the remaining torchaudio-only piece
+# (melscale_fbanks, HTK, norm=None) is checked against a third, pointwise
+# 50-digit mpmath derivation of the triangle filters.
+# ---------------------------------------------------------------------------
+
+def test_mel_frontend_matches_real_torch_stft():
+    import torch
+
+    from softspoken_tpu.ops import mel as M
+
+    rng = np.random.default_rng(123)
+    x = rng.uniform(-0.7, 0.7, M.WINDOW_SAMPLES).astype(np.float64)
+
+    win = torch.hann_window(M.WIN_LENGTH, periodic=True, dtype=torch.float64)
+    spec = torch.stft(
+        torch.from_numpy(x),
+        n_fft=M.N_FFT,
+        hop_length=M.HOP_LENGTH,
+        win_length=M.WIN_LENGTH,
+        window=win,
+        center=True,
+        pad_mode="reflect",
+        normalized=False,
+        onesided=True,
+        return_complex=True,
+    )
+    power = spec.abs().pow(2.0).numpy()                 # (1025, 259)
+    fb = M.mel_filterbank().astype(np.float64)          # (1025, 128)
+    mel = fb.T @ power[:, :256]                         # frame trim :150
+    want = np.sqrt(np.log10(mel + 1.0))                 # :80-81
+
+    got = M.log_mel_single(x.astype(np.float32))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_mel_filterbank_matches_mpmath_pointwise():
+    """Third independent derivation: per-filter triangle weights evaluated
+    pointwise in 50-digit arithmetic from the textbook definition, no shared
+    vectorized slope algebra with ops/mel.py or tests/np_ref.py."""
+    import mpmath
+
+    from softspoken_tpu.ops import mel as M
+
+    mpmath.mp.dps = 50
+
+    def h2m(f):
+        return 2595 * mpmath.log10(1 + mpmath.mpf(f) / 700)
+
+    def m2h(m):
+        return 700 * (mpmath.mpf(10) ** (m / mpmath.mpf(2595)) - 1)
+
+    n_freqs, n_mels = M.N_FREQS, M.N_MELS
+    f_pts = [m2h(h2m(0) + (h2m(8000) - h2m(0)) * k / (n_mels + 1))
+             for k in range(n_mels + 2)]
+    fb = M.mel_filterbank()
+    # spot-check a grid of (bin, filter) pairs incl. triangle peaks and edges
+    rng = np.random.default_rng(0)
+    bins = sorted(set(rng.integers(0, n_freqs, 60).tolist()) | {0, 1024})
+    for m in [0, 1, 17, 64, 100, 126, 127]:
+        lo, ce, hi = f_pts[m], f_pts[m + 1], f_pts[m + 2]
+        for b in bins:
+            f = mpmath.mpf(b) * 11025 / (n_freqs - 1)
+            rise = (f - lo) / (ce - lo)
+            fall = (hi - f) / (hi - ce)
+            want = max(0, min(rise, fall))
+            assert abs(float(want) - float(fb[b, m])) < 1e-6, (b, m)
