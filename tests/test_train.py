@@ -301,3 +301,35 @@ def test_fused_train_step_runs_and_advances():
     state, m = step(state, jnp.asarray(sp), jnp.asarray(nz), jax.random.PRNGKey(1))
     assert int(state.step) == 2
     assert all(np.isfinite(float(v)) for v in m.values())
+
+
+def test_sharded_fused_synth_step_matches_unsharded():
+    """The mesh variant of the fused synth+train step must produce the same
+    loss as the single-device one for identical PRNG keys (dp sharding is a
+    layout choice, not a semantic one)."""
+    from softspoken_tpu.parallel import make_mesh
+    from softspoken_tpu.train.device_data import (
+        make_fused_train_step, make_sharded_fused_train_step,
+        make_synth_batch_fn,
+    )
+    from softspoken_tpu.train.loop import create_train_state
+    from softspoken_tpu.train import synth
+
+    rng = np.random.default_rng(10)
+    sp, nz = synth.make_pools(rng, 2, 2)
+    synth_fn = make_synth_batch_fn(4, ())
+    key = jax.random.PRNGKey(3)
+
+    model, s1, tx = create_train_state(jax.random.PRNGKey(0), 1e-3)
+    step1 = make_fused_train_step(model, tx, synth_fn, n_inner=1)
+    _, m1 = step1(s1, jnp.asarray(sp), jnp.asarray(nz), key)
+
+    mesh = make_mesh(("data",), devices=jax.devices()[:4], shape=(4,))
+    model2, s2, tx2 = create_train_state(jax.random.PRNGKey(0), 1e-3)
+    step2 = make_sharded_fused_train_step(model2, tx2, synth_fn, mesh, n_inner=1)
+    with mesh:
+        _, m2 = step2(s2, jnp.asarray(sp), jnp.asarray(nz), key)
+
+    # different GSPMD partitionings reorder f32 reductions (see
+    # test_model.py tolerance note)
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 3e-3
