@@ -351,6 +351,7 @@ def cmd_train(args) -> None:
             n_inner=args.n_inner,
             pool_speech=args.pool_size,
             pool_noise=args.pool_size,
+            resume=args.resume,
         )
     else:
         if not (args.speech_dir and args.noise_dir):
@@ -366,6 +367,7 @@ def cmd_train(args) -> None:
             augmentations=args.augment,
             seed=args.seed,
             mesh=mesh,
+            resume=args.resume,
         )
     print(json.dumps(metrics))
 
@@ -503,6 +505,8 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--augment", nargs="*", default=["add_reverb", "reduce_volume"])
     pt.add_argument("--mesh", action="store_true", help="dp×sp over all devices")
+    pt.add_argument("--resume", metavar="CKPT",
+                    help="warm-start params/batch_stats from an orbax checkpoint")
     pt.set_defaults(func=cmd_train)
 
     pe = sub.add_parser("eval", help="score detections vs labeled intervals (F1)")

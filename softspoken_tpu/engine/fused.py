@@ -221,7 +221,7 @@ class FusedStreamingEngine:
                 rs, lo = s0, 0
                 got = read_padded(rs, min(self.in_len, n_nat_padded - rs))
                 staging[: len(got)] = got
-            else:
+            else:  # polyphase path: align reads to whole `down` blocks
                 in_first = (s0 * down) // up
                 rs = max(0, in_first - 2 * down)
                 rs -= rs % down
@@ -238,7 +238,10 @@ class FusedStreamingEngine:
             starts_l[:n] = (starts_g[w0:w1] - s0).astype(np.int32)
             bins_l[:n] = (bins_g[w0:w1] - base).astype(np.int32)
             valid[:n] = 1.0
-            return staging, lo, fin, starts_l, bins_l, valid, w1
+            # start the host→device copy HERE, on the read-ahead thread: the
+            # tunnel upload (~60 MB/s) then overlaps the previous chunk's
+            # device compute instead of serializing after it
+            return jax.device_put(staging), lo, fin, starts_l, bins_l, valid, w1
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -251,7 +254,7 @@ class FusedStreamingEngine:
                     fut = ex.submit(prepare, ci + 1)
                 avg, cnt, carry_sum, carry_cnt = self._fn(
                     self.det.variables,
-                    jax.device_put(staging),
+                    staging,
                     jnp.int32(lo),
                     jnp.int32(max(fin, 0)),
                     jnp.asarray(starts_l.reshape(self.nb, self.B)),

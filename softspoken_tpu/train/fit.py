@@ -77,13 +77,16 @@ def fit(
     log_every: int = 20,
     save_every: int = 200,
     on_metrics=None,
+    resume: Optional[str] = None,
 ) -> Dict[str, float]:
     """Run training; returns the final metrics dict."""
     rng = np.random.default_rng(seed)
     speech = ClipSampler(list_wavs(speech_dir), rng, tile_short=False)
     noise = ClipSampler(list_wavs(noise_dir), rng, tile_short=True)
 
-    model, state, tx = create_train_state(jax.random.PRNGKey(seed), learning_rate)
+    model, state, tx = create_train_state(jax.random.PRNGKey(seed), learning_rate,
+                                          resume=resume)
+    step0 = int(state.step)
     if mesh is not None:
         step_fn, shardings = make_sharded_train_step(model, tx, mesh)
     else:
@@ -115,7 +118,7 @@ def fit(
                 on_metrics(step, metrics)
         if ckpt_out and (step % save_every == 0 or step == steps):
             variables = {"params": state.params, "batch_stats": state.batch_stats}
-            ckpt_mod.save(ckpt_out, jax.device_get(variables), epoch=step)
+            ckpt_mod.save(ckpt_out, jax.device_get(variables), epoch=step0 + step)
     return metrics
 
 
@@ -134,6 +137,7 @@ def fit_synthetic(
     log_every_outer: int = 5,
     save_every_outer: int = 25,
     on_metrics=None,
+    resume: Optional[str] = None,
 ) -> Dict[str, float]:
     """Train from the synthetic corpus with fully on-device batch synthesis.
 
@@ -159,7 +163,9 @@ def fit_synthetic(
     sp_np, nz_np = synth.make_pools(rng, pool_speech, pool_noise)
     speech_pool, noise_pool = jax.device_put(sp_np), jax.device_put(nz_np)
 
-    model, state, tx = create_train_state(jax.random.PRNGKey(seed), learning_rate)
+    model, state, tx = create_train_state(jax.random.PRNGKey(seed), learning_rate,
+                                          resume=resume)
+    step0 = int(state.step)
     synth_fn = make_synth_batch_fn(batch_size, augmentations)
     if mesh is not None:
         step_fn = make_sharded_fused_train_step(model, tx, synth_fn, mesh,
@@ -204,5 +210,5 @@ def fit_synthetic(
                     on_metrics(step, metrics)
             if ckpt_out and (outer % save_every_outer == 0 or outer == outer_total):
                 variables = {"params": state.params, "batch_stats": state.batch_stats}
-                ckpt_mod.save(ckpt_out, jax.device_get(variables), epoch=step)
+                ckpt_mod.save(ckpt_out, jax.device_get(variables), epoch=step0 + step)
     return metrics

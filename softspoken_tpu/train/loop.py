@@ -40,15 +40,26 @@ def create_train_state(
     rng: jax.Array,
     learning_rate: float = 1e-3,
     weight_decay: float = 1e-4,
+    resume: Optional[str] = None,
 ) -> Tuple[SpecUNet2D, TrainState, optax.GradientTransformation]:
+    """Fresh model+optimizer; ``resume`` warm-starts params/batch_stats (and
+    the step counter) from an orbax checkpoint so training can continue from
+    the committed checkpoint instead of from scratch. Optimizer moments
+    restart fresh — adamw re-warms within a few hundred steps."""
     model = SpecUNet2D()
     variables = model.init(rng, jnp.zeros((1, 128, 256, 1), jnp.float32))
+    step0 = 0
+    if resume:
+        from .. import ckpt as ckpt_mod
+
+        variables, epoch = ckpt_mod.load(resume)
+        step0 = int(epoch or 0)
     tx = optax.adamw(learning_rate, weight_decay=weight_decay)
     state = TrainState(
         params=variables["params"],
         batch_stats=variables["batch_stats"],
         opt_state=tx.init(variables["params"]),
-        step=jnp.zeros((), jnp.int32),
+        step=jnp.asarray(step0, jnp.int32),
     )
     return model, state, tx
 

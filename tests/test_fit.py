@@ -60,3 +60,29 @@ def test_fit_sharded(tmp_path, corpora):
 def test_list_wavs(tmp_path, corpora):
     speech, _ = corpora
     assert len(list_wavs(speech)) == 2
+
+
+def test_fit_resume_warm_starts(tmp_path, corpora):
+    """--resume continues from a saved checkpoint: params start equal to the
+    checkpoint's and the saved epoch accumulates across runs."""
+    import jax
+
+    from softspoken_tpu.train.loop import create_train_state
+
+    speech, noise = corpora
+    out = str(tmp_path / "ck")
+    fit(speech, noise, steps=2, batch_size=2, ckpt_out=out,
+        augmentations=[], save_every=2, log_every=2)
+    saved, epoch = ckpt.load(out)
+    assert epoch == 2
+
+    _, state, _ = create_train_state(jax.random.PRNGKey(9), resume=out)
+    assert int(state.step) == 2
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(saved["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    fit(speech, noise, steps=2, batch_size=2, ckpt_out=out,
+        augmentations=[], save_every=2, log_every=2, resume=out)
+    _, epoch2 = ckpt.load(out)
+    assert epoch2 == 4
