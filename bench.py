@@ -43,7 +43,7 @@ def main() -> None:
     bench_seconds = float(os.environ.get("BENCH_SECONDS", "1800"))
     cfg = Config().with_engine(
         device_batch=int(os.environ.get("BENCH_DEVICE_BATCH", "256")),
-        chunk_seconds=float(os.environ.get("BENCH_CHUNK_SECONDS", "600")),
+        chunk_seconds=float(os.environ.get("BENCH_CHUNK_SECONDS", "150")),
     )
     det = Detector(cfg, variables=ckpt.fixture_variables(seed=0))
 
@@ -65,7 +65,7 @@ def main() -> None:
     # has multi-second stalls unrelated to this workload (measured
     # 156x..589x for identical runs); the best run reflects the pipeline,
     # the spread reflects the shared link
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     trace_dir = os.environ.get("BENCH_TRACE", "")
     walls = []
     for i in range(repeats):

@@ -72,8 +72,11 @@ class EngineConfig:
     device_batch: int = 128
     # Streaming chunk length, seconds of audio per device dispatch for long
     # recordings (overlap-save; boundaries are window-aligned so chunking
-    # never changes results — SURVEY.md §5 "long-context").
-    chunk_seconds: float = 600.0
+    # never changes results — SURVEY.md §5 "long-context").  150 s measured
+    # fastest on the remote v5e: smaller chunks overlap host→device PCM
+    # upload with compute better (919–1043× vs 747–884× at 600 s), while
+    # chunks <100 s start paying per-dispatch latency.
+    chunk_seconds: float = 150.0
     # Skip files whose detections already exist (fixes reference resume quirk
     # SURVEY.md §2.3; set False for strict reference behavior).
     skip_processed_files: bool = True

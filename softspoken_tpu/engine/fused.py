@@ -269,7 +269,11 @@ class FusedStreamingEngine:
                 if progress is not None:
                     progress(w1 / n_windows)
 
-        avg_parts = [np.asarray(avg[:fin], np.float32) for fin, avg in pending]
+        # one batched fetch: per-chunk `np.asarray(avg[:fin])` would cost a
+        # device-side slice dispatch (~30 ms tunnel roundtrip each) plus a
+        # serial download per chunk; device_get pipelines them
+        fetched = jax.device_get([avg for _, avg in pending])
+        avg_parts = [a[:fin] for (fin, _), a in zip(pending, fetched)]
         avg_values = np.concatenate(avg_parts)[:covered]
         if cfg.engine.min_count > 1:
             # coverage counts are a pure function of the window offsets
