@@ -388,6 +388,13 @@ def cmd_eval(args) -> None:
         raise SystemExit("eval: need --labels or --make-synthetic DIR")
 
     cfg = _load_config(args)
+    overrides = {}
+    if args.threshold is not None:
+        overrides["threshold"] = args.threshold
+    if args.break_duration is not None:
+        overrides["break_duration"] = args.break_duration
+    if overrides:
+        cfg = cfg.with_engine(**overrides)
     det = Detector(cfg, checkpoint_path=args.ckpt) if args.ckpt else Detector(cfg)
     result = E.evaluate_detector(det, E.load_labels(labels), iou=args.iou)
     print(json.dumps(result))
@@ -518,6 +525,11 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--ckpt", help="checkpoint (default: config model path)")
     pe.add_argument("--iou", type=float, default=0.5)
     pe.add_argument("--seed", type=int, default=1234)
+    pe.add_argument("--threshold", type=float,
+                    help="score threshold (default: parity 0.1)")
+    pe.add_argument("--break-duration", type=float,
+                    help="gap-merge seconds (parity default 0.5; 0.3 measured "
+                         "best for event F1 — docs/QUALITY_r02.json)")
     pe.set_defaults(func=cmd_eval)
 
     return p
