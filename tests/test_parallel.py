@@ -1,3 +1,4 @@
+import os
 import jax
 import numpy as np
 import pytest
@@ -143,3 +144,40 @@ def test_init_distributed_passes_explicit_arguments(monkeypatch):
         "num_processes": 2,
         "process_id": 1,
     }]
+
+
+def test_two_process_distributed_bootstrap_and_collective(tmp_path):
+    """REAL multi-process jax.distributed: two OS processes bootstrap via the
+    coordinator, form a 4-device global CPU mesh, split the file list
+    disjointly, and agree on a cross-process jitted psum (Gloo over
+    loopback — the same code path a multi-host pod takes over DCN)."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker pins cpu itself
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, coord, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"OK pid={pid}" in out
+    files0 = outs[0].split("files=")[1].split()[0].split(",")
+    files1 = outs[1].split("files=")[1].split()[0].split(",")
+    assert not set(files0) & set(files1)
+    assert sorted(files0 + files1) == [f"f{i:02d}.wav" for i in range(7)]
