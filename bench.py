@@ -85,6 +85,14 @@ def main() -> None:
         analytic_flops_per_window, mfu,
     )
 
+    # device-only: the chunk program with all inputs resident — separates
+    # compute capability from the shared remote-TPU link
+    from softspoken_tpu.engine.fused import get_fused_engine
+    from softspoken_tpu.io import wavio as _wavio
+
+    sr_native = _wavio.info(bench_path).samplerate
+    device_only = get_fused_engine(det, sr_native, "i16").device_only_rate()
+
     rates = sorted(result.audio_seconds / w for w in walls)
     value = rates[-1]
     median = rates[len(rates) // 2] if repeats % 2 else (
@@ -103,6 +111,8 @@ def main() -> None:
                 "gflop_per_window": round(analytic_flops_per_window() / 1e9, 3),
                 "mfu": round(mfu(value), 4),
                 "mfu_median": round(mfu(median), 4),
+                "device_only": round(device_only, 2),
+                "device_only_mfu": round(mfu(device_only), 4),
             }
         )
     )

@@ -160,6 +160,42 @@ class FusedStreamingEngine:
         return avg, cnt_g, new_carry_sum, new_carry_cnt
 
     # ------------------------------------------------------------------
+    def device_only_rate(self, repeats: int = 8) -> float:
+        """Audio-seconds/wall-second of the chunk program alone, with all
+        inputs device-resident (no host IO, no uploads, no downloads except
+        one final sync).  Isolates compute capability from the host link;
+        bench.py reports it alongside the e2e number."""
+        import time
+
+        cfg = self.cfg
+        step = cfg.engine.step_seconds
+        starts = np.arange(self.chunk_w, dtype=np.int64) * int(
+            round(cfg.dsp.sample_rate * step)
+        )
+        starts = np.minimum(starts, max(0, self.buf_len - 66150)).astype(np.int32)
+        bins = R.window_bin_offset(np.arange(self.chunk_w), step).astype(np.int32)
+        args = (
+            jax.device_put(np.zeros(self.in_len, self._staging.dtype)),
+            jnp.int32(0),
+            jnp.int32(0),
+            jax.device_put(starts.reshape(self.nb, self.B)),
+            jax.device_put(bins.reshape(self.nb, self.B)),
+            jax.device_put(np.ones((self.nb, self.B), np.float32)),
+        )
+        carry_s = jnp.zeros((CARRY,), jnp.float32)
+        carry_c = jnp.zeros((CARRY,), jnp.float32)
+        variables = self.det.variables
+        avg, _, cs, cc = self._fn(variables, *args, carry_s, carry_c)
+        jax.block_until_ready(avg)  # warm (program load/compile)
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            # thread the carry so iterations serialize on device
+            avg, _, cs, cc = self._fn(variables, *args, cs, cc)
+        jax.block_until_ready(avg)
+        wall = time.perf_counter() - t0
+        return repeats * self.chunk_w * step / wall
+
+    # ------------------------------------------------------------------
     def run(
         self,
         read_native: Callable[[int, int], np.ndarray],

@@ -157,3 +157,17 @@ def test_min_count_masks_low_coverage_bins(tmp_path):
     for s, e in h_strict.intervals:
         assert any(bs - 1e-9 <= s and e <= be + 1e-9
                    for bs, be in h_base.intervals)
+
+
+def test_device_only_rate_positive(tmp_path):
+    """The bench's device-only measurement runs the chunk program with
+    resident inputs and returns a sane rate."""
+    from softspoken_tpu import Config, ckpt
+    from softspoken_tpu.engine import Detector
+    from softspoken_tpu.engine.fused import get_fused_engine
+
+    cfg = Config().with_engine(device_batch=8, chunk_seconds=12.0)
+    det = Detector(cfg, variables=ckpt.fixture_variables(seed=0))
+    eng = get_fused_engine(det, 22050, "i16")
+    rate = eng.device_only_rate(repeats=2)
+    assert rate > 0
