@@ -363,7 +363,8 @@ def detect_file_fused(
         with SequentialMonoReader(path) as smr:
             return engine.run(smr.read, inf.frames, progress)
 
-    if inf.subtype == "PCM_16" and inf.channels == 1:
+    if (isinstance(inf, wavio.WavInfo)
+            and inf.subtype == "PCM_16" and inf.channels == 1):
         engine = get_fused_engine(detector, inf.samplerate, "i16")
         # persistent handle + POSIX_FADV_SEQUENTIAL: reopening per chunk
         # resets kernel readahead, and host disk read is the e2e ceiling

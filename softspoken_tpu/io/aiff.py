@@ -1,0 +1,174 @@
+"""Self-contained AIFF / AIFF-C reader.
+
+The reference gets incidental AIFF support through libsndfile
+(``sf.read``, voice_activity.py:37); field recorders and Mac toolchains
+still emit it.  Like ``io/wavio.py`` this is a from-scratch codec (no
+third-party deps): FORM/COMM/SSND chunk walk, the 80-bit extended-float
+sample rate, big-endian PCM (AIFF) and the common AIFF-C compression tags
+``NONE`` (BE) / ``sowt`` (LE PCM16) / ``fl32``/``FL32`` (BE float32).
+
+API mirrors ``wavio``: ``info(path) -> AiffInfo`` (duck-types WavInfo) and
+``read(path, start=, frames=, always_2d=) -> (float32, samplerate)`` with
+EOF clamping, so ``io.audio.probe``/``read_any`` dispatch transparently.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class AiffFormatError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class AiffInfo:
+    samplerate: int
+    channels: int
+    frames: int
+    subtype: str              # "PCM_8" | "PCM_16" | "PCM_24" | "PCM_32" | "FLOAT"
+    bits_per_sample: int
+    data_offset: int          # byte offset of the first sample frame
+    data_bytes: int
+    little_endian: bool = False
+
+    @property
+    def duration(self) -> float:
+        return self.frames / float(self.samplerate)
+
+
+def is_aiff(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+    except OSError:
+        return False
+    return (
+        len(head) == 12
+        and head[:4] == b"FORM"
+        and head[8:12] in (b"AIFF", b"AIFC")
+    )
+
+
+def _extended80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (the COMM sampleRate field)."""
+    if len(b) != 10:
+        raise AiffFormatError("bad extended float")
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _parse(f) -> AiffInfo:
+    head = f.read(12)
+    if len(head) < 12 or head[:4] != b"FORM" or head[8:12] not in (b"AIFF", b"AIFC"):
+        raise AiffFormatError("not an AIFF/AIFC file")
+    is_aifc = head[8:12] == b"AIFC"
+
+    channels = frames = bits = 0
+    rate = 0.0
+    comp = b"NONE"
+    data_offset = data_bytes = 0
+    while True:
+        ck = f.read(8)
+        if len(ck) < 8:
+            break
+        cid, size = ck[:4], struct.unpack(">I", ck[4:])[0]
+        here = f.tell()
+        if cid == b"COMM":
+            body = f.read(size)
+            if len(body) < 18:
+                raise AiffFormatError("short COMM chunk")
+            channels, frames, bits = struct.unpack(">hIh", body[:8])
+            rate = _extended80(body[8:18])
+            if is_aifc and len(body) >= 22:
+                comp = body[18:22]
+        elif cid == b"SSND":
+            body = f.read(8)
+            if len(body) < 8:
+                raise AiffFormatError("short SSND chunk")
+            offset, _block = struct.unpack(">II", body)
+            data_offset = here + 8 + offset
+            data_bytes = size - 8 - offset
+        f.seek(here + size + (size & 1))  # chunks are word-aligned
+
+    if channels <= 0 or rate <= 0:
+        raise AiffFormatError("missing/invalid COMM chunk")
+    comp_u = comp.upper()
+    if comp_u not in (b"NONE", b"SOWT", b"FL32"):
+        raise AiffFormatError(f"unsupported AIFF-C compression {comp!r}")
+    little = comp_u == b"SOWT"
+    if comp_u == b"FL32":
+        subtype, bits = "FLOAT", 32
+    else:
+        subtype = {8: "PCM_8", 16: "PCM_16", 24: "PCM_24", 32: "PCM_32"}.get(bits)
+        if subtype is None:
+            raise AiffFormatError(f"unsupported sample size {bits}")
+    if little and subtype != "PCM_16":
+        raise AiffFormatError("sowt is only defined for 16-bit PCM")
+    bpf = channels * (bits // 8)
+    if data_bytes and frames * bpf > data_bytes:
+        frames = data_bytes // bpf  # tolerate truncated files like wavio
+    return AiffInfo(
+        samplerate=int(round(rate)), channels=channels, frames=frames,
+        subtype=subtype, bits_per_sample=bits, data_offset=data_offset,
+        data_bytes=data_bytes, little_endian=little,
+    )
+
+
+def info(path: str) -> AiffInfo:
+    with open(path, "rb") as f:
+        return _parse(f)
+
+
+def _decode(raw: np.ndarray, inf: AiffInfo) -> np.ndarray:
+    if inf.subtype == "PCM_8":          # AIFF 8-bit is SIGNED (unlike WAV)
+        return raw.view(np.int8).astype(np.float32) / 128.0
+    if inf.subtype == "PCM_16":
+        dt = "<i2" if inf.little_endian else ">i2"
+        return raw.view(dt).astype(np.float32) / 32768.0
+    if inf.subtype == "PCM_24":         # big-endian 3-byte
+        b = raw.reshape(-1, 3)
+        vals = (
+            (b[:, 0].astype(np.uint32) << 16)
+            | (b[:, 1].astype(np.uint32) << 8)
+            | b[:, 2].astype(np.uint32)
+        ).astype(np.int32)
+        vals = (vals << 8) >> 8
+        return vals.astype(np.float32) / 8388608.0
+    if inf.subtype == "PCM_32":
+        return raw.view(">i4").astype(np.float32) / 2147483648.0
+    if inf.subtype == "FLOAT":
+        return raw.view(">f4").astype(np.float32)
+    raise AiffFormatError(f"unsupported subtype {inf.subtype}")
+
+
+def read(
+    path: str,
+    start: int = 0,
+    frames: Optional[int] = None,
+    always_2d: bool = False,
+) -> Tuple[np.ndarray, int]:
+    """Float32 samples, ``(frames,)`` mono / ``(frames, channels)`` otherwise,
+    with the same EOF clamping as ``wavio.read``."""
+    with open(path, "rb") as f:
+        inf = _parse(f)
+        bpf = inf.channels * (inf.bits_per_sample // 8)
+        start = max(0, min(int(start), inf.frames))
+        if frames is None:
+            frames = inf.frames - start
+        frames = max(0, min(int(frames), inf.frames - start))
+        f.seek(inf.data_offset + start * bpf)
+        raw = np.frombuffer(f.read(frames * bpf), dtype=np.uint8)
+    data = _decode(raw, inf).reshape(-1, inf.channels)
+    if inf.channels == 1 and not always_2d:
+        data = data[:, 0]
+    return data, inf.samplerate

@@ -41,10 +41,13 @@ def probe(path: str):
     try:
         return wavio.info(path)
     except wavio.WavFormatError:
+        from . import aiff as aiffmod
         from . import flac as flacmod
 
         if flacmod.is_flac(path):
             return flacmod.info(path)
+        if aiffmod.is_aiff(path):
+            return aiffmod.info(path)
         raise
 
 
@@ -55,10 +58,13 @@ def read_any(
     try:
         return wavio.read(path, start=start, frames=frames, always_2d=always_2d)
     except wavio.WavFormatError:
+        from . import aiff as aiffmod
         from . import flac as flacmod
 
         if flacmod.is_flac(path):
             return flacmod.read(path, start=start, frames=frames, always_2d=always_2d)
+        if aiffmod.is_aiff(path):
+            return aiffmod.read(path, start=start, frames=frames, always_2d=always_2d)
         raise
 
 
