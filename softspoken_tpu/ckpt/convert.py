@@ -190,11 +190,29 @@ def load_pth(path: str) -> Tuple[Dict, int]:
 
 
 def save(path: str, variables: Dict, epoch: int = -1) -> None:
+    """Atomic checkpoint save: write to a fresh sibling dir, then swap.
+
+    Orbax's in-place ``force=True`` overwrite of an existing ocdbt
+    checkpoint failed intermittently mid-training ("params are missing
+    .zarray" during the commit merge); writing to a never-existing path and
+    renaming sidesteps the overwrite path entirely and keeps the previous
+    checkpoint intact until the new one is fully committed.
+    """
+    import shutil
+    import time
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    fresh = f"{path}.new-{os.getpid()}-{time.monotonic_ns()}"
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, {"variables": variables, "epoch": epoch}, force=True)
+        ckptr.save(fresh, {"variables": variables, "epoch": epoch})
+    old = f"{path}.old-{os.getpid()}"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(fresh, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def load(path: str) -> Tuple[Dict, int]:

@@ -117,9 +117,21 @@ def fit(
             if on_metrics:
                 on_metrics(step, metrics)
         if ckpt_out and (step % save_every == 0 or step == steps):
-            variables = {"params": state.params, "batch_stats": state.batch_stats}
-            ckpt_mod.save(ckpt_out, jax.device_get(variables), epoch=step0 + step)
+            _save_checkpoint(ckpt_out, state, step0 + step,
+                             fatal=step == steps)
     return metrics
+
+
+def _save_checkpoint(ckpt_out: str, state, epoch: int, fatal: bool) -> None:
+    """Persist params+batch_stats; a mid-run save failure must not kill a
+    long training run (the final save still raises)."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    try:
+        ckpt_mod.save(ckpt_out, jax.device_get(variables), epoch=epoch)
+    except Exception:  # noqa: BLE001 — keep training, surface the failure
+        if fatal:
+            raise
+        log.exception("checkpoint save failed at step %d (continuing)", epoch)
 
 
 def fit_synthetic(
@@ -220,6 +232,6 @@ def fit_synthetic(
                 if on_metrics:
                     on_metrics(step, metrics)
             if ckpt_out and (outer % save_every_outer == 0 or outer == outer_total):
-                variables = {"params": state.params, "batch_stats": state.batch_stats}
-                ckpt_mod.save(ckpt_out, jax.device_get(variables), epoch=step0 + step)
+                _save_checkpoint(ckpt_out, state, step0 + step,
+                                 fatal=outer == outer_total)
     return metrics
