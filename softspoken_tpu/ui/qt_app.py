@@ -723,6 +723,33 @@ if HAVE_QT:
             webbrowser.open(self.cfg.paths.user_guide_url)
 
 
+def _make_smoke_demo_project(win, cfg: Config) -> None:
+    """Self-contained demo content for ``gui --smoke --screenshot`` when no
+    project exists yet: one synthesized recording with a speech-band burst
+    plus its detection row, so the review screen has a spectrogram to
+    render."""
+    import numpy as np
+
+    from ..io import wavio
+    from ..project.store import DetectionStore
+
+    win.pm.add_project("smoke-demo")
+    proj = win.pm.set_active_project("smoke-demo")
+    out_dir = win.pm.project_output_dir("smoke-demo")
+    sr = 22050
+    t = np.arange(4 * sr) / sr
+    rng = np.random.default_rng(0)
+    audio = (0.02 * rng.standard_normal(len(t))).astype(np.float32)
+    m = (t > 1.0) & (t < 2.2)
+    audio[m] += 0.4 * np.sin(2 * np.pi * 700 * t[m]).astype(np.float32)
+    wav = os.path.join(out_dir, "smoke_demo.wav")
+    wavio.write(wav, audio, sr, subtype="PCM_16")
+    win.pm.update_file_list([wav])
+    store = DetectionStore.for_project(proj)
+    store.append_intervals(wav, [(1.0, 2.2)])
+    store.save()
+
+
 def smoke(cfg: Config = DEFAULT_CONFIG, screenshot: Optional[str] = None) -> int:
     """Construct every screen, click through the navigation, and optionally
     save the review spectrogram to ``screenshot``. Works headless (under the
@@ -733,6 +760,8 @@ def smoke(cfg: Config = DEFAULT_CONFIG, screenshot: Optional[str] = None) -> int
     win = SoftspokenApp(cfg)
     win.show()
     assert win.stack.currentWidget() is win.home
+    if not win.pm.activate_latest() and screenshot:
+        _make_smoke_demo_project(win, cfg)
     if win.pm.activate_latest():
         win.show_workspace()
         for nav in (win.show_detector, win.show_review, win.show_silence):
