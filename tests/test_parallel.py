@@ -181,3 +181,64 @@ def test_two_process_distributed_bootstrap_and_collective(tmp_path):
     files1 = outs[1].split("files=")[1].split()[0].split(",")
     assert not set(files0) & set(files1)
     assert sorted(files0 + files1) == [f"f{i:02d}.wav" for i in range(7)]
+
+
+def test_two_process_distributed_cli_detect(tmp_path):
+    """Full multi-host CLI flow: two OS processes run `detect --distributed`
+    over the same 3-file list, bootstrap via the coordinator, each process
+    detects its round-robin share, and the per-process CSVs disjointly
+    cover every file."""
+    import json as _json
+    import socket
+    import subprocess
+    import sys as _sys
+
+    from softspoken_tpu.io import wavio
+
+    rng = np.random.default_rng(5)
+    files = []
+    for i in range(3):
+        audio = (0.3 * rng.standard_normal(2 * 22050)).astype(np.float32)
+        p = str(tmp_path / f"rec{i}.wav")
+        wavio.write(p, audio, 22050, subtype="PCM_16")
+        files.append(p)
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        _json.dump({"engine": {"precision": "parity", "device_batch": 4,
+                               "chunk_seconds": 12.0}}, f)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    out_csv = str(tmp_path / "dets.csv")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-m", "softspoken_tpu", "--config", cfg_path,
+             "detect", "--files", *files, "--out", out_csv, "--random-init",
+             "--streaming", "--distributed",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True, cwd=str(tmp_path),
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+
+    import pandas as pd
+
+    seen = {}
+    for pid in range(2):
+        part = str(tmp_path / f"dets.p{pid}.csv")
+        assert os.path.exists(part), outs[pid][-2000:]
+        df = pd.read_csv(part)
+        seen[pid] = set(df["file_name"])
+    assert not seen[0] & seen[1]
+    assert seen[0] | seen[1] == {f"rec{i}.wav" for i in range(3)}
