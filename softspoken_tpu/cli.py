@@ -34,6 +34,10 @@ def _load_config(args) -> Config:
         cfg = cfg.with_engine(precision=args.precision)
     if getattr(args, "device_batch", None):
         cfg = cfg.with_engine(device_batch=args.device_batch)
+    if getattr(args, "threshold", None) is not None:
+        cfg = cfg.with_engine(threshold=args.threshold)
+    if getattr(args, "break_duration", None) is not None:
+        cfg = cfg.with_engine(break_duration=args.break_duration)
     return cfg
 
 
@@ -387,14 +391,7 @@ def cmd_eval(args) -> None:
     if not labels:
         raise SystemExit("eval: need --labels or --make-synthetic DIR")
 
-    cfg = _load_config(args)
-    overrides = {}
-    if args.threshold is not None:
-        overrides["threshold"] = args.threshold
-    if args.break_duration is not None:
-        overrides["break_duration"] = args.break_duration
-    if overrides:
-        cfg = cfg.with_engine(**overrides)
+    cfg = _load_config(args)  # applies --threshold/--break-duration too
     det = Detector(cfg, checkpoint_path=args.ckpt) if args.ckpt else Detector(cfg)
     result = E.evaluate_detector(det, E.load_labels(labels), iou=args.iou)
     print(json.dumps(result))
@@ -444,6 +441,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="use the deterministic random-init fixture weights")
     pd_.add_argument("--precision", choices=["fast", "parity"])
     pd_.add_argument("--device-batch", type=int)
+    pd_.add_argument("--threshold", type=float,
+                     help="score threshold (default: parity 0.1)")
+    pd_.add_argument("--break-duration", type=float,
+                     help="gap-merge seconds (parity default 0.5; 0.3 measured "
+                          "best for event F1 — docs/QUALITY_r02.json)")
     pd_.add_argument("--streaming", action="store_true",
                      help="force bounded-memory streaming decode")
     pd_.add_argument("--mesh", action="store_true",
