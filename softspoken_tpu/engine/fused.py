@@ -186,12 +186,16 @@ class FusedStreamingEngine:
         carry_c = jnp.zeros((CARRY,), jnp.float32)
         variables = self.det.variables
         avg, _, cs, cc = self._fn(variables, *args, carry_s, carry_c)
-        jax.block_until_ready(avg)  # warm (program load/compile)
+        jax.device_get(avg)  # warm (program load/compile)
         t0 = time.perf_counter()
         for _ in range(repeats):
             # thread the carry so iterations serialize on device
             avg, _, cs, cc = self._fn(variables, *args, cs, cc)
-        jax.block_until_ready(avg)
+        # force with a REAL fetch: on the remote (axon) backend
+        # block_until_ready returns before execution finishes, inflating the
+        # rate ~200× (measured); the final avg depends on every iteration
+        # through the carry chain, so one download forces them all
+        jax.device_get(avg)
         wall = time.perf_counter() - t0
         return repeats * self.chunk_w * step / wall
 
