@@ -464,9 +464,14 @@ int ssflac_seek(void* h, long long frame) {
         long long first = decode_frame(*d);
         if (first < 0) return -1;
         d->next_sample = (uint64_t)first;
-        if ((uint64_t)first > target) {  // overshot (sparse seektable edge)
-            d->block_used = 0;
-            return 0;
+        if ((uint64_t)first > target) {
+            // bogus/sparse seektable landed past the target: restart from
+            // the first audio frame and decode forward (slow but exact —
+            // returning success here would silently shift all subsequent
+            // reads by (first - target) frames)
+            if (!d->br->seek_to(d->first_frame_off)) return -1;
+            d->block_n = d->block_used = 0;
+            d->next_sample = 0;
         }
     }
 }

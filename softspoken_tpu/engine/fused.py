@@ -69,9 +69,16 @@ class FusedStreamingEngine:
         self.nb = self.chunk_w // self.B
         self.buf_len = detector.chunk_buffer_len()
 
-        # local grid: window i of the chunk lands at ≤ round(i·step/dt)+1
+        # local grid: window i of the chunk lands at ≤ round(i·step/dt)+1.
+        # The grid MUST extend to fin+CARRY so the carry extraction
+        # dynamic_slice is in-bounds: XLA clamps out-of-bounds starts, which
+        # silently sourced the carry from the wrong bins (off by fin+CARRY
+        # −glen). The fixture's near-uniform logits masked this; a trained
+        # model's sharp logits corrupt chunk-boundary scores without it.
         step, dt = cfg.engine.step_seconds, R.TIME_RESOLUTION
-        self.glen = int(round((self.chunk_w - 1) * step / dt)) + 256 + 2
+        scatter_extent = int(round((self.chunk_w - 1) * step / dt)) + 256 + 2
+        fin_upper = int(round(self.chunk_w * step / dt)) + 2
+        self.glen = max(scatter_extent, fin_upper + CARRY)
 
         if up == 1 and down == 1:
             self.W = None
@@ -250,7 +257,8 @@ class FusedStreamingEngine:
             s0 = int(starts_g[w0])
             base = int(bins_g[w0])
             next_base = (
-                int(R.window_bin_offset(np.array([w0 + self.chunk_w]))[0])
+                int(R.window_bin_offset(np.array([w0 + self.chunk_w]),
+                                        cfg.engine.step_seconds)[0])
                 if w1 == w0 + self.chunk_w
                 else covered
             )

@@ -21,13 +21,15 @@ from typing import Dict, Union
 
 import pandas as pd
 
-from ..io import wavio
 from .base import Transform
 
 
 def _wav_duration(path: Union[str, Path]) -> float:
-    inf = wavio.info(str(path))
-    return inf.frames / inf.samplerate
+    # format-dispatching probe: projects can now hold FLAC/AIFF recordings
+    from ..io.audio import get_audio_data
+
+    dur, _sr = get_audio_data(str(path))
+    return dur
 
 
 class RavenTxtTransform(Transform):

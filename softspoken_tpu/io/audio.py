@@ -194,13 +194,11 @@ def stream_chunks(
     jitted conv per chunk — the right choice on TPU, where a 1-core host
     can't keep up with the accelerator).
     """
-    from .resample import design_taps, get_device_resampler
-    import math
-
     inf = probe(path)
     sr = inf.samplerate
     total_internal = resampled_length(inf.frames, sr, target_sr)
 
+    _smr = None
     if inf.subtype.startswith("FLAC"):
         # persistent sequential decoder: per-range reopen would re-decode
         # from the stream start on every chunk (no byte index in FLAC)
@@ -212,6 +210,24 @@ def stream_chunks(
         def read_native(start: int, frames: int) -> np.ndarray:
             data, _ = read_mono(path, start=start, frames=frames)
             return data
+
+    try:
+        yield from _stream_chunks_impl(
+            read_native, inf, sr, total_internal, chunk_samples, target_sr,
+            backend,
+        )
+    finally:
+        # deterministic release of the native decoder handle + fd even when
+        # the consumer abandons the generator mid-file (e.g. runner stop)
+        if _smr is not None:
+            _smr.close()
+
+
+def _stream_chunks_impl(
+    read_native, inf, sr, total_internal, chunk_samples, target_sr, backend
+) -> Iterator[AudioChunk]:
+    from .resample import design_taps, get_device_resampler
+    import math
 
     if sr == target_sr:
         pos = 0

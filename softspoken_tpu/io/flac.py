@@ -147,6 +147,11 @@ class FlacReader:
         if frames is None:
             frames = inf.frames - start
         frames = max(0, min(int(frames), inf.frames - start))
+        if frames == 0:
+            # empty read at/past EOF: match wavio.read (a seek to the very
+            # end would decode the whole stream just to error out)
+            data = np.zeros((0, inf.channels), np.float32)
+            return data if (inf.channels > 1 or always_2d) else data[:, 0]
         self.seek(start)
         raw = self.read_i32(frames)
         scale = np.float32(1.0 / (1 << (inf.bits_per_sample - 1)))

@@ -181,7 +181,7 @@ def evaluate_detector(
     predictions, mirroring what a reviewer would export.
     """
     from ..engine import regions as R
-    from ..io import wavio
+    from ..io.audio import get_audio_data
 
     frame_total: Dict[str, float] = {}
     event_total: Dict[str, float] = {}
@@ -190,8 +190,7 @@ def evaluate_detector(
         res = detector.detect_file(path)
         pred = R.filter_min_length(res.intervals, min_len)
         pred = [(max(0.0, s), e) for s, e in pred if e > 0]
-        inf = wavio.info(path)
-        dur = inf.frames / inf.samplerate
+        dur, _sr = get_audio_data(path)  # format-dispatching (WAV/FLAC/AIFF)
         fm = frame_metrics(pred, truth, dur)
         em = event_metrics(pred, truth, iou)
         _accumulate(frame_total, fm)

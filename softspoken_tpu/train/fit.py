@@ -194,22 +194,22 @@ def fit_synthetic(
 
     with ThreadPoolExecutor(max_workers=1) as ex:
         for outer in range(1, outer_total + 1):
-            if pool_refresh_outer and outer % pool_refresh_outer == 1 and outer > 1:
+            if pool_refresh_outer:
                 # never block the device on the host synthesizer: swap in a
-                # fresh pool only when its generation has finished (on this
-                # 1-core host a 768+768 pool takes ~15 min, far longer than
-                # pool_refresh_outer steps), otherwise keep training on the
-                # current pool — shifts/mixing/augs keep batches varied
-                if pool_pending is None:
-                    pool_pending = ex.submit(
-                        synth.make_pools, pool_rng, pool_speech, pool_noise
-                    )
-                elif pool_pending.done():
+                # fresh pool the moment its background generation finishes
+                # (on this 1-core host a 768+768 pool takes ~15 min, far
+                # longer than pool_refresh_outer steps); meanwhile keep
+                # training on the current pool — shifts/mixing/augs keep
+                # batches varied. New generations start at the refresh
+                # interval boundaries.
+                if pool_pending is not None and pool_pending.done():
                     sp_np, nz_np = pool_pending.result()
                     speech_pool = jax.device_put(sp_np)
                     noise_pool = jax.device_put(nz_np)
                     log.info("swapped in a fresh clip pool at step %d",
                              outer * n_inner)
+                    pool_pending = None
+                if pool_pending is None and outer % pool_refresh_outer == 0:
                     pool_pending = ex.submit(
                         synth.make_pools, pool_rng, pool_speech, pool_noise
                     )

@@ -53,7 +53,7 @@ def create_train_state(
         from .. import ckpt as ckpt_mod
 
         variables, epoch = ckpt_mod.load(resume)
-        step0 = int(epoch or 0)
+        step0 = max(0, int(epoch or 0))  # epoch=-1 sentinel (converted .pth)
     tx = optax.adamw(learning_rate, weight_decay=weight_decay)
     state = TrainState(
         params=variables["params"],

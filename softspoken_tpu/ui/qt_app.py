@@ -519,7 +519,11 @@ if HAVE_QT:
         def play_segment(self):
             row = self.session.current() if self.session else None
             if row is not None:
-                self._play(float(row["start_time"]), float(row["end_time"]))
+                # detection times can be negative (−3 s pad shift); clamp
+                # like export_segment_wav, else load_audio_startstop rejects
+                start = max(0.0, float(row["start_time"]))
+                stop = max(start + 1e-3, float(row["end_time"]))
+                self._play(start, stop)
 
         def play_window(self):
             from .spectrogram import plan_view_window

@@ -216,3 +216,19 @@ def test_flac_silencing_memory_and_streaming(tmp_path):
     assert rep.files_done == 1, rep.errors
     c, _ = wavio.read(str(tmp_path / "sf" / "rec_silenced.wav"), always_2d=True)
     np.testing.assert_array_equal(c, a)
+
+
+def test_zero_frame_read_at_eof_returns_empty(tmp_path):
+    """Regression (code review r2): a zero-length read at/past EOF decoded
+    the whole stream then raised; wavio.read returns empty instead."""
+    from softspoken_tpu.io import flac as flacmod
+    from softspoken_tpu.io.audio import read_any
+
+    data = np.zeros((1000, 1), np.int16)
+    p = str(tmp_path / "z.flac")
+    flac_ref.write_flac(p, data, 22050, bits=16)
+    inf = flacmod.info(p)
+    out, sr = read_any(p, start=inf.frames)
+    assert out.shape[0] == 0
+    out2, _ = read_any(p, start=inf.frames + 100, frames=10)
+    assert out2.shape[0] == 0

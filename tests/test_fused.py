@@ -171,3 +171,31 @@ def test_device_only_rate_positive(tmp_path):
     eng = get_fused_engine(det, 22050, "i16")
     rate = eng.device_only_rate(repeats=2)
     assert rate > 0
+
+
+def test_fused_chunking_invariant_nondefault_step(tmp_path):
+    """Regression (code review r2): prepare() computed the chunk
+    finalization boundary with the default 0.6 s step, corrupting the grid
+    for any other step_seconds on multi-chunk files."""
+    from softspoken_tpu import Config, ckpt
+    from softspoken_tpu.engine import Detector
+    from softspoken_tpu.io import wavio
+
+    rng = np.random.default_rng(11)
+    audio = (0.3 * rng.standard_normal(20 * 22050)).astype(np.float32)
+    p = str(tmp_path / "s.wav")
+    wavio.write(p, audio, 22050, subtype="PCM_16")
+
+    def run(chunk_seconds):
+        det = Detector(
+            Config().with_engine(precision="parity", device_batch=4,
+                                 chunk_seconds=chunk_seconds,
+                                 step_seconds=0.3),
+            variables=ckpt.fixture_variables(seed=0),
+        )
+        return det.detect_file_fused(p)
+
+    multi = run(6.0)     # several chunks
+    single = run(120.0)  # one chunk
+    np.testing.assert_allclose(multi.avg_values, single.avg_values, atol=1e-5)
+    assert multi.intervals == single.intervals
