@@ -253,3 +253,31 @@ def test_gui_smoke_mode(app_env, monkeypatch, tmp_path):
     rc = qt_app.smoke(win.cfg, screenshot=shot)
     assert rc == 0
     assert os.path.exists(shot) and open(shot, "rb").read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_play_segment_clamps_negative_start(app_env, monkeypatch):
+    """Regression (code review r2): pad-shifted detections can have negative
+    start times; play must clamp like export_segment_wav instead of silently
+    doing nothing."""
+    win, wav, _ = app_env
+    _make_project(win, wav, monkeypatch)
+    import pandas as pd
+
+    proj = win.pm.current_project
+    df = pd.DataFrame([{
+        "ID": 1, "file_path": os.path.dirname(wav),
+        "file_name": os.path.basename(wav), "start_time": -1.2,
+        "end_time": 0.8, "erase": 0, "user_comment": "",
+        "review_datetime": "",
+    }])
+    df.to_csv(proj["detections_file"], index=False)
+    win.show_review()
+    seen = {}
+
+    def fake_play(self, start, stop):
+        seen["range"] = (start, stop)
+
+    monkeypatch.setattr(type(win.review), "_play", fake_play)
+    win.review.play_segment()
+    assert seen["range"][0] == 0.0
+    assert seen["range"][1] == pytest.approx(0.8)
