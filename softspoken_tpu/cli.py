@@ -189,6 +189,10 @@ def cmd_review(args) -> None:
         session.save()
         print(json.dumps(session.stats()))
     elif args.action == "add":
+        if not args.file or args.start is None or args.end is None:
+            raise SystemExit(
+                "review add: --file, --start and --end are all required"
+            )
         pos = session.add(
             os.path.dirname(os.path.abspath(args.file)),
             os.path.basename(args.file),
@@ -250,6 +254,7 @@ def _grade_loop(session, args) -> None:
         except EOFError:
             break
         full = _os.path.join(row["file_path"], row["file_name"])
+        idx_before = session.current_index
         if cmd == "k":
             session.keep()
         elif cmd == "e":
@@ -274,7 +279,9 @@ def _grade_loop(session, args) -> None:
             print(f"  rendered {out}")
         elif cmd == "q":
             break
-        if session.current_index >= total - 1 and cmd in ("k", "e", "s"):
+        # done only when the LAST row itself was just graded/skipped
+        # (advancing TO the last row must still display it)
+        if idx_before >= total - 1 and cmd in ("k", "e", "s"):
             print("  (end of detections)")
             break
     print(json.dumps(session.stats()))

@@ -22,8 +22,10 @@ TPU-first design decisions:
     results are independent of the chunking — SURVEY.md §5).
   * BatchNorm folded into conv weights at load (models.fold).
   * "parity" precision: float32 + HIGHEST matmuls; "fast": bfloat16 convs
-    with float32 accumulation (mel stays float32 — the log compression is
-    precision-sensitive near the 0.1 logit threshold).
+    with float32 accumulation. The mel frontend's matmuls run at HIGHEST
+    in BOTH modes (measured ~12% of device time): the log compression
+    feeding a raw-logit 0.1 threshold is precision-sensitive, and bf16 DFT
+    products (8-bit mantissa) can flip borderline bins.
 """
 
 from __future__ import annotations
@@ -114,9 +116,9 @@ class Detector:
                                     compute_dtype=dtype)
         # one batched host→device transfer for all ~1.7M params
         self.variables = jax.device_put(variables)
-        self._mel_precision = (
-            jax.lax.Precision.HIGHEST if not fast else jax.lax.Precision.DEFAULT
-        )
+        # mel matmuls stay at HIGHEST even in fast mode (see module
+        # docstring; ~12% device-only cost measured on v5e)
+        self._mel_precision = jax.lax.Precision.HIGHEST
         # "auto" resolves to the XLA path: measured 0.138 s vs 0.155 s per
         # 461 s chunk on v5e (see config.EngineConfig.mel_kernel)
         self._use_pallas_mel = config.engine.mel_kernel == "pallas"
@@ -160,11 +162,14 @@ class Detector:
         return logits
 
     def chunk_windows(self) -> int:
-        """Windows per device chunk (multiple of device_batch)."""
+        """Windows per device chunk: the NEAREST multiple of device_batch
+        to chunk_seconds' window count (flooring silently halved a 150 s /
+        batch-128 chunk to 76.8 s, defeating the measured chunk-size
+        tuning)."""
         cfg = self.cfg
         w = int(cfg.engine.chunk_seconds * cfg.dsp.sample_rate // cfg.samples_per_step)
         B = cfg.engine.device_batch
-        return max(B, (w // B) * B)
+        return max(B, int(round(w / B)) * B)
 
     def chunk_buffer_len(self) -> int:
         """Fixed device buffer: a chunk's windows + the full last window."""

@@ -109,9 +109,7 @@ class FusedStreamingEngine:
                 out_shardings=(repl, repl, repl, repl),
             )
         dtype = np.int16 if kind == "i16" else np.float32
-        self._staging = np.zeros(self.in_len, dtype)
-        self._carry_sum = jnp.zeros((CARRY,), jnp.float32)
-        self._carry_cnt = jnp.zeros((CARRY,), jnp.float32)
+        self._dtype = dtype  # staging buffers are allocated fresh per chunk
 
     @property
     def det(self) -> Detector:
@@ -182,7 +180,7 @@ class FusedStreamingEngine:
         starts = np.minimum(starts, max(0, self.buf_len - 66150)).astype(np.int32)
         bins = R.window_bin_offset(np.arange(self.chunk_w), step).astype(np.int32)
         args = (
-            jax.device_put(np.zeros(self.in_len, self._staging.dtype)),
+            jax.device_put(np.zeros(self.in_len, self._dtype)),
             jnp.int32(0),
             jnp.int32(0),
             jax.device_put(starts.reshape(self.nb, self.B)),
@@ -233,7 +231,7 @@ class FusedStreamingEngine:
 
         def read_padded(start: int, frames: int) -> np.ndarray:
             """Native padded-stream samples [start, start+frames)."""
-            out = np.zeros(frames, self._staging.dtype)
+            out = np.zeros(frames, self._dtype)
             a0 = max(start, pad_native)
             a1 = min(start + frames, pad_native + native_frames)
             if a1 > a0:
@@ -256,15 +254,19 @@ class FusedStreamingEngine:
             w1 = min(w0 + self.chunk_w, n_windows)
             s0 = int(starts_g[w0])
             base = int(bins_g[w0])
+            # the LAST chunk must finalize through `covered` even when it is
+            # exactly full (n_windows % chunk_w == 0) — gating on fullness
+            # left the final ~(256 − stride) bins in the device carry,
+            # truncating avg_values by ~2.4 s for exact-multiple files
             next_base = (
                 int(R.window_bin_offset(np.array([w0 + self.chunk_w]),
                                         cfg.engine.step_seconds)[0])
-                if w1 == w0 + self.chunk_w
+                if ci + 1 < n_chunks
                 else covered
             )
             fin = min(next_base, covered) - base
 
-            staging = np.zeros(self.in_len, self._staging.dtype)
+            staging = np.zeros(self.in_len, self._dtype)
             if self.W is None:
                 rs, lo = s0, 0
                 got = read_padded(rs, min(self.in_len, n_nat_padded - rs))
@@ -274,6 +276,12 @@ class FusedStreamingEngine:
                 rs = max(0, in_first - 2 * down)
                 rs -= rs % down
                 lo = s0 - (rs * up) // down
+                # same guards as io.resample.resample_range, whose alignment
+                # arithmetic this mirrors: a drift would make the device
+                # dynamic_slice clamp and return shifted audio silently
+                assert 0 <= lo <= 4 * up, (lo, up)
+                assert lo + self.buf_len <= self.n_blocks * up, (
+                    lo, self.buf_len, self.n_blocks, up)
                 left = min(rs, self.pad_l)
                 re = min(n_nat_padded, rs + self.in_len - self.pad_l)
                 got = read_padded(rs - left, re - (rs - left))

@@ -89,12 +89,13 @@ def find_speech_regions(
     st = np.array([bin_time(first_bin + int(i)) for i in starts])
     et = np.array([bin_time(first_bin + int(i)) for i in ends])
 
-    # merge consecutive regions with gap ≤ break_duration
+    # merge consecutive regions with gap ≤ break_duration. Group boundaries
+    # are where a gap exceeds the threshold; O(n) (the previous per-group
+    # boolean-mask scan was O(n²) — real on noisy multi-hour recordings).
     if len(st) > 1:
-        keep = st[1:] - et[:-1] > break_duration  # True → new group
-        group = np.r_[0, np.cumsum(keep)]
-        merged_s = [st[group == g][0] for g in range(group[-1] + 1)]
-        merged_e = [et[group == g][-1] for g in range(group[-1] + 1)]
+        new_group = np.flatnonzero(st[1:] - et[:-1] > break_duration)
+        merged_s = st[np.r_[0, new_group + 1]]
+        merged_e = et[np.r_[new_group, len(et) - 1]]
         return list(zip(merged_s, merged_e))
     return list(zip(st, et))
 

@@ -49,8 +49,20 @@ class KaleidoscopeCsvTransform(Transform):
         df["end_time"] = pd.to_numeric(df["end_time"], errors="coerce")
 
         paths = df["file_path"].astype(str).tolist()
-        indir = os.path.commonpath(paths) if paths else ""
-        folders = [os.path.relpath(p, indir) for p in paths]
+        # commonpath raises on a relative/absolute mix (e.g. a hand-added
+        # row with an empty file_path) — that must degrade the INDIR split,
+        # not wedge every subsequent review save
+        try:
+            indir = os.path.commonpath([p for p in paths if p]) if any(paths) else ""
+        except ValueError:
+            indir = ""
+        if indir:
+            folders = [
+                os.path.relpath(p, indir) if os.path.isabs(p) == os.path.isabs(indir) and p else p
+                for p in paths
+            ]
+        else:
+            folders = list(paths)
         folders = ["" if f == "." else f for f in folders]
         indir = indir.rstrip(os.sep) or os.sep
 

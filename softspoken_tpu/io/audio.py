@@ -199,6 +199,7 @@ def stream_chunks(
     total_internal = resampled_length(inf.frames, sr, target_sr)
 
     _smr = None
+    _rr = None
     if inf.subtype.startswith("FLAC"):
         # persistent sequential decoder: per-range reopen would re-decode
         # from the stream start on every chunk (no byte index in FLAC)
@@ -206,6 +207,22 @@ def stream_chunks(
 
         _smr = SequentialMonoReader(path)
         read_native = _smr.read
+    elif isinstance(inf, wavio.WavInfo) and inf.subtype == "PCM_16":
+        # persistent handle + sequential fadvise: reopening per chunk
+        # resets kernel readahead (the host pipeline's read ceiling)
+        from . import native
+
+        _rr = wavio.RawReader(path)
+
+        def read_native(start: int, frames: int) -> np.ndarray:
+            _rr.will_need(start + frames, frames)
+            raw = _rr.read_raw(start, frames).view("<i2")
+            if native.native_available():
+                out = native.pcm16_to_mono_f32(raw, inf.channels)
+                if out is not None:
+                    return out
+            data = raw.reshape(-1, inf.channels).astype(np.float32) / 32768.0
+            return to_mono(data)
     else:
         def read_native(start: int, frames: int) -> np.ndarray:
             data, _ = read_mono(path, start=start, frames=frames)
@@ -217,10 +234,12 @@ def stream_chunks(
             backend,
         )
     finally:
-        # deterministic release of the native decoder handle + fd even when
-        # the consumer abandons the generator mid-file (e.g. runner stop)
+        # deterministic release of decoder handles/fds even when the
+        # consumer abandons the generator mid-file (e.g. runner stop)
         if _smr is not None:
             _smr.close()
+        if _rr is not None:
+            _rr.close()
 
 
 def _stream_chunks_impl(

@@ -109,6 +109,15 @@ def _parse_header(f: BinaryIO) -> WavInfo:
     if key not in _SUBTYPE_BY_FMT:
         raise WavFormatError(f"unsupported WAV format tag={fmt_tag} bits={bits}")
     bytes_per_frame = channels * (bits // 8)
+    # clamp to the bytes physically present: a recorder-crash file whose
+    # data-chunk header overstates the payload must decode the samples that
+    # exist, not crash downstream views/reshapes with short reads
+    try:
+        physical = os.fstat(f.fileno()).st_size - data_offset
+        if 0 <= physical < data_bytes:
+            data_bytes = physical
+    except (OSError, AttributeError):  # non-file streams
+        pass
     frames = data_bytes // bytes_per_frame
     return WavInfo(
         samplerate=samplerate,

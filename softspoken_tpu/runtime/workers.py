@@ -8,7 +8,8 @@ with callbacks:
     the per-file save is the reference's resume mechanism (worker.py:127-128)
   * progress events: file_started / file_progress / file_done / overall /
     finished (mirrors WorkerSignals, worker.py:4-10)
-  * cooperative stop between files and between device chunks
+  * cooperative stop between files (the per-file device run completes;
+    chunk-level interruption is not attempted)
   * decode failures are recorded in an error manifest and skipped
     (reference prints-and-skips — voice_activity.py:39-41)
   * idempotent re-runs: files already present in the detections CSV are
@@ -24,7 +25,7 @@ import logging
 import os
 import threading
 from dataclasses import dataclass, field
-from queue import Queue
+from queue import Empty, Queue
 from typing import Callable, Dict, Iterable, List, Optional
 
 import numpy as np
@@ -154,6 +155,15 @@ class DetectRunner:
                 break
             if self._stop.is_set():
                 report.stopped = True
+                # unblock the producer: it may be waiting in q.put with a
+                # decoded file pinned in memory. Keep draining until the
+                # daemon thread exits (it re-checks _stop each loop and
+                # finishes with the sentinel), so nothing stays blocked.
+                while t.is_alive():
+                    try:
+                        q.get(timeout=0.1)
+                    except Empty:
+                        pass
                 break
             if isinstance(payload, str) and payload == "skip":
                 report.files_skipped += 1

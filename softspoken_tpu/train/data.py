@@ -103,11 +103,9 @@ def build_batch(
         mix = np.asarray(aug.apply_augmentations(jnp.asarray(mix), SR, augmentations, params))
 
     def mel_of(x: np.ndarray) -> np.ndarray:
-        out = melops.log_mel_windows(
-            jnp.asarray(np.concatenate([x.reshape(-1), np.zeros(1, np.float32)])),
-            jnp.arange(B, dtype=jnp.int32) * CLIP,
-        )
-        return np.asarray(out)
+        # (B, 66150) clips straight through the batched frontend — the same
+        # code path the on-device trainer uses (train/device_data.py)
+        return np.asarray(melops.log_mel_clips(jnp.asarray(x)))
 
     mel_mix = mel_of(mix.astype(np.float32))
     mel_speech = mel_of(speech_clips.astype(np.float32))

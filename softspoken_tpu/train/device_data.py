@@ -83,6 +83,14 @@ def make_device_augment_fn(augmentations: Sequence[str], sr: int = SR):
     unknown = set(augmentations) - set(augs)
     if unknown - {"change_speed"}:
         raise KeyError(f"no device augmentation for {sorted(unknown)}")
+    if "change_speed" in unknown:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "change_speed has no traced device implementation (variable-"
+            "length output breaks the fixed batch shape); it is SKIPPED on "
+            "the --synthetic path. The host `fit` path does apply it."
+        )
     if not augs:
         return lambda mix, key: mix
 

@@ -160,8 +160,6 @@ def fit_synthetic(
     ``pool_refresh_outer`` outer iterations, so host work never blocks the
     device.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     from . import synth
     from .device_data import (
         make_fused_train_step,
@@ -192,46 +190,69 @@ def fit_synthetic(
     metrics: Dict[str, float] = {}
     t0 = time.perf_counter()
 
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        for outer in range(1, outer_total + 1):
-            if pool_refresh_outer:
-                # never block the device on the host synthesizer: swap in a
-                # fresh pool the moment its background generation finishes
-                # (on this 1-core host a 768+768 pool takes ~15 min, far
-                # longer than pool_refresh_outer steps); meanwhile keep
-                # training on the current pool — shifts/mixing/augs keep
-                # batches varied. New generations start at the refresh
-                # interval boundaries.
-                if pool_pending is not None and pool_pending.done():
-                    sp_np, nz_np = pool_pending.result()
-                    speech_pool = jax.device_put(sp_np)
-                    noise_pool = jax.device_put(nz_np)
-                    log.info("swapped in a fresh clip pool at step %d",
-                             outer * n_inner)
-                    pool_pending = None
-                if pool_pending is None and outer % pool_refresh_outer == 0:
-                    pool_pending = ex.submit(
-                        synth.make_pools, pool_rng, pool_speech, pool_noise
-                    )
-            key, sub = jax.random.split(key)
-            if mesh is not None:
-                with mesh:
-                    state, m = step_fn(state, speech_pool, noise_pool, sub)
-            else:
-                state, m = step_fn(state, speech_pool, noise_pool, sub)
-            step = outer * n_inner
-            if outer % log_every_outer == 0 or outer == outer_total:
-                metrics = {k: float(v) for k, v in m.items()}
-                rate = step * batch_size / (time.perf_counter() - t0)
-                log.info(
-                    "step %d/%d  loss=%.4f  mask=%.4f  spec=%.4f  (%.1f clips/s, %.2f s/step)",
-                    step, outer_total * n_inner, metrics["loss"],
-                    metrics["mask_loss"], metrics["spec_loss"], rate,
-                    (time.perf_counter() - t0) / step,
+    for outer in range(1, outer_total + 1):
+        if pool_refresh_outer:
+            # never block the device on the host synthesizer: swap in a
+            # fresh pool the moment its background generation finishes
+            # (on this 1-core host a 768+768 pool takes ~15 min, far
+            # longer than pool_refresh_outer steps); meanwhile keep
+            # training on the current pool — shifts/mixing/augs keep
+            # batches varied. Generations run on a DAEMON thread (an
+            # executor's non-daemon worker would block process exit up to a
+            # full pool generation whose result is discarded) and are not
+            # started near the end of the run.
+            if pool_pending is not None and pool_pending.done():
+                speech_pool = jax.device_put(pool_pending.result[0])
+                noise_pool = jax.device_put(pool_pending.result[1])
+                log.info("swapped in a fresh clip pool at step %d",
+                         outer * n_inner)
+                pool_pending = None
+            if (pool_pending is None
+                    and outer % pool_refresh_outer == 0
+                    and outer_total - outer >= pool_refresh_outer):
+                pool_pending = _DaemonJob(
+                    synth.make_pools, pool_rng, pool_speech, pool_noise
                 )
-                if on_metrics:
-                    on_metrics(step, metrics)
-            if ckpt_out and (outer % save_every_outer == 0 or outer == outer_total):
-                _save_checkpoint(ckpt_out, state, step0 + step,
-                                 fatal=outer == outer_total)
+        key, sub = jax.random.split(key)
+        if mesh is not None:
+            with mesh:
+                state, m = step_fn(state, speech_pool, noise_pool, sub)
+        else:
+            state, m = step_fn(state, speech_pool, noise_pool, sub)
+        step = outer * n_inner
+        if outer % log_every_outer == 0 or outer == outer_total:
+            metrics = {k: float(v) for k, v in m.items()}
+            rate = step * batch_size / (time.perf_counter() - t0)
+            log.info(
+                "step %d/%d  loss=%.4f  mask=%.4f  spec=%.4f  (%.1f clips/s, %.2f s/step)",
+                step, outer_total * n_inner, metrics["loss"],
+                metrics["mask_loss"], metrics["spec_loss"], rate,
+                (time.perf_counter() - t0) / step,
+            )
+            if on_metrics:
+                on_metrics(step, metrics)
+        if ckpt_out and (outer % save_every_outer == 0 or outer == outer_total):
+            _save_checkpoint(ckpt_out, state, step0 + step,
+                             fatal=outer == outer_total)
     return metrics
+
+
+class _DaemonJob:
+    """One background computation on a daemon thread (never blocks exit)."""
+
+    def __init__(self, fn, *args):
+        import threading
+
+        self.result = None
+        self._done = threading.Event()
+
+        def run():
+            try:
+                self.result = fn(*args)
+            finally:
+                self._done.set()
+
+        threading.Thread(target=run, daemon=True).start()
+
+    def done(self) -> bool:
+        return self._done.is_set() and self.result is not None

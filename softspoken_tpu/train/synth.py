@@ -285,7 +285,9 @@ def synth_field_recording(
     n_events = int(rng.integers(speech_events[0], speech_events[1] + 1))
     for _ in range(n_events):
         dur = float(rng.uniform(1.0, 6.0))
-        n = int(dur * SR)
+        # an event can't outlast a short recording (seconds < 6 crashed the
+        # broadcast before this clamp)
+        n = min(int(dur * SR), n22)
         sp, act = synth_speech(rng, n)
         if not act.any():
             continue

@@ -45,11 +45,16 @@ def export_segment_wav(
 
 def play_segment(full_path: str, start_stop: Tuple[float, float],
                  config: Config = DEFAULT_CONFIG, blocking: bool = True) -> bool:
-    """Play a segment if a playback backend exists; returns False otherwise."""
+    """Play a segment if a playback backend exists; returns False otherwise.
+
+    Clamps negative starts like ``export_segment_wav`` (detection times can
+    be negative after the −3 s pad shift) so callers can pass row times raw.
+    """
     try:
         import sounddevice as sd  # optional dependency, absent in CI
     except Exception:  # noqa: BLE001
         return False
+    start_stop = (max(0.0, float(start_stop[0])), float(start_stop[1]))
     data, sr = load_audio_startstop(full_path, start_stop, target_sr=config.dsp.sample_rate)
     if data is None:
         return False

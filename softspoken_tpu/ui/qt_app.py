@@ -88,11 +88,12 @@ if HAVE_QT:
 
         @Slot()
         def run(self):
-            from ..ckpt import fixture_variables
             from ..engine import Detector
             from ..project import DetectionStore
             from ..runtime import DetectRunner, RunCallbacks
 
+            # Detector resolves cfg.paths' model checkpoint itself (and
+            # degrades to random init with a warning, like the reference)
             det = Detector(self.cfg)
             store = DetectionStore(self.project["detections_file"])
             self._runner = DetectRunner(det, store, self.cfg)

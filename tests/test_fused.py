@@ -199,3 +199,35 @@ def test_fused_chunking_invariant_nondefault_step(tmp_path):
     single = run(120.0)  # one chunk
     np.testing.assert_allclose(multi.avg_values, single.avg_values, atol=1e-5)
     assert multi.intervals == single.intervals
+
+
+def test_fused_exact_multiple_chunks_returns_full_grid(tmp_path):
+    """Regression (code review r2 pass 2): when n_windows is an exact
+    multiple of chunk_w, the final chunk was treated as non-final and the
+    last ~(256 − stride) grid bins stayed in the device carry, truncating
+    avg_values by ~2.4 s."""
+    from softspoken_tpu import Config, ckpt
+    from softspoken_tpu.engine import Detector
+    from softspoken_tpu.io import wavio
+
+    # chunk_w = 20 at (chunk_seconds=12, step 0.6); 21.0 s of audio makes
+    # n_windows exactly 40 = 2 chunks
+    rng = np.random.default_rng(8)
+    audio = (0.3 * rng.standard_normal(int(21.0 * 22050))).astype(np.float32)
+    p = str(tmp_path / "exact.wav")
+    wavio.write(p, audio, 22050, subtype="PCM_16")
+
+    def run(cs):
+        det = Detector(
+            Config().with_engine(precision="parity", device_batch=4,
+                                 chunk_seconds=cs),
+            variables=ckpt.fixture_variables(seed=0),
+        )
+        return det.detect_file_fused(p)
+
+    multi = run(12.0)
+    single = run(120.0)
+    assert multi.num_windows % 20 == 0, "fixture must hit the exact-multiple case"
+    assert len(multi.avg_values) == len(single.avg_values)
+    np.testing.assert_allclose(multi.avg_values, single.avg_values, atol=1e-5)
+    assert multi.intervals == single.intervals

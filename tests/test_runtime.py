@@ -88,3 +88,40 @@ def test_detect_runner_strict_reference_mode(tmp_path, detector, wavs):
     DetectRunner(detector, DetectionStore(store_path), cfg).run([wavs[0]])
     n2 = len(pd.read_csv(store_path))
     assert n2 == 2 * n1
+
+
+def test_stop_drains_producer_without_deadlock(tmp_path):
+    """Regression (code review r2 pass 2): after a mid-run stop the decode
+    prefetch thread must exit (it could block forever in q.put, pinning a
+    decoded file in memory)."""
+    import threading
+
+    import numpy as np
+
+    from softspoken_tpu import Config, ckpt
+    from softspoken_tpu.engine import Detector
+    from softspoken_tpu.project.store import DetectionStore
+    from softspoken_tpu.runtime.workers import DetectRunner, RunCallbacks
+    from softspoken_tpu.io import wavio
+
+    files = []
+    for i in range(4):
+        p = str(tmp_path / f"f{i}.wav")
+        wavio.write(p, np.zeros(22050, np.float32), 22050, subtype="PCM_16")
+        files.append(p)
+    cfg = Config().with_engine(precision="parity", device_batch=4,
+                               chunk_seconds=12.0)
+    det = Detector(cfg, variables=ckpt.fixture_variables(seed=0))
+    runner = DetectRunner(det, DetectionStore(str(tmp_path / "d.csv")), cfg,
+                          streaming=False)
+
+    def on_started(path):
+        runner.stop()
+
+    report = runner.run(files, RunCallbacks(file_started=on_started))
+    assert report.stopped
+    # no lingering producer thread blocked on the queue
+    for t in threading.enumerate():
+        assert not (t.daemon and t.is_alive() and "Thread-" in t.name
+                    and getattr(t, "_target", None) is not None
+                    and "producer" in repr(getattr(t, "_target", ""))), t

@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -158,9 +160,12 @@ def test_wavwriter_header_level_4gib(tmp_path):
     assert data_size == fake_payload
     assert sample_count == fake_payload // 4
     assert riff_size == wavio.WavWriter.HEADER_BYTES - 8 + fake_payload
-    # header-only probe sees the 64-bit size
+    # the header-only probe clamps to the bytes physically present
+    # (truncation robustness); the ds64 fields above carry the 64-bit
+    # sizes, and the real >4 GiB round-trip is verified by the 4.18 GiB
+    # end-to-end run recorded in docs/STATUS.md
     inf = wavio.info(p)
-    assert inf.frames == fake_payload // 4
+    assert inf.frames == 4
 
 
 def test_rawreader_matches_read_raw(tmp_path):
@@ -175,3 +180,27 @@ def test_rawreader_matches_read_raw(tmp_path):
             want, _ = wavio.read_raw(p, start=start, frames=n)
             np.testing.assert_array_equal(got, want)
         r.will_need(0, 48000)  # must not raise anywhere
+
+
+def test_truncated_data_chunk_clamps_to_physical_size(tmp_path):
+    """Regression (code review r2 pass 2): a recorder-crash WAV whose data
+    header overstates the payload must decode the samples that exist, not
+    crash on short reads."""
+    import numpy as np
+
+    from softspoken_tpu.io import wavio
+
+    data = (np.arange(1000, dtype=np.int16) * 7).astype(np.int16)
+    p = str(tmp_path / "t.wav")
+    wavio.write(p, data.astype(np.float32) / 32768.0, 22050, subtype="PCM_16")
+    full = os.path.getsize(p)
+    with open(p, "r+b") as f:
+        f.truncate(full - 501)  # cut mid-sample
+
+    inf = wavio.info(p)
+    assert inf.frames == 1000 - 251  # 501 bytes = 250 samples + 1 odd byte
+    out, sr = wavio.read(p)
+    assert sr == 22050 and out.shape == (inf.frames,)
+    np.testing.assert_allclose(out * 32768.0, data[: inf.frames])
+    raw, _ = wavio.read_raw(p, start=0)
+    assert len(raw) == inf.frames * 2
