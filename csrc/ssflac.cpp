@@ -452,6 +452,7 @@ int ssflac_seek(void* h, long long frame) {
         d->next_sample = base;
     }
     // decode forward until the block containing target
+    bool retried = false;
     while (true) {
         if (d->block_n) {
             uint64_t bs = d->next_sample - d->block_used;
@@ -465,10 +466,18 @@ int ssflac_seek(void* h, long long frame) {
         if (first < 0) return -1;
         d->next_sample = (uint64_t)first;
         if ((uint64_t)first > target) {
-            // bogus/sparse seektable landed past the target: restart from
-            // the first audio frame and decode forward (slow but exact —
-            // returning success here would silently shift all subsequent
-            // reads by (first - target) frames)
+            // bogus/sparse seektable landed past the target: restart ONCE
+            // from the first audio frame and decode forward (slow but exact
+            // — returning success here would silently shift all subsequent
+            // reads by (first - target) frames). If even the stream's first
+            // frame starts past the target (malformed header / nonzero
+            // first frame number), a second restart would re-decode the
+            // same frame forever: accept the overshot position instead.
+            if (retried) {
+                d->block_used = 0;
+                return 0;
+            }
+            retried = true;
             if (!d->br->seek_to(d->first_frame_off)) return -1;
             d->block_n = d->block_used = 0;
             d->next_sample = 0;

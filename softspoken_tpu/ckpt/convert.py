@@ -181,12 +181,23 @@ def fixture_variables(seed: int = 0) -> Dict:
 # ---------------------------------------------------------------------------
 
 def load_pth(path: str) -> Tuple[Dict, int]:
-    """Load the reference checkpoint format: {'model_state_dict', 'epoch'}."""
-    import torch  # CPU torch is only needed for one-time conversion
+    """Load the reference checkpoint format: {'model_state_dict', 'epoch'}.
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    variables = convert_torch_state_dict(ckpt["model_state_dict"])
-    return variables, int(ckpt.get("epoch", -1))
+    Torch-free by default: the zip-serialization format (torch >= 1.6) is
+    read by :mod:`.pth_reader` with stdlib + numpy only, so ``convert-ckpt``
+    works in images without torch.  Legacy (non-zip) .pth files fall back to
+    real torch when it is installed.
+    """
+    from . import pth_reader
+
+    try:
+        sd, epoch = pth_reader.load_checkpoint(path)
+    except pth_reader.UnsupportedPthError:
+        import torch  # legacy-format fallback only
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        sd, epoch = ckpt["model_state_dict"], int(ckpt.get("epoch", -1))
+    return convert_torch_state_dict(sd), epoch
 
 
 def save(path: str, variables: Dict, epoch: int = -1) -> None:

@@ -279,9 +279,16 @@ class FusedStreamingEngine:
                 # same guards as io.resample.resample_range, whose alignment
                 # arithmetic this mirrors: a drift would make the device
                 # dynamic_slice clamp and return shifted audio silently
-                assert 0 <= lo <= 4 * up, (lo, up)
-                assert lo + self.buf_len <= self.n_blocks * up, (
-                    lo, self.buf_len, self.n_blocks, up)
+                # not `assert`: these invariants guard against silently
+                # shifted audio and must survive `python -O`
+                if not (0 <= lo <= 4 * up):
+                    raise RuntimeError(
+                        f"polyphase alignment drift: lo={lo} up={up}")
+                if lo + self.buf_len > self.n_blocks * up:
+                    raise RuntimeError(
+                        "polyphase window overruns resample blocks: "
+                        f"lo={lo} buf_len={self.buf_len} "
+                        f"n_blocks={self.n_blocks} up={up}")
                 left = min(rs, self.pad_l)
                 re = min(n_nat_padded, rs + self.in_len - self.pad_l)
                 got = read_padded(rs - left, re - (rs - left))

@@ -14,6 +14,7 @@ EOF clamping, so ``io.audio.probe``/``read_any`` dispatch transparently.
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass
 from typing import Optional, Tuple
@@ -115,6 +116,19 @@ def _parse(f) -> AiffInfo:
     if little and subtype != "PCM_16":
         raise AiffFormatError("sowt is only defined for 16-bit PCM")
     bpf = channels * (bits // 8)
+    if data_offset:
+        # clamp against the PHYSICAL file size too (mirrors wavio's
+        # _parse_header clamp): a crash-truncated file whose SSND size
+        # overstates the payload would otherwise short-read and fail the
+        # reshape in read() — or silently mis-report frames
+        try:
+            phys = os.fstat(f.fileno()).st_size - data_offset
+        except (OSError, AttributeError):  # non-file objects (BytesIO)
+            pos = f.tell()
+            f.seek(0, 2)
+            phys = f.tell() - data_offset
+            f.seek(pos)
+        data_bytes = max(0, min(data_bytes, phys)) if data_bytes else max(0, phys)
     if data_bytes and frames * bpf > data_bytes:
         frames = data_bytes // bpf  # tolerate truncated files like wavio
     return AiffInfo(

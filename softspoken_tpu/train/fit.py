@@ -201,7 +201,13 @@ def fit_synthetic(
             # executor's non-daemon worker would block process exit up to a
             # full pool generation whose result is discarded) and are not
             # started near the end of the run.
-            if pool_pending is not None and pool_pending.done():
+            if pool_pending is not None and pool_pending.failed():
+                # don't let a failed generation silently end pool refresh
+                # for the rest of training: log and allow a later retry
+                log.warning("background pool refresh failed (%s); will retry",
+                            pool_pending.error)
+                pool_pending = None
+            elif pool_pending is not None and pool_pending.done():
                 speech_pool = jax.device_put(pool_pending.result[0])
                 noise_pool = jax.device_put(pool_pending.result[1])
                 log.info("swapped in a fresh clip pool at step %d",
@@ -244,11 +250,14 @@ class _DaemonJob:
         import threading
 
         self.result = None
+        self.error: Exception | None = None
         self._done = threading.Event()
 
         def run():
             try:
                 self.result = fn(*args)
+            except Exception as e:  # surfaced by the training loop
+                self.error = e
             finally:
                 self._done.set()
 
@@ -256,3 +265,6 @@ class _DaemonJob:
 
     def done(self) -> bool:
         return self._done.is_set() and self.result is not None
+
+    def failed(self) -> bool:
+        return self._done.is_set() and self.error is not None

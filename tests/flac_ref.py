@@ -158,6 +158,7 @@ def write_flac(
     force_subframe: Optional[str] = None,
     left_side: bool = False,
     seektable_every: Optional[int] = None,
+    first_frame_number: int = 0,  # nonzero = malformed stream for seek tests
 ) -> None:
     data = np.asarray(data, np.int64)
     if data.ndim == 1:
@@ -190,7 +191,7 @@ def write_flac(
         ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bits]
         w.write(ss_code, 3)
         w.write(0, 1)            # reserved
-        for b in _utf8_number(fi):
+        for b in _utf8_number(fi + first_frame_number):
             w.write(b, 8)
         if bs_extra is not None:
             w.write(bs_extra, 16)

@@ -5,6 +5,7 @@ straight from the AIFF-1.3 spec), independently of io/aiff.py, so reader
 bugs can't self-verify.
 """
 
+import os
 import struct
 
 import numpy as np
@@ -160,3 +161,25 @@ def test_fused_detect_aiff_matches_wav(tmp_path):
     rw = det.detect_file_fused(pw)
     assert ra.num_windows == rw.num_windows
     assert ra.intervals == rw.intervals
+
+
+def test_truncated_ssnd_clamps_to_physical_size(tmp_path):
+    """Advisor r2: a crash-truncated AIFF whose SSND header overstates the
+    payload must clamp frames to the physical file size (like wavio), not
+    short-read into a reshape error."""
+    rng = np.random.default_rng(11)
+    audio = (rng.uniform(-0.3, 0.3, 4000) * 32767).astype(np.int16)
+    p = str(tmp_path / "t.aiff")
+    write_aiff(p, audio.reshape(-1, 1), 22050)
+    full = os.path.getsize(p)
+    with open(p, "r+b") as f:
+        f.truncate(full - 1000)  # chop tail; headers still claim 4000 frames
+
+    inf = aiff.info(p)
+    assert inf.frames == 4000 - 1000 // 2
+    data, sr = aiff.read(p)
+    assert sr == 22050
+    assert data.shape[0] == inf.frames
+    np.testing.assert_allclose(
+        data[: inf.frames], audio[: inf.frames].astype(np.float32) / 32768.0,
+        atol=1e-6)

@@ -232,3 +232,29 @@ def test_zero_frame_read_at_eof_returns_empty(tmp_path):
     assert out.shape[0] == 0
     out2, _ = read_any(p, start=inf.frames + 100, frames=10)
     assert out2.shape[0] == 0
+
+
+def test_malformed_first_frame_seek_terminates(tmp_path):
+    """Advisor r2 (medium): a stream whose FIRST frame number is nonzero made
+    the seek-overshoot recovery restart-and-redecode the same frame forever.
+    The decoder now restarts at most once and then accepts the overshot
+    position instead of looping.  Run in a subprocess so a regression shows
+    up as a timeout failure, not a hung test session."""
+    import subprocess
+    import sys as _sys
+
+    data = (np.arange(2 * 4096) % 97).astype(np.int16)
+    p = str(tmp_path / "mal.flac")
+    flac_ref.write_flac(p, data, 22050, bits=16, first_frame_number=10)
+
+    code = (
+        "from softspoken_tpu.io import flac\n"
+        f"r = flac.FlacReader({p!r})\n"
+        "r.seek(0)\n"          # target 0 < first frame sample 10*4096
+        "print('seek-done', r._pos)\n"
+        "r.close()\n"
+    )
+    res = subprocess.run([_sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=60, cwd="/root/repo")
+    assert res.returncode == 0, res.stderr
+    assert "seek-done" in res.stdout
