@@ -93,6 +93,27 @@ def main() -> None:
     sr_native = _wavio.info(bench_path).samplerate
     device_only = get_fused_engine(det, sr_native, "i16").device_only_rate()
 
+    # the e2e number is LINK-BOUND, not pipeline slack: 32 kHz int16 mono is
+    # 64 KB per audio-second, so achieved upload bytes/s divided by that is
+    # the hard ceiling any host→device streaming pipeline can reach here.
+    # Measure the achieved rate with the same transfer primitive the engine
+    # uses (device_put of int16; completion forced via a device_get — on
+    # this remote backend block_until_ready returns before the copy lands).
+    import jax
+    import jax.numpy as jnp
+
+    up_bytes = 32 * 1024 * 1024
+    blob = np.zeros(up_bytes // 2, np.int16)
+    up_rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dx = jax.device_put(blob)
+        jax.device_get(jnp.sum(dx[:: len(blob) // 64]))
+        up_rates.append(up_bytes / (time.perf_counter() - t0))
+    upload_bps = max(up_rates)
+    bytes_per_audio_sec = sr_native * 2  # int16 mono
+    link_bound_rate = upload_bps / bytes_per_audio_sec
+
     rates = sorted(result.audio_seconds / w for w in walls)
     value = rates[-1]
     median = rates[len(rates) // 2] if repeats % 2 else (
@@ -113,6 +134,9 @@ def main() -> None:
                 "mfu_median": round(mfu(median), 4),
                 "device_only": round(device_only, 2),
                 "device_only_mfu": round(mfu(device_only), 4),
+                "upload_mbps": round(upload_bps / 1e6, 1),
+                "link_bound_rate": round(link_bound_rate, 1),
+                "link_utilization": round(value / link_bound_rate, 3),
             }
         )
     )

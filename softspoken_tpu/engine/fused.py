@@ -386,6 +386,13 @@ def detect_file_fused(
     if inf.subtype.startswith("FLAC"):
         from ..io.flac import SequentialMonoReader
 
+        # mono ≤16-bit (the dominant field-recorder case) streams int16 —
+        # half the upload bytes of f32 on a link-bound path, bit-identical
+        # numerics (the ÷32768 on device equals the f32 scale exactly)
+        if inf.channels == 1 and inf.bits_per_sample <= 16:
+            engine = get_fused_engine(detector, inf.samplerate, "i16")
+            with SequentialMonoReader(path, dtype="i16") as smr:
+                return engine.run(smr.read, inf.frames, progress)
         engine = get_fused_engine(detector, inf.samplerate, "f32")
         with SequentialMonoReader(path) as smr:
             return engine.run(smr.read, inf.frames, progress)

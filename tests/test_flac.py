@@ -258,3 +258,47 @@ def test_malformed_first_frame_seek_terminates(tmp_path):
                          text=True, timeout=60, cwd="/root/repo")
     assert res.returncode == 0, res.stderr
     assert "seek-done" in res.stdout
+
+
+def test_fused_flac_i16_streaming_matches_f32_and_wav(tmp_path):
+    """VERDICT r2 weak #2 / next #3: mono <=16-bit FLAC streams int16 into
+    the fused engine (half the upload bytes).  Must be bit-identical to the
+    f32 FLAC path and match the same audio in a WAV container."""
+    from softspoken_tpu import Config, ckpt
+    from softspoken_tpu.engine import Detector
+    from softspoken_tpu.io import wavio
+    from softspoken_tpu.io.flac import SequentialMonoReader
+
+    rng = np.random.default_rng(5)
+    audio = (rng.uniform(-0.5, 0.5, 8 * 22050) * 32767).astype(np.int16)
+    pf = str(tmp_path / "x.flac")
+    pw = str(tmp_path / "x.wav")
+    flac_ref.write_flac(pf, audio.reshape(-1, 1), 22050, bits=16)
+    wavio.write(pw, audio.astype(np.float32) / 32768.0, 22050, subtype="PCM_16")
+
+    # the i16 reader's samples/32768 must equal the f32 reader's floats
+    with SequentialMonoReader(pf, dtype="i16") as ri:
+        i16 = ri.read(0, len(audio))
+    assert i16.dtype == np.int16
+    with SequentialMonoReader(pf) as rf:
+        f32 = rf.read(0, len(audio))
+    np.testing.assert_array_equal(i16.astype(np.float32) / 32768.0, f32)
+
+    cfg = Config().with_engine(precision="parity", device_batch=8,
+                               chunk_seconds=6.0)
+    det = Detector(cfg, variables=ckpt.fixture_variables(seed=0))
+    rflac = det.detect_file_fused(pf)
+    rwav = det.detect_file_fused(pw)
+    assert rflac.num_windows == rwav.num_windows
+    assert rflac.intervals == rwav.intervals
+    np.testing.assert_allclose(rflac.avg_values, rwav.avg_values, atol=1e-6)
+
+
+def test_sequential_i16_reader_rejects_unsupported(tmp_path):
+    from softspoken_tpu.io.flac import SequentialMonoReader
+
+    stereo = np.zeros((2000, 2), np.int16)
+    p = str(tmp_path / "st.flac")
+    flac_ref.write_flac(p, stereo, 22050, bits=16)
+    with pytest.raises(ValueError):
+        SequentialMonoReader(p, dtype="i16")
