@@ -80,6 +80,11 @@ class EngineConfig:
     # Skip files whose detections already exist (fixes reference resume quirk
     # SURVEY.md §2.3; set False for strict reference behavior).
     skip_processed_files: bool = True
+    # Chunk-granular resume (SURVEY.md §5 failure/recovery): persist fused-
+    # pipeline chunk progress every N chunks so a killed multi-hour detection
+    # resumes mid-file instead of from zero.  0 disables journaling; the
+    # checkpoint itself costs one grid+carry download per N chunks.
+    chunk_checkpoint_every: int = 0
     # Streaming-decode resampler for the host pipeline: "host" (scipy/C++
     # polyphase), "device" (fixed-shape jitted matmul), or "auto" (device
     # iff running on TPU).

@@ -339,17 +339,20 @@ class Detector:
         return self.detect_waveform(audio, progress)
 
     def detect_file_fused(
-        self, path: str, progress: Optional[Callable[[float], None]] = None
+        self, path: str, progress: Optional[Callable[[float], None]] = None,
+        journal_dir: Optional[str] = None,
     ) -> DetectionResult:
         """Fully-fused device pipeline (engine.fused): raw PCM streams to the
         accelerator; decode, resample, mel, U-Net and the overlap grid all
-        run in one program per chunk."""
+        run in one program per chunk.  ``journal_dir`` enables chunk-granular
+        resume (see engine.journal)."""
         from .fused import detect_file_fused
 
-        return detect_file_fused(self, path, progress)
+        return detect_file_fused(self, path, progress, journal_dir)
 
     def detect_file_streaming(
-        self, path: str, progress: Optional[Callable[[float], None]] = None
+        self, path: str, progress: Optional[Callable[[float], None]] = None,
+        journal_dir: Optional[str] = None,
     ) -> DetectionResult:
         """Bounded-memory decode for multi-hour recordings.
 
@@ -368,7 +371,7 @@ class Detector:
         if pipeline == "auto":
             pipeline = "fused" if jax.default_backend() == "tpu" else "host"
         if pipeline == "fused":
-            return self.detect_file_fused(path, progress)
+            return self.detect_file_fused(path, progress, journal_dir)
 
         pad = cfg.pad_samples
         total = internal_length(path, cfg.dsp.sample_rate)

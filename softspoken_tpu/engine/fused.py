@@ -25,6 +25,7 @@ for strict numeric parity.
 from __future__ import annotations
 
 import logging
+import os
 import weakref
 from typing import Callable, List, Optional, Tuple
 
@@ -210,11 +211,17 @@ class FusedStreamingEngine:
         read_native: Callable[[int, int], np.ndarray],
         native_frames: int,
         progress: Optional[Callable[[float], None]] = None,
+        journal=None,
     ) -> DetectionResult:
         """Detect over a native-rate stream of ``native_frames`` samples.
 
         ``read_native(start, frames)`` returns raw samples of the engine's
         input kind (int16 or float32 mono), clamped at EOF.
+
+        ``journal`` (engine.journal.ChunkJournal) enables chunk-granular
+        resume: completed chunk grids + the inter-chunk carry persist every
+        ``cfg.engine.chunk_checkpoint_every`` chunks, and a killed run
+        restarts from the last checkpoint instead of from zero.
         """
         cfg = self.cfg
         up, down = self.up, self.down
@@ -239,10 +246,27 @@ class FusedStreamingEngine:
                 out[a0 - start : a0 - start + len(got)] = got
             return out
 
-        carry_sum = jnp.zeros((CARRY,), jnp.float32)
-        carry_cnt = jnp.zeros((CARRY,), jnp.float32)
-
         n_chunks = -(-n_windows // self.chunk_w)
+
+        done_parts: List[np.ndarray] = []
+        k0 = 0
+        if journal is not None:
+            # bind the journal to this exact computation before trusting it
+            journal.header.update(
+                n_windows=int(n_windows), n_chunks=int(n_chunks),
+                chunk_w=int(self.chunk_w), glen=int(self.glen),
+                kind=self.kind, native_sr=int(self.native_sr),
+            )
+            resume = journal.load()
+            if resume is not None and resume.chunks_done < n_chunks:
+                done_parts = list(resume.avg_parts)
+                k0 = resume.chunks_done
+                carry_sum = jax.device_put(resume.carry_sum)
+                carry_cnt = jax.device_put(resume.carry_cnt)
+        if k0 == 0:
+            carry_sum = jnp.zeros((CARRY,), jnp.float32)
+            carry_cnt = jnp.zeros((CARRY,), jnp.float32)
+        every = max(1, getattr(cfg.engine, "chunk_checkpoint_every", 1) or 1)
 
         def prepare(ci: int):
             """Host side of chunk ci: staging fill + window metadata.
@@ -310,8 +334,9 @@ class FusedStreamingEngine:
 
         pending: List[Tuple[int, object]] = []  # (fin, device avg handle)
         with ThreadPoolExecutor(max_workers=1) as ex:
-            fut = ex.submit(prepare, 0)
-            for ci in range(n_chunks):
+            if k0 < n_chunks:
+                fut = ex.submit(prepare, k0)
+            for ci in range(k0, n_chunks):
                 staging, lo, fin, starts_l, bins_l, valid, w1 = fut.result()
                 if ci + 1 < n_chunks:
                     fut = ex.submit(prepare, ci + 1)
@@ -331,13 +356,27 @@ class FusedStreamingEngine:
                 pending.append((fin, avg))
                 if progress is not None:
                     progress(w1 / n_windows)
+                if (journal is not None and ci + 1 < n_chunks
+                        and (ci + 1 - k0) % every == 0):
+                    # checkpoint: one batched fetch of the grids completed
+                    # since the last save plus the carry (a deliberate sync
+                    # point — the cost is one download per `every` chunks)
+                    got = jax.device_get(
+                        [a for _, a in pending] + [carry_sum, carry_cnt])
+                    done_parts.extend(
+                        a[:fin] for (fin, _), a in zip(pending, got[:-2]))
+                    pending = []
+                    journal.save(done_parts, got[-2], got[-1])
 
         # one batched fetch: per-chunk `np.asarray(avg[:fin])` would cost a
         # device-side slice dispatch (~30 ms tunnel roundtrip each) plus a
         # serial download per chunk; device_get pipelines them
         fetched = jax.device_get([avg for _, avg in pending])
-        avg_parts = [a[:fin] for (fin, _), a in zip(pending, fetched)]
+        avg_parts = done_parts + [
+            a[:fin] for (fin, _), a in zip(pending, fetched)]
         avg_values = np.concatenate(avg_parts)[:covered]
+        if journal is not None:
+            journal.clear()
         if cfg.engine.min_count > 1:
             # coverage counts are a pure function of the window offsets
             # (NNDetector.py:153,181-183); recompute them host-side and force
@@ -372,17 +411,42 @@ def get_fused_engine(detector: Detector, native_sr: int, kind: str) -> FusedStre
     return per_det[key]
 
 
+def _make_journal(detector: Detector, path: str, journal_dir: Optional[str]):
+    """Chunk-resume sidecar bound to (file identity, weights, numerics)."""
+    if not journal_dir:
+        return None
+    from .journal import journal_for, variables_digest
+
+    st = os.stat(path)
+    dig = getattr(detector, "_vars_digest", None)
+    if dig is None:
+        dig = variables_digest(detector.variables)
+        detector._vars_digest = dig
+    cfg = detector.cfg
+    header = {
+        "size": int(st.st_size), "mtime_ns": int(st.st_mtime_ns),
+        "weights": dig, "step_seconds": cfg.engine.step_seconds,
+        "precision": cfg.engine.precision, "sample_rate": cfg.dsp.sample_rate,
+    }
+    return journal_for(journal_dir, path, header)
+
+
 def detect_file_fused(
-    detector: Detector, path: str, progress: Optional[Callable[[float], None]] = None
+    detector: Detector, path: str,
+    progress: Optional[Callable[[float], None]] = None,
+    journal_dir: Optional[str] = None,
 ) -> DetectionResult:
     """Whole-file detection through the fused device pipeline.
 
     PCM16 files stream raw int16 to the device (no host decode at all);
-    other formats decode+downmix on host to float32 native.
+    other formats decode+downmix on host to float32 native.  With
+    ``journal_dir`` set, chunk progress persists there and a killed run
+    resumes mid-file (SURVEY.md §5 failure/recovery).
     """
     from ..io.audio import probe
 
     inf = probe(path)
+    journal = _make_journal(detector, path, journal_dir)
     if inf.subtype.startswith("FLAC"):
         from ..io.flac import SequentialMonoReader
 
@@ -392,10 +456,10 @@ def detect_file_fused(
         if inf.channels == 1 and inf.bits_per_sample <= 16:
             engine = get_fused_engine(detector, inf.samplerate, "i16")
             with SequentialMonoReader(path, dtype="i16") as smr:
-                return engine.run(smr.read, inf.frames, progress)
+                return engine.run(smr.read, inf.frames, progress, journal)
         engine = get_fused_engine(detector, inf.samplerate, "f32")
         with SequentialMonoReader(path) as smr:
-            return engine.run(smr.read, inf.frames, progress)
+            return engine.run(smr.read, inf.frames, progress, journal)
 
     if (isinstance(inf, wavio.WavInfo)
             and inf.subtype == "PCM_16" and inf.channels == 1):
@@ -410,7 +474,7 @@ def detect_file_fused(
             return reader.read_raw(start, frames).view("<i2")
 
         try:
-            return engine.run(read_native, inf.frames, progress)
+            return engine.run(read_native, inf.frames, progress, journal)
         finally:
             reader.close()
 
@@ -422,4 +486,4 @@ def detect_file_fused(
         data, _ = read_mono(path, start=start, frames=frames)
         return data
 
-    return engine.run(read_native, inf.frames, progress)
+    return engine.run(read_native, inf.frames, progress, journal)

@@ -179,10 +179,22 @@ class DetectRunner:
             cb.emit("file_started", path)
             progress = lambda frac: cb.emit("file_progress", frac * 100.0)  # noqa: E731
 
+            # chunk-granular resume: journal sidecars live next to the
+            # detections CSV; a killed run restarts mid-file (SURVEY §5)
+            journal_dir = (
+                os.path.join(
+                    os.path.dirname(os.path.abspath(self.store.path)),
+                    ".chunk_progress",
+                )
+                if self.cfg.engine.chunk_checkpoint_every > 0
+                else None
+            )
+
             def run_detection():
                 with self.timers.time("detect"):
                     if isinstance(payload, str) and payload == "stream":
-                        return self.detector.detect_file_streaming(path, progress)
+                        return self.detector.detect_file_streaming(
+                            path, progress, journal_dir)
                     return self.detector.detect_waveform(payload, progress)
 
             try:
