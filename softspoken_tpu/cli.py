@@ -391,6 +391,9 @@ def cmd_eval(args) -> None:
         labels = E.make_eval_set(
             args.make_synthetic, n_files=args.eval_files,
             seconds=args.eval_seconds, seed=args.seed,
+            generator=args.generator,
+            snr_db=(args.snr, args.snr) if args.snr is not None else None,
+            degradations=args.degrade.split(",") if args.degrade else None,
         )
         print(f"synthesized eval set → {labels}", file=sys.stderr)
     else:
@@ -531,6 +534,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="first synthesize a labeled eval set into DIR")
     pe.add_argument("--eval-files", type=int, default=8)
     pe.add_argument("--eval-seconds", type=float, default=120.0)
+    pe.add_argument("--generator", choices=["v1", "v2"], default="v1",
+                    help="v1 = training-family synth; v2 = independent "
+                         "out-of-family generator (train/synth2.py)")
+    pe.add_argument("--snr", type=float,
+                    help="pin per-event SNR (dB); default 0-20 dB draws")
+    pe.add_argument("--degrade",
+                    help="comma list of degradations (train/degrade.py): "
+                         "rolloff4k,clip,mulaw,hum,dropout")
     pe.add_argument("--ckpt", help="checkpoint (default: config model path)")
     pe.add_argument("--iou", type=float, default=0.5)
     pe.add_argument("--seed", type=int, default=1234)

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -147,16 +147,33 @@ def make_eval_set(
     seconds: float = 120.0,
     sr: int = 32000,
     seed: int = 1234,
+    generator: str = "v1",
+    snr_db: Optional[Tuple[float, float]] = None,
+    degradations: Optional[Sequence[str]] = None,
 ) -> str:
-    """Synthesize labeled field recordings; returns the labels.csv path."""
-    from ..io import wavio
-    from . import synth
+    """Synthesize labeled field recordings; returns the labels.csv path.
 
+    ``generator``: "v1" (train/synth.py — the TRAINING family) or "v2"
+    (train/synth2.py — the independently-written out-of-family generator;
+    VERDICT r2 next #1).  ``snr_db`` pins the per-event SNR range (default:
+    each generator's own 0–20 dB draw).  ``degradations`` is a list of
+    train/degrade.py condition names applied to the finished recordings.
+    """
+    from ..io import wavio
+    from . import synth, synth2
+
+    make = {"v1": synth.synth_field_recording,
+            "v2": synth2.field_recording2}[generator]
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(seed)
     labeled = []
     for i in range(n_files):
-        audio, ivs = synth.synth_field_recording(rng, seconds, sr=sr)
+        kwargs = {} if snr_db is None else {"snr_db": snr_db}
+        audio, ivs = make(rng, seconds, sr=sr, **kwargs)
+        if degradations:
+            from . import degrade
+
+            audio = degrade.apply(audio, sr, degradations, rng)
         name = f"eval_{i:03d}.wav"
         wavio.write(os.path.join(outdir, name), audio, sr, subtype="PCM_16")
         labeled.append((name, ivs))
