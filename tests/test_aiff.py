@@ -140,6 +140,7 @@ def test_load_audio_resamples_aiff(tmp_path):
     assert np.abs(data).max() == pytest.approx(0.5, abs=0.05)
 
 
+@pytest.mark.slow
 def test_fused_detect_aiff_matches_wav(tmp_path):
     """detect_file_fused dispatches AIFF through the f32 path and produces
     the same intervals as the identical audio in a WAV container."""

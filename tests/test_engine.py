@@ -74,6 +74,7 @@ def test_find_regions_matches_reference_loop():
         assert got == want
 
 
+@pytest.mark.slow
 def test_shift_and_detect_synthetic_speech(detector):
     """End-to-end slice: a waveform whose random-net logits exceed threshold
     somewhere must produce intervals identical to the reference pipeline
@@ -101,6 +102,7 @@ def test_shift_and_detect_synthetic_speech(detector):
     ]
 
 
+@pytest.mark.slow
 def test_chunked_equals_unchunked(detector):
     """Chunk boundaries must not change logits (overlap-save invariant)."""
     cfg = TEST_CFG
@@ -118,6 +120,7 @@ def test_chunked_equals_unchunked(detector):
     assert res_a.intervals == res_b.intervals
 
 
+@pytest.mark.slow
 def test_streaming_file_equals_in_memory(detector, tmp_path):
     from softspoken_tpu.io import wavio
 

@@ -29,6 +29,7 @@ def corpora(tmp_path):
     return str(speech), str(noise)
 
 
+@pytest.mark.slow
 def test_fit_runs_and_saves(tmp_path, corpora):
     speech, noise = corpora
     out = str(tmp_path / "trained")
@@ -48,6 +49,7 @@ def test_fit_runs_and_saves(tmp_path, corpora):
     assert res.num_windows > 0
 
 
+@pytest.mark.slow
 def test_fit_sharded(tmp_path, corpora):
     from softspoken_tpu.parallel import make_mesh
 
@@ -62,6 +64,7 @@ def test_list_wavs(tmp_path, corpora):
     assert len(list_wavs(speech)) == 2
 
 
+@pytest.mark.slow
 def test_fit_resume_warm_starts(tmp_path, corpora):
     """--resume continues from a saved checkpoint: params start equal to the
     checkpoint's and the saved epoch accumulates across runs."""

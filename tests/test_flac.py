@@ -144,6 +144,7 @@ def test_flac_through_audio_dispatch(tmp_path):
     np.testing.assert_allclose(np.concatenate(cf), np.concatenate(cw), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_flac_detection_matches_wav(tmp_path):
     """End-to-end: detection intervals on a FLAC must equal the same audio
     as WAV, through both the host and fused pipelines."""

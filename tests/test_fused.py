@@ -25,6 +25,7 @@ def _wav(tmp_path, sr, seconds, subtype="PCM_16", channels=1, seed=0):
     return p
 
 
+@pytest.mark.slow
 def test_fused_matches_host_native_rate(tmp_path, detector):
     """At the internal rate there is no resampler, so fused == host exactly
     (same windows, same mel, same net)."""
@@ -40,6 +41,7 @@ def test_fused_matches_host_native_rate(tmp_path, detector):
     assert fused.intervals == host.intervals
 
 
+@pytest.mark.slow
 def test_fused_matches_host_resampled(tmp_path, detector):
     """With resampling the pad-join numerics differ inside a filter length
     of ±3 s (documented); intervals and interior grid bins must agree."""
@@ -60,6 +62,7 @@ def test_fused_matches_host_resampled(tmp_path, detector):
 
 
 @pytest.mark.parametrize("sr", [44100, 48000, 16000])
+@pytest.mark.slow
 def test_fused_other_rates(tmp_path, detector, sr):
     """Ratios with small `down` (44.1k: up=1,down=2) need the multi-copy
     block assembly; upsampling (16k) exercises up>down."""
@@ -81,6 +84,7 @@ def test_fused_subwindow_file(tmp_path, detector):
     np.testing.assert_allclose(fused.avg_values, host.avg_values, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_fused_stereo_float_fallback(tmp_path, detector):
     p = _wav(tmp_path, 32000, 20.0, subtype="FLOAT", channels=2, seed=5)
     host = detector.detect_file_streaming(p)
@@ -89,6 +93,7 @@ def test_fused_stereo_float_fallback(tmp_path, detector):
     assert len(fused.intervals) == len(host.intervals)
 
 
+@pytest.mark.slow
 def test_fused_multi_chunk_carry(tmp_path, detector):
     """Chunk carries: a file spanning several chunks must match a config
     with one giant chunk (chunking independence through the carry)."""
@@ -173,6 +178,7 @@ def test_device_only_rate_positive(tmp_path):
     assert rate > 0
 
 
+@pytest.mark.slow
 def test_fused_chunking_invariant_nondefault_step(tmp_path):
     """Regression (code review r2): prepare() computed the chunk
     finalization boundary with the default 0.6 s step, corrupting the grid
@@ -201,6 +207,7 @@ def test_fused_chunking_invariant_nondefault_step(tmp_path):
     assert multi.intervals == single.intervals
 
 
+@pytest.mark.slow
 def test_fused_exact_multiple_chunks_returns_full_grid(tmp_path):
     """Regression (code review r2 pass 2): when n_windows is an exact
     multiple of chunk_w, the final chunk was treated as non-final and the

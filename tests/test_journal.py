@@ -50,6 +50,7 @@ class _KillAfter:
         return self.fn(*args)
 
 
+@pytest.mark.slow
 def test_kill_and_resume_skips_completed_chunks(tmp_path):
     wav = str(tmp_path / "long.wav")
     _make_wav(wav)

@@ -83,6 +83,7 @@ def test_full_window_forward_matches_torch():
     np.testing.assert_allclose(np.asarray(mask_j)[:, None, :], mask_t, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_train_mode_runs():
     model, variables = init_variables(jax.random.PRNGKey(0))
     mel = _mel_batch(b=2, seed=1)[..., None]

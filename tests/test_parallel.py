@@ -17,6 +17,7 @@ def test_mesh_shapes():
     assert dict(zip(m2.axis_names, m2.devices.shape)) == {"data": 4, "seq": 2}
 
 
+@pytest.mark.slow
 def test_sharded_detection_matches_single_device():
     """Windows sharded over 8 virtual chips must bit-match the single-device
     run (SURVEY.md §4: sharded run equals unsharded)."""
@@ -38,6 +39,7 @@ def test_sharded_detection_matches_single_device():
     assert res_mesh.intervals == res_single.intervals
 
 
+@pytest.mark.slow
 def test_sharded_fused_matches_single_device(tmp_path):
     from softspoken_tpu.engine.fused import detect_file_fused
     from softspoken_tpu.io import wavio
@@ -68,6 +70,7 @@ def test_mesh_detector_rejects_bad_batch():
         MeshDetector(det, make_mesh(("data",)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
@@ -146,6 +149,7 @@ def test_init_distributed_passes_explicit_arguments(monkeypatch):
     }]
 
 
+@pytest.mark.slow
 def test_two_process_distributed_bootstrap_and_collective(tmp_path):
     """REAL multi-process jax.distributed: two OS processes bootstrap via the
     coordinator, form a 4-device global CPU mesh, split the file list
@@ -172,7 +176,7 @@ def test_two_process_distributed_bootstrap_and_collective(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=420)
+        out, _ = p.communicate(timeout=900)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
@@ -183,6 +187,7 @@ def test_two_process_distributed_bootstrap_and_collective(tmp_path):
     assert sorted(files0 + files1) == [f"f{i:02d}.wav" for i in range(7)]
 
 
+@pytest.mark.slow
 def test_two_process_distributed_cli_detect(tmp_path):
     """Full multi-host CLI flow: two OS processes run `detect --distributed`
     over the same 3-file list, bootstrap via the coordinator, each process
@@ -228,7 +233,7 @@ def test_two_process_distributed_cli_detect(tmp_path):
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
 

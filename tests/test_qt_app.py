@@ -119,6 +119,7 @@ def _detect_then_review(win, wav, monkeypatch):
     return win.review
 
 
+@pytest.mark.slow
 def test_review_grade_highlight_and_zoom(app_env, monkeypatch):
     win, wav, _ = app_env
     review = _detect_then_review(win, wav, monkeypatch)

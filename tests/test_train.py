@@ -172,6 +172,7 @@ def test_frame_mask():
 # training step
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_train_step_decreases_loss():
     model, state, tx = create_train_state(jax.random.PRNGKey(0), learning_rate=3e-3)
     step = jax.jit(make_train_step(model, tx))
@@ -279,6 +280,7 @@ def test_synth_batch_fn_shapes_and_targets():
     assert set(np.unique(m)).issubset({0.0, 1.0})
 
 
+@pytest.mark.slow
 def test_fused_train_step_runs_and_advances():
     """One fused device call = n_inner full optimizer steps.
 
@@ -303,6 +305,7 @@ def test_fused_train_step_runs_and_advances():
     assert all(np.isfinite(float(v)) for v in m.values())
 
 
+@pytest.mark.slow
 def test_sharded_fused_synth_step_matches_unsharded():
     """The mesh variant of the fused synth+train step must produce the same
     loss as the single-device one for identical PRNG keys (dp sharding is a

@@ -57,6 +57,7 @@ def test_trained_model_finds_planted_speech(field):
         assert de > 0 and ds < 30.0
 
 
+@pytest.mark.slow
 def test_trained_chunked_equals_unchunked(field):
     """The invariant the fixture could not protect: sharp logits across
     chunk boundaries."""
@@ -69,6 +70,7 @@ def test_trained_chunked_equals_unchunked(field):
     assert multi.intervals == single.intervals
 
 
+@pytest.mark.slow
 def test_trained_fused_matches_host(field):
     path, _ = field
     fused = _det(chunk_seconds=60.0).detect_file_fused(path)
@@ -76,6 +78,7 @@ def test_trained_fused_matches_host(field):
     assert fused.intervals == host.intervals
 
 
+@pytest.mark.slow
 def test_trained_sharded_equals_single(field):
     from softspoken_tpu.parallel import MeshDetector, make_mesh
 
