@@ -164,7 +164,8 @@ def synth_speech(
 # ecological soundscapes
 # --------------------------------------------------------------------------
 
-ENVIRONMENT_KINDS = ("wind", "rain", "stream", "birds", "insects", "rumble")
+ENVIRONMENT_KINDS = ("wind", "rain", "stream", "birds", "insects", "rumble",
+                     "calls")
 
 
 def _colored_noise(rng, n: int, alpha: float) -> np.ndarray:
@@ -241,6 +242,36 @@ def synth_environment(
         out = signal.sosfilt(sos, bursts).astype(np.float32) * (0.3 + am).astype(
             np.float32
         )
+
+    elif kind == "calls":
+        # Harmonic animal calls (corvid/jay register): a pulse train through
+        # vocal-tract-style resonators with roughness AM — the VOICED
+        # confuser a field recorder picks up.  Added in round 3 after the
+        # out-of-family eval (train/synth2.py corvid texture) showed the
+        # round-2 checkpoint false-alarming on harmonic calls it had never
+        # seen; the implementation here (excitation-filter) is deliberately
+        # different from synth2's additive sine stack.  f0 300–1300 Hz sits
+        # ABOVE the speech register (85–255 Hz), which is the discriminant
+        # training can learn.
+        out = np.zeros(n_samples, np.float32)
+        n_calls = max(1, int(n_samples / SR * rng.uniform(0.3, 2.0)))
+        for _ in range(n_calls):
+            dur = int(rng.uniform(0.1, 0.6) * SR)
+            at = int(rng.integers(0, max(1, n_samples - dur)))
+            f0 = float(rng.uniform(300.0, 1300.0))
+            sweep = 1.0 + rng.uniform(-0.25, 0.25) * np.linspace(0, 1, dur)
+            src = _glottal_pulses(dur, np.clip(f0 * sweep, 200.0, 2000.0), rng)
+            y = np.zeros(dur)
+            for fc, bw, g in ((rng.uniform(800, 1800), 250.0, 1.0),
+                              (rng.uniform(2000, 3500), 400.0, 0.5)):
+                y = y + g * _resonator(src, float(fc), bw)
+            rough = 1.0 + 0.5 * np.sin(
+                2 * np.pi * rng.uniform(40, 120) * np.arange(dur) / SR)
+            y = y * rough * signal.windows.tukey(dur, 0.5)
+            peak = np.abs(y).max()
+            if peak > 0:
+                out[at: at + dur] += (
+                    rng.uniform(0.4, 1.0) * y / peak).astype(np.float32)
 
     else:  # pragma: no cover
         raise ValueError(f"unknown environment kind {kind!r}")

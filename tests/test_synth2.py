@@ -1,0 +1,69 @@
+"""Out-of-family generator + degradations (train/synth2.py, train/degrade.py)."""
+
+import numpy as np
+import pytest
+
+from softspoken_tpu.train import degrade, evaluate as E, synth2
+
+
+def test_speech2_spans_cover_energy():
+    rng = np.random.default_rng(1)
+    audio, spans = synth2.speech2(rng, 22050 * 3)
+    assert audio.dtype == np.float32 and np.isfinite(audio).all()
+    assert spans, "plan must contain utterances"
+    inside = np.zeros(len(audio), bool)
+    for s, e in spans:
+        assert 0 <= s < e <= len(audio)
+        inside[s:e] = True
+    # energy concentrates inside the planned spans
+    rms_in = float(np.sqrt(np.mean(audio[inside] ** 2)))
+    rms_out = float(np.sqrt(np.mean(audio[~inside] ** 2))) if (~inside).any() else 0.0
+    assert rms_in > 5 * max(rms_out, 1e-6)
+
+
+@pytest.mark.parametrize("kind", synth2.TEXTURES2)
+def test_texture2_kinds(kind):
+    rng = np.random.default_rng(2)
+    x = synth2.texture2(rng, 22050, kind)
+    assert x.shape == (22050,) and np.isfinite(x).all()
+    assert np.abs(x).max() <= 1.0 + 1e-6
+
+
+def test_field_recording2_labels_sane():
+    rng = np.random.default_rng(3)
+    audio, ivs = synth2.field_recording2(rng, 20.0, sr=22050)
+    assert len(audio) == 20 * 22050
+    assert ivs
+    last_end = 0.0
+    for s, e in ivs:
+        assert 0.0 <= s < e <= 20.0
+        assert s >= last_end  # sorted, non-overlapping after merge
+        last_end = e
+
+
+@pytest.mark.parametrize("kind", degrade.DEGRADATIONS)
+def test_degradations_shape_and_bounds(kind):
+    rng = np.random.default_rng(4)
+    x = (0.3 * np.sin(2 * np.pi * 440 * np.arange(32000) / 32000)).astype(np.float32)
+    y = degrade.apply(x, 32000, [kind], rng)
+    assert y.shape == x.shape and y.dtype == np.float32
+    assert np.isfinite(y).all() and np.abs(y).max() <= 1.0
+
+
+def test_mulaw_roundtrip_is_lossy_but_close():
+    rng = np.random.default_rng(5)
+    x = (0.5 * np.sin(2 * np.pi * 300 * np.arange(8000) / 8000)).astype(np.float32)
+    y = degrade.mulaw(x, 8000, rng)
+    err = np.abs(y - x)
+    assert 1e-6 < err.max() < 0.02  # quantized, not destroyed
+
+
+def test_make_eval_set_v2_with_degradations(tmp_path):
+    labels = E.make_eval_set(
+        str(tmp_path), n_files=1, seconds=10.0, sr=22050, seed=7,
+        generator="v2", snr_db=(10.0, 10.0), degradations=["mulaw"],
+    )
+    labeled = E.load_labels(labels)
+    assert len(labeled) == 1
+    path, ivs = labeled[0]
+    assert ivs and path.endswith("eval_000.wav")
