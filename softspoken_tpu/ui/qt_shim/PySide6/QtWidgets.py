@@ -301,7 +301,9 @@ class QListWidget(QWidget):
         self.itemSelectionChanged.emit()
 
     # test helper mirroring user multi-select
-    def selectRows(self, rows) -> None:
+    def shim_selectRows(self, rows) -> None:
+        # test-only helper (NOT real PySide6 API — hence the shim_ prefix,
+        # enforced by tests/test_shim_fidelity.py)
         self._selected = [r for r in rows if 0 <= r < len(self._items)]
         self.itemSelectionChanged.emit()
 
@@ -386,7 +388,8 @@ class QTableWidget(QWidget):
     def setHorizontalHeaderLabels(self, labels) -> None:
         self._headers = list(labels)
 
-    def horizontalHeaderLabels(self) -> List[str]:
+    def shim_horizontalHeaderLabels(self) -> List[str]:
+        # test-only helper (NOT real PySide6 API)
         return list(self._headers)
 
     def setItem(self, r: int, c: int, item: QTableWidgetItem) -> None:
@@ -466,7 +469,8 @@ class QMenuBar(QObject):
         self._menus.append(m)
         return m
 
-    def menus(self) -> List[QMenu]:
+    def shim_menus(self) -> List[QMenu]:
+        # test-only helper (NOT real PySide6 API)
         return list(self._menus)
 
 

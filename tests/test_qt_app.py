@@ -70,7 +70,7 @@ def test_all_screens_construct_and_navigate(app_env):
     win, _, _ = app_env
     assert win.stack.currentWidget() is win.home
     # menus wired
-    menus = win.menuBar().menus()
+    menus = win.menuBar().shim_menus()
     assert [m._title for m in menus] == ["&File", "&Help"]
     assert len(menus[0].actions()) == 3
 
@@ -83,7 +83,7 @@ def test_project_flow_and_file_list(app_env, monkeypatch):
     assert "Not Started" in win.workspace.status.text() or "not" in win.workspace.status.text().lower()
 
     # remove with confirm dialog (default answer Yes)
-    win.workspace.files.selectRows([0])
+    win.workspace.files.shim_selectRows([0])
     win.workspace.remove_selected()
     assert win.workspace.files.count() == 0
     # declined confirm leaves the list alone
@@ -92,7 +92,7 @@ def test_project_flow_and_file_list(app_env, monkeypatch):
     win.workspace.add_files()
     monkeypatch.setattr(QMessageBox, "_question_answer",
                         QMessageBox.StandardButton.No)
-    win.workspace.files.selectRows([0])
+    win.workspace.files.shim_selectRows([0])
     win.workspace.remove_selected()
     assert win.workspace.files.count() == 1
 
