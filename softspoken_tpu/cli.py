@@ -98,6 +98,8 @@ def cmd_detect(args) -> None:
     cfg = _load_config(args)
     if args.strict_reference:
         cfg = cfg.with_engine(skip_processed_files=False)
+    if getattr(args, "chunk_checkpoint", None):
+        cfg = cfg.with_engine(chunk_checkpoint_every=args.chunk_checkpoint)
 
     if args.distributed:
         from .parallel import init_distributed
@@ -468,6 +470,10 @@ def build_parser() -> argparse.ArgumentParser:
     pd_.add_argument("--process-id", type=int, help="(--distributed) this process's id")
     pd_.add_argument("--strict-reference", action="store_true",
                      help="reprocess files already in the CSV (reference resume behavior)")
+    pd_.add_argument("--chunk-checkpoint", type=int, metavar="N", default=None,
+                     help="persist fused-pipeline progress every N chunks so a "
+                          "killed run resumes mid-file (engine.journal); "
+                          "sidecars live in .chunk_progress/ next to the CSV")
     pd_.set_defaults(func=cmd_detect)
 
     pr = sub.add_parser("review", help="review detections")

@@ -109,3 +109,27 @@ def test_cli_review_render_and_segment(workspace, capsys):
     main(["--project-dir", pdir, "review", "segment", "--project", "p2",
           "--row", "0", "--out", seg])
     assert os.path.getsize(seg) > 44
+
+
+def test_cli_detect_chunk_checkpoint_resumable(tmp_path, monkeypatch):
+    """--chunk-checkpoint N wires engine.chunk_checkpoint_every and the
+    runner drops journal sidecars next to the CSV (cleared on success)."""
+    import numpy as np
+
+    from softspoken_tpu.io import wavio
+
+    rng = np.random.default_rng(2)
+    wav = str(tmp_path / "a.wav")
+    wavio.write(wav, (0.1 * rng.standard_normal(20 * 22050)).astype(np.float32),
+                22050, subtype="PCM_16")
+    out = str(tmp_path / "dets.csv")
+    cfg = str(tmp_path / "cfg.json")
+    with open(cfg, "w") as f:
+        json.dump({"engine": {"precision": "parity", "device_batch": 8,
+                              "chunk_seconds": 6.0, "pipeline": "fused"}}, f)
+    main(["--config", cfg, "detect", "--files", wav, "--out", out,
+              "--random-init", "--streaming", "--chunk-checkpoint", "1"])
+    assert os.path.exists(out)
+    prog = os.path.join(os.path.dirname(out), ".chunk_progress")
+    # a successful run leaves no sidecars behind
+    assert not os.path.isdir(prog) or os.listdir(prog) == []
