@@ -101,6 +101,8 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="2 files x 60 s, clean+2 conditions (smoke)")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--mel-precision", default="highest",
+                    choices=["highest", "high", "default"])
     args = ap.parse_args()
 
     from softspoken_tpu import Config
@@ -113,7 +115,7 @@ def main():
         n_files, seconds = 2, 60.0
         conditions = CONDITIONS[:2] + [CONDITIONS[7]]
 
-    cfg = Config()
+    cfg = Config().with_engine(mel_precision=args.mel_precision)
     det = Detector(cfg, checkpoint_path=args.ckpt)
     pad = cfg.engine.pad_seconds
 

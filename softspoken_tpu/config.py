@@ -94,6 +94,16 @@ class EngineConfig:
     # v5e the XLA path is ~10% faster end-to-end (XLA already fuses the
     # chain well and the U-Net dominates), so "auto" = xla.
     mel_kernel: str = "auto"
+    # Mel matmul precision: "highest" (6-pass bf16 ≈ f32, the r2 default),
+    # "high" (3-pass, ~21-bit mantissa), "default" (1-pass bf16).  The DFT
+    # matmul is ~12% of device step time at "highest" (docs/PROFILE_r03.md);
+    # "high" halves that (device-only 3,900 → 4,139 audio-s/s measured).
+    # Gate for the default flip: the full 24-condition quality grid scored
+    # identically at high vs highest to ±0.002 F1 on every metric, and
+    # trained-checkpoint intervals matched exactly on both generators.
+    # "auto" = "highest" when precision == "parity" (strict reference
+    # numerics), else "high".
+    mel_precision: str = "auto"
     # Streaming pipeline: "fused" runs decode→resample→mel→U-Net→grid in one
     # device program (raw PCM up, score grid down — the TPU-native path);
     # "host" resamples host-side with exact reference-pad numerics;

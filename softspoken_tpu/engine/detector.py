@@ -116,9 +116,18 @@ class Detector:
                                     compute_dtype=dtype)
         # one batched host→device transfer for all ~1.7M params
         self.variables = jax.device_put(variables)
-        # mel matmuls stay at HIGHEST even in fast mode (see module
-        # docstring; ~12% device-only cost measured on v5e)
-        self._mel_precision = jax.lax.Precision.HIGHEST
+        # mel matmuls default to HIGHEST even in fast mode (see module
+        # docstring; ~12% device-only cost measured on v5e).  The knob
+        # exists because "high" (3-pass) halves that cost; interval
+        # equality on the trained checkpoint gates any default change.
+        mp = config.engine.mel_precision
+        if mp == "auto":
+            mp = "highest" if config.engine.precision == "parity" else "high"
+        self._mel_precision = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[mp]
         # "auto" resolves to the XLA path: measured 0.138 s vs 0.155 s per
         # 461 s chunk on v5e (see config.EngineConfig.mel_kernel)
         self._use_pallas_mel = config.engine.mel_kernel == "pallas"
