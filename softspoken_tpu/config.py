@@ -89,10 +89,16 @@ class EngineConfig:
     # polyphase), "device" (fixed-shape jitted matmul), or "auto" (device
     # iff running on TPU).
     resample_backend: str = "host"
-    # Mel frontend kernel: "pallas" fuses DFT→power→mel→compress in VMEM
-    # (ops.pallas_mel); "xla" uses the two-matmul XLA path.  Measured on
-    # v5e the XLA path is ~10% faster end-to-end (XLA already fuses the
-    # chain well and the U-Net dominates), so "auto" = xla.
+    # Mel frontend kernel:
+    #   "fused"  — Pallas framing+DFT+mel kernel (ops.pallas_frame_mel):
+    #              windows stream straight from the chunk buffer, never
+    #              materializing the (B, 66150) window matrix in HBM.
+    #              Measured per 256-window frontend on v5e: 5.0 ms (bf16x3)
+    #              / 6.8 ms (f32) vs the XLA chain's 7.3 / 9.6 ms.
+    #   "xla"    — two-matmul XLA path (ops.mel)
+    #   "pallas" — the r2 DFT→mel-only kernel (ops.pallas_mel), kept as a
+    #              baseline experiment
+    # "auto" = fused on TPU, xla elsewhere.
     mel_kernel: str = "auto"
     # Mel matmul precision: "highest" (6-pass bf16 ≈ f32, the r2 default),
     # "high" (3-pass, ~21-bit mantissa), "default" (1-pass bf16).  The DFT

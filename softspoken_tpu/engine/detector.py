@@ -128,9 +128,17 @@ class Detector:
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT,
         }[mp]
-        # "auto" resolves to the XLA path: measured 0.138 s vs 0.155 s per
-        # 461 s chunk on v5e (see config.EngineConfig.mel_kernel)
-        self._use_pallas_mel = config.engine.mel_kernel == "pallas"
+        # mel kernel selection (see config.EngineConfig.mel_kernel):
+        # "fused" = the Pallas framing+DFT+mel kernel (ops.pallas_frame_mel)
+        # — windows never materialize in HBM; measured 5.0 ms (bf16x3) /
+        # 6.8 ms (f32) vs 7.3 / 9.6 ms for the XLA chain per 256-window
+        # frontend on v5e.  "auto" = fused on TPU, xla elsewhere (the
+        # kernel needs Mosaic; CPU runs use interpret mode only in tests).
+        mk = config.engine.mel_kernel
+        if mk == "auto":
+            mk = "fused" if jax.default_backend() == "tpu" else "xla"
+        self._mel_kernel = mk
+        self._use_pallas_mel = mk == "pallas"
 
         self._fwd = jax.jit(self._forward)
         self._fwd_full = jax.jit(self._forward_full)
@@ -141,7 +149,15 @@ class Detector:
     # ------------------------------------------------------------------
     def _forward(self, variables, wave, starts):
         """(chunk_buf,), (B,) → mask logits (B, 256). Spec head is DCE'd."""
-        if self._use_pallas_mel:
+        if self._mel_kernel == "fused":
+            from ..ops.pallas_frame_mel import log_mel_windows_fused
+
+            mode = ("highest" if self._mel_precision == jax.lax.Precision.HIGHEST
+                    else "high")
+            mel = log_mel_windows_fused(
+                wave, starts, mode=mode,
+                interpret=jax.default_backend() != "tpu")
+        elif self._use_pallas_mel:
             from ..ops.pallas_mel import log_mel_windows_pallas
 
             mel = log_mel_windows_pallas(wave, starts)

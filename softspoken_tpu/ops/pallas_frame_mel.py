@@ -58,6 +58,30 @@ def _tables():
     return w.astype(np.float32), fb.astype(np.float32)
 
 
+def _bf16_split(a: np.ndarray):
+    """a ≈ hi + lo with both parts exactly representable in bfloat16."""
+    import ml_dtypes
+
+    hi = a.astype(ml_dtypes.bfloat16).astype(np.float32)
+    lo = (a - hi).astype(ml_dtypes.bfloat16).astype(np.float32)
+    return hi.astype(ml_dtypes.bfloat16), lo.astype(ml_dtypes.bfloat16)
+
+
+def _dot3(x: jnp.ndarray, w_hi: jnp.ndarray, w_lo: jnp.ndarray) -> jnp.ndarray:
+    """bf16x3 matmul: ~Precision.HIGH accuracy at 3 one-pass bf16 dots.
+
+    x = x_hi + x_lo (exact bf16 split); dropping the x_lo·w_lo term keeps
+    a relative error ~2^-16 like XLA's HIGH (which the quality-grid gate
+    accepted — config.EngineConfig.mel_precision).
+    """
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jax.lax.dot(x_hi, w_hi, preferred_element_type=jnp.float32)
+    out = out + jax.lax.dot(x_hi, w_lo, preferred_element_type=jnp.float32)
+    out = out + jax.lax.dot(x_lo, w_hi, preferred_element_type=jnp.float32)
+    return out
+
+
 def pad_rows(max_start: int) -> int:
     """Rows the (rows, 128) buffer view must have for window ``max_start``."""
     return max_start // LANES + W_ROWS
@@ -121,6 +145,64 @@ def _kernel(starts_ref, buf_hbm, w_ref, fb_ref, out_ref,
     out_ref[0] = jnp.sqrt(jnp.log10(mel + 1.0))        # block (1, 255, 128)
 
 
+def _kernel_high(starts_ref, buf_hbm, whi_ref, wlo_ref, fb_ref, out_ref,
+                 xwin, sems):
+    """bf16x3 variant: the DFT runs as three 1-pass bf16 dots (≈ XLA HIGH,
+    the gated engine default) instead of full-f32 MXU passes."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def issue(slot, prog):
+        r0 = starts_ref[prog] // LANES
+        return pltpu.make_async_copy(
+            buf_hbm.at[pl.ds(r0, W_ROWS), :], xwin.at[slot], sems.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _first():
+        issue(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _prefetch():
+        issue((i + 1) % 2, i + 1).start()
+
+    issue(i % 2, i).wait()
+    x = xwin[i % 2]
+
+    o = starts_ref[i] % LANES
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    m_idx = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    p_lo = (l_idx == m_idx + o).astype(jnp.float32)
+    p_hi = (l_idx + LANES == m_idx + o).astype(jnp.float32)
+    y = (
+        jax.lax.dot(x[:-1, :], p_lo, precision=jax.lax.Precision.HIGHEST)
+        + jax.lax.dot(x[1:, :], p_hi, precision=jax.lax.Precision.HIGHEST)
+    )
+
+    z0 = y[0:510].reshape(FRAMES_MID, 2, LANES)
+    z1 = y[2:512].reshape(FRAMES_MID, 2, LANES)
+    qs = (z0[:, 0, :], z0[:, 1, :], z1[:, 0, :], z1[:, 1, :])
+    proj = jnp.zeros((FRAMES_MID, 2 * N_FREQS_PAD), jnp.float32)
+    for q, yq in enumerate(qs):
+        w_hi = whi_ref[pl.ds(q * LANES, LANES), :]
+        w_lo = wlo_ref[pl.ds(q * LANES, LANES), :]
+        y_hi = yq.astype(jnp.bfloat16)
+        y_lo = (yq - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        proj = proj + jax.lax.dot(y_hi, w_hi,
+                                  preferred_element_type=jnp.float32)
+        proj = proj + jax.lax.dot(y_hi, w_lo,
+                                  preferred_element_type=jnp.float32)
+        proj = proj + jax.lax.dot(y_lo, w_hi,
+                                  preferred_element_type=jnp.float32)
+    re = proj[:, :N_FREQS_PAD]
+    im = proj[:, N_FREQS_PAD:]
+    power = re * re + im * im
+    # fb matmul is 33 MF — full-f32 MXU passes cost nothing here
+    mel = jax.lax.dot(power, fb_ref[:],
+                      precision=jax.lax.Precision.HIGHEST)
+    out_ref[0] = jnp.sqrt(jnp.log10(mel + 1.0))
+
+
 def _frame0(buf: jnp.ndarray, starts: jnp.ndarray,
             precision) -> jnp.ndarray:
     """Per-window REFLECT frame 0 → (B, 1, 128) mel via the XLA path."""
@@ -141,13 +223,15 @@ def _frame0(buf: jnp.ndarray, starts: jnp.ndarray,
 def log_mel_windows_fused(
     buf: jnp.ndarray,
     starts: jnp.ndarray,
-    precision=jax.lax.Precision.HIGHEST,
+    mode: str = "highest",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(buf_len,) f32 chunk buffer + (B,) starts → (B, 128, 256) log-mel.
 
     Drop-in for ops.mel.log_mel_windows(wave, starts) on the fused-engine
     chunk path (identical frame math; frames never materialize in HBM).
+    ``mode``: "highest" = full-f32 MXU passes; "high" = bf16x3 (three
+    one-pass bf16 dots, matching the gated XLA HIGH default).
     """
     B = starts.shape[0]
     starts = starts.astype(jnp.int32)
@@ -157,14 +241,19 @@ def log_mel_windows_fused(
     buf2 = buf_p.reshape(rows_needed, LANES)
 
     w, fb = _tables()
+    if mode == "high":
+        w_hi, w_lo = _bf16_split(w)
+        kernel = _kernel_high
+        table_args = (jnp.asarray(w_hi), jnp.asarray(w_lo), jnp.asarray(fb))
+    else:
+        kernel = functools.partial(
+            _kernel, precision=jax.lax.Precision.HIGHEST)
+        table_args = (jnp.asarray(w), jnp.asarray(fb))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # chunk buffer (HBM)
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # DFT matrix
-            pl.BlockSpec(memory_space=pltpu.VMEM),     # mel filterbank
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]   # chunk buf (HBM)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(table_args),
         out_specs=pl.BlockSpec(
             (1, FRAMES_MID, LANES), lambda i, *_: (i, 0, 0)
         ),
@@ -174,12 +263,14 @@ def log_mel_windows_fused(
         ],
     )
     mid = pl.pallas_call(
-        functools.partial(_kernel, precision=precision),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, FRAMES_MID, LANES), jnp.float32),
         interpret=interpret,
-    )(starts, buf2, jnp.asarray(w), jnp.asarray(fb))   # (B, 255, 128)
+    )(starts, buf2, *table_args)                       # (B, 255, 128)
 
-    f0 = _frame0(buf_p, starts, precision)             # (B, 1, 128)
+    prec = (jax.lax.Precision.HIGHEST if mode == "highest"
+            else jax.lax.Precision.HIGH)
+    f0 = _frame0(buf_p, starts, prec)                  # (B, 1, 128)
     mel = jnp.concatenate([f0, mid], axis=1)           # (B, 256, 128)
     return jnp.transpose(mel, (0, 2, 1))               # (B, 128, 256)

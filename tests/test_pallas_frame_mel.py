@@ -1,0 +1,67 @@
+"""Fused framing+DFT+mel Pallas kernel (ops.pallas_frame_mel).
+
+Runs in Pallas interpret mode on the CPU test mesh; the TPU path is the
+same kernel compiled by Mosaic (validated on hardware: trained-checkpoint
+intervals equal vs the XLA chain, docs/PROFILE_r03.md).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from softspoken_tpu.ops import mel as melops
+from softspoken_tpu.ops.pallas_frame_mel import log_mel_windows_fused
+
+
+@pytest.fixture(scope="module")
+def buf_and_starts():
+    rng = np.random.default_rng(7)
+    buf = rng.standard_normal(66150 + 4 * 13230 + 300).astype(np.float32)
+    # offsets exercise o = start % 128 ∈ {0, mid, odd}
+    starts = np.array([0, 174, 13230, 2 * 13230, 3 * 13230], np.int32)
+    return jnp.asarray(buf), jnp.asarray(starts)
+
+
+def test_fused_highest_matches_xla(buf_and_starts):
+    buf, starts = buf_and_starts
+    ref = melops.log_mel_windows(buf, starts,
+                                 precision=jax.lax.Precision.HIGHEST)
+    got = log_mel_windows_fused(buf, starts, mode="highest", interpret=True)
+    assert got.shape == ref.shape == (5, 128, 256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_high_matches_xla(buf_and_starts):
+    buf, starts = buf_and_starts
+    ref = melops.log_mel_windows(buf, starts,
+                                 precision=jax.lax.Precision.HIGHEST)
+    got = log_mel_windows_fused(buf, starts, mode="high", interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-4, rtol=5e-4)
+
+
+def test_detector_fused_kernel_end_to_end(tmp_path):
+    """mel_kernel='fused' produces the same intervals as 'xla' through the
+    full fused streaming engine (CPU: kernel runs in interpret mode)."""
+    from softspoken_tpu import Config, ckpt
+    from softspoken_tpu.engine import Detector
+    from softspoken_tpu.io import wavio
+
+    rng = np.random.default_rng(3)
+    audio = (0.25 * rng.standard_normal(8 * 22050)).astype(np.float32)
+    p = str(tmp_path / "x.wav")
+    wavio.write(p, audio, 22050, subtype="PCM_16")
+
+    results = {}
+    for mk in ("xla", "fused"):
+        cfg = Config().with_engine(precision="parity", device_batch=4,
+                                   chunk_seconds=6.0, mel_kernel=mk)
+        det = Detector(cfg, variables=ckpt.fixture_variables(seed=0))
+        results[mk] = det.detect_file_fused(p)
+    a, b = results["xla"], results["fused"]
+    assert a.num_windows == b.num_windows
+    assert a.intervals == b.intervals
+    np.testing.assert_allclose(a.avg_values, b.avg_values, atol=1e-4)
