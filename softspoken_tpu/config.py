@@ -110,6 +110,18 @@ class EngineConfig:
     # "auto" = "highest" when precision == "parity" (strict reference
     # numerics), else "high".
     mel_precision: str = "auto"
+    # Decoder upsample+concat strategy: "concat" materializes
+    # concat([skip, up2(x)]) like the reference; "phase" computes the same
+    # convolution via the phase decomposition (models.unet._phase_merge_kernel)
+    # — upsampled activations never hit HBM and the low-res half runs with
+    # full MXU lanes.  Exact in f64; in bf16 it changes only tap-merge
+    # rounding.  Measured on v5e IN CONTEXT the phase path is ~3% slower
+    # (4,458 vs 4,616 audio-s/s at 150 s chunks): XLA already folds the
+    # nearest-upsample broadcast into the conv's input read, while the phase
+    # interleave is a real high-res shuffle — so "auto" = "concat".  Kept as
+    # an option because the trade flips if a future step size or kernel
+    # changes the fusion structure.
+    decoder_upsample: str = "auto"
     # Streaming pipeline: "fused" runs decode→resample→mel→U-Net→grid in one
     # device program (raw PCM up, score grid down — the TPU-native path);
     # "host" resamples host-side with exact reference-pad numerics;

@@ -108,12 +108,16 @@ class Detector:
 
         fast = config.engine.precision != "parity"
         dtype = jnp.bfloat16 if fast else jnp.float32
+        du = config.engine.decoder_upsample
+        if du == "auto":
+            du = "concat"  # measured faster in-context on v5e (config.py note)
         if fold and "batch_stats" in variables:
             variables = fold_batch_norm(variables)
-            self.model = SpecUNet2D(folded=True, compute_dtype=dtype)
+            self.model = SpecUNet2D(folded=True, compute_dtype=dtype,
+                                    decoder_upsample=du)
         else:
             self.model = SpecUNet2D(folded="batch_stats" not in variables,
-                                    compute_dtype=dtype)
+                                    compute_dtype=dtype, decoder_upsample=du)
         # one batched host→device transfer for all ~1.7M params
         self.variables = jax.device_put(variables)
         # mel matmuls default to HIGHEST even in fast mode (see module

@@ -45,6 +45,32 @@ log = logging.getLogger(__name__)
 CARRY = 512  # bins of inter-chunk grid overlap (needs ≥ 256 − min bin stride)
 
 
+def grid_tile_period(step_seconds: float, max_p: int = 8,
+                     n_check: int = 1 << 22) -> Optional[int]:
+    """Smallest p such that windows i and i+p tile the score grid exactly:
+    ``window_bin_offset(i+p) == window_bin_offset(i) + 256`` for every i.
+
+    When it exists (default step 0.6 s: p = 5, since step/Δt = 256/5), the
+    overlap scatter-add decomposes into p DISJOINT contiguous block writes —
+    group g = windows {g, g+p, g+2p, …} covers [bins[g], bins[g]+256·n_g)
+    gap-free — so the device grid update is p ``dynamic_update_slice`` ops
+    instead of a serial scatter (XLA lowered the general ``.at[].add`` to a
+    256-iteration DUS loop: ~11% of chunk device time, docs/PROFILE_r03.md).
+
+    Verified over ``n_check`` windows (4M ≈ 29 days of audio at 0.6 s step);
+    the run path re-verifies against the actual bins it uses.
+    """
+    from . import regions as _R
+
+    i = np.arange(n_check, dtype=np.int64)
+    bins = _R.window_bin_offset(i, step_seconds)
+    for p in range(1, max_p + 1):
+        G = int(np.rint(p * step_seconds / _R.TIME_RESOLUTION))
+        if G == 256 and bool(np.all(bins[p:] == bins[:-p] + G)):
+            return p
+    return None
+
+
 class FusedStreamingEngine:
     """One compiled chunk program per (native_sr, input kind).
 
@@ -80,6 +106,14 @@ class FusedStreamingEngine:
         scatter_extent = int(round((self.chunk_w - 1) * step / dt)) + 256 + 2
         fin_upper = int(round(self.chunk_w * step / dt)) + 2
         self.glen = max(scatter_extent, fin_upper + CARRY)
+        # disjoint-group grid update (see grid_tile_period); None → general
+        # scatter fallback for non-tiling step sizes
+        self._tile_p = grid_tile_period(step)
+        if self._tile_p is not None:
+            # a full group's block must fit the grid even when DUS'd from a
+            # tail chunk's phantom offset 0 (values are zero-masked there)
+            n_g_max = -(-self.chunk_w // self._tile_p)
+            self.glen = max(self.glen, n_g_max * 256)
 
         if up == 1 and down == 1:
             self.W = None
@@ -141,22 +175,37 @@ class FusedStreamingEngine:
             y = jnp.matmul(X, jnp.asarray(self.W)).reshape(-1)
             internal = jax.lax.dynamic_slice(y, (lo,), (self.buf_len,))
 
-        frame_idx = jnp.arange(256, dtype=jnp.int32)
+        def body(_, s):
+            # (B, 256) logits; det._forward is traced while the caller holds det
+            return None, self.det._forward(variables, internal, s)
 
-        def body(carry, xs):
-            s, b, v = xs
-            logits = self.det._forward(variables, internal, s)  # (B, 256); traced while caller holds det
-            sum_g, cnt_g = carry
-            idx = (b[:, None] + frame_idx[None, :]).reshape(-1)
-            vals = (logits * v[:, None].astype(logits.dtype)).reshape(-1)
-            sum_g = sum_g.at[idx].add(vals)
-            cnt_g = cnt_g.at[idx].add(
-                jnp.broadcast_to(v[:, None], (self.B, 256)).astype(jnp.float32).reshape(-1)
-            )
-            return (sum_g, cnt_g), None
+        _, logits = jax.lax.scan(body, None, starts)          # (nb, B, 256)
+        flat = logits.reshape(self.chunk_w, 256).astype(jnp.float32)
+        v = valid.reshape(self.chunk_w)
+        vals = flat * v[:, None]
+        cnts = jnp.broadcast_to(v[:, None], (self.chunk_w, 256))
+        bins_f = bins.reshape(self.chunk_w)
 
-        init = (jnp.zeros(self.glen, jnp.float32), jnp.zeros(self.glen, jnp.float32))
-        (sum_g, cnt_g), _ = jax.lax.scan(body, init, (starts, bins, valid))
+        if self._tile_p is not None:
+            # windows g, g+p, g+2p, … tile [bins[g], bins[g]+256·n_g)
+            # contiguously and disjointly (grid_tile_period): each group is
+            # ONE dynamic_update_slice into a zero grid, summed across groups.
+            # Tail-chunk padding windows carry zeroed vals/cnts, so their
+            # slots write zeros (a no-op) wherever the block lands.
+            p = self._tile_p
+            sum_g = jnp.zeros(self.glen, jnp.float32)
+            cnt_g = jnp.zeros(self.glen, jnp.float32)
+            for g in range(p):
+                zero = jnp.zeros(self.glen, jnp.float32)
+                sum_g = sum_g + jax.lax.dynamic_update_slice(
+                    zero, vals[g::p].reshape(-1), (bins_f[g],))
+                cnt_g = cnt_g + jax.lax.dynamic_update_slice(
+                    zero, cnts[g::p].reshape(-1), (bins_f[g],))
+        else:  # general step sizes: one big scatter-add
+            frame_idx = jnp.arange(256, dtype=jnp.int32)
+            idx = (bins_f[:, None] + frame_idx[None, :]).reshape(-1)
+            sum_g = jnp.zeros(self.glen, jnp.float32).at[idx].add(vals.reshape(-1))
+            cnt_g = jnp.zeros(self.glen, jnp.float32).at[idx].add(cnts.reshape(-1))
         sum_g = sum_g.at[:CARRY].add(carry_sum)
         cnt_g = cnt_g.at[:CARRY].add(carry_cnt)
 
@@ -235,6 +284,17 @@ class FusedStreamingEngine:
         starts_g = window_starts(n_windows, cfg)
         bins_g = R.window_bin_offset(np.arange(n_windows), cfg.engine.step_seconds)
         covered = int(bins_g[-1]) + 256
+        if self._tile_p is not None and n_windows > self._tile_p:
+            # the compiled program assumes the disjoint-tile property for
+            # THESE bins; an out-of-pattern offset would make a clamped DUS
+            # silently corrupt grid scores (same failure mode as the round-2
+            # carry bug) — refuse loudly instead
+            p = self._tile_p
+            if not bool(np.all(bins_g[p:] == bins_g[:-p] + 256)):
+                raise RuntimeError(
+                    "grid tile period violated by actual window offsets "
+                    f"(p={p}, n_windows={n_windows}); this should be "
+                    "unreachable for float64 bin math — please report")
 
         def read_padded(start: int, frames: int) -> np.ndarray:
             """Native padded-stream samples [start, start+frames)."""

@@ -35,12 +35,86 @@ FILTERS = 32
 N_MELS = 128
 
 
+def _phase_merge_kernel(wu):
+    """(3,3,Cu,Co) conv kernel → (3,3,Cu,4Co) phase kernel over the LOW-res
+    input, equivalent to conv3x3 over the ×2-nearest-upsampled input.
+
+    Derivation: with U = up2(u) (U[2i+a, 2j+b] = u[i,j]) a SAME 3×3 conv's
+    output row p = 2i+a reads U rows (p−1, p, p+1) which collapse to u rows
+      a=0: (i−1 ← w0,  i ← w1+w2)          a=1: (i ← w0+w1,  i+1 ← w2)
+    and identically for columns, so each output phase (a,b) is a 3×3 conv
+    over u with a zero-structured, tap-merged kernel.  All four phases stack
+    on the output-channel axis (order a·2+b) for one full-lane MXU conv at
+    half spatial resolution — the 2×2-duplicated high-res activations never
+    materialize in HBM.  Verified exact vs the upsample+conv oracle in
+    tests/test_model.py; tap merging (w1+w2) matches f64 exactly and is one
+    rounding of the accumulation order in bf16/f32.
+    """
+    w0, w1, w2 = wu[0], wu[1], wu[2]        # row taps, each (3, Cu, Co)
+    z = jnp.zeros_like(w0)
+    row_taps = {0: (w0, w1 + w2, z), 1: (z, w0 + w1, w2)}
+
+    def merge_cols(rr, b):
+        c0, c1, c2 = rr[0], rr[1], rr[2]    # col taps, each (Cu, Co)
+        zz = jnp.zeros_like(c0)
+        cols = (c0, c1 + c2, zz) if b == 0 else (zz, c0 + c1, c2)
+        return jnp.stack(cols, 0)           # (3, Cu, Co)
+
+    phases = []
+    for a in range(2):
+        for b in range(2):
+            phases.append(jnp.stack([merge_cols(r, b) for r in row_taps[a]], 0))
+    return jnp.concatenate(phases, axis=-1)  # (3, 3, Cu, 4·Co)
+
+
+def _interleave2x2(y, co):
+    """(B, h, w, 4·co) phase-stacked maps → (B, 2h, 2w, co)."""
+    b, h, w, _ = y.shape
+    y = y.reshape(b, h, w, 2, 2, co)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+    return y.reshape(b, 2 * h, 2 * w, co)
+
+
+def _conv2d(x, kernel, bias=None):
+    """SAME NHWC conv in x.dtype (mirrors nn.Conv's dtype promotion)."""
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+class _ConvParams(nn.Module):
+    """Parameters of an ``nn.Conv`` (same names/shapes/init) WITHOUT the conv
+    op, for call sites that compute the convolution themselves (the phase-
+    decomposed decoder below).  Checkpoints are interchangeable."""
+
+    shape: Tuple[int, ...]                  # (kh, kw, cin, cout) HWIO
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape,
+                       jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros, (self.shape[-1],),
+                        jnp.float32) if self.use_bias else None)
+        return k, b
+
+
 class ResBlock(nn.Module):
     """Residual 2-D conv block (pytorch_neural_nets.py:7-41).
 
     1×1 conv+BN shortcut; 3×3 conv-BN-ReLU, 3×3 conv-BN; add, ReLU, Dropout2d.
     When ``folded`` is True the BNs are gone and convs carry biases
     (inference-only, after fold_batch_norm).
+
+    Decoder call sites may pass ``low`` (the pre-upsample low-res features):
+    the block input is then semantically ``concat([x, up2(low)], -1)`` but is
+    computed via the phase decomposition (``_phase_merge_kernel``) — the
+    upsampled half runs as a full-lane conv at half resolution and the
+    concatenated high-res tensor never materializes.  Param tree is identical
+    to the concat path.
     """
 
     features: int
@@ -48,7 +122,7 @@ class ResBlock(nn.Module):
     dropout_p: float = DROPOUT_P
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, low=None, train: bool = False):
         use_bias = self.folded
         conv = lambda k, name: nn.Conv(  # noqa: E731
             self.features, k, padding="SAME", use_bias=use_bias, name=name,
@@ -59,8 +133,23 @@ class ResBlock(nn.Module):
             name=name, dtype=x.dtype, param_dtype=jnp.float32,
         )
 
-        identity = conv((1, 1), "res_conv")(x)
-        out = conv((3, 3), "conv1")(x)
+        if low is None:
+            identity = conv((1, 1), "res_conv")(x)
+            out = conv((3, 3), "conv1")(x)
+        else:
+            cs, cu, co = x.shape[-1], low.shape[-1], self.features
+            k1, b1 = _ConvParams((3, 3, cs + cu, co), use_bias, name="conv1")()
+            kr, br = _ConvParams((1, 1, cs + cu, co), use_bias, name="res_conv")()
+            # 3×3 over concat([x, up2(low)]) = 3×3 over x + phase conv over low
+            out = _conv2d(x, k1[:, :, :cs], b1)
+            # merge taps in the widest of (param f32, compute dtype) so the
+            # merge itself never rounds below the compute precision
+            md = jnp.promote_types(jnp.float32, low.dtype)
+            ph = _conv2d(low, _phase_merge_kernel(k1[:, :, cs:].astype(md)))
+            out = out + _interleave2x2(ph, co)
+            # 1×1 over concat = 1×1 over x + up2(1×1 over low)
+            identity = _conv2d(x, kr[:, :, :cs], br) + _up(
+                _conv2d(low, kr[:, :, cs:]))
         if not self.folded:
             identity = bn("res_bn")(identity)
             out = bn("bn1")(out)
@@ -108,6 +197,40 @@ class ResBlock1D(nn.Module):
         return out
 
 
+class _FlattenHead(nn.Module):
+    """The reference's ``Conv2d(32→4, kernel=(128,1))`` mel-collapse
+    (pytorch_neural_nets.py:133-135) computed as a single MXU contraction.
+
+    A (128,1) VALID conv has exactly one vertical position, so it IS the
+    contraction ``y[b,t,o] = Σ_{h,c} x[b,h,t,c]·K[h,0,c,o] + bias[o]`` — but
+    XLA's conv lowering ran it as a tall-skinny convolution at 2.6× the cost
+    of the equivalent ``dot_general`` (6.3 ms vs 2.4 ms per 256-window batch
+    on v5e, docs/PROFILE_r03.md).  Param names/shapes match ``nn.Conv`` so
+    checkpoints and the torch converter are unaffected.
+    """
+
+    features: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, 128, T, 32)
+        h, c = x.shape[1], x.shape[3]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (h, 1, c, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        # bf16 inputs accumulate in f32 (the conv's MXU behavior); wider
+        # dtypes (f32/f64 parity paths) keep their own accumulator
+        acc = jnp.float32 if jnp.dtype(self.dtype) == jnp.dtype(jnp.bfloat16) else None
+        y = jax.lax.dot_general(
+            x, kernel[:, 0].astype(self.dtype),
+            (((1, 3), (0, 1)), ((), ())),
+            preferred_element_type=acc,
+        )  # (B, T, features)
+        return (y + bias).astype(self.dtype)
+
+
 def _pool(x):
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
@@ -129,11 +252,18 @@ class SpecUNet2D(nn.Module):
 
     folded: bool = False
     compute_dtype: Any = jnp.float32
+    # "concat": materialize concat([skip, up2(x)]) exactly as the reference
+    # does; "phase": the algebraically-equivalent phase decomposition (see
+    # ResBlock) — the upsampled half runs at half resolution with full MXU
+    # lanes.  bf16 tap merging shifts accumulation rounding only; parity
+    # (f32/f64) callers keep "concat".
+    decoder_upsample: str = "concat"
 
     @nn.compact
     def __call__(self, mel, *, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         f = FILTERS
         x = mel.astype(self.compute_dtype)
+        phase = self.decoder_upsample == "phase"
         rb = lambda feats, name: ResBlock(feats, folded=self.folded, name=name)  # noqa: E731
 
         # Encoder (pytorch_neural_nets.py:102-109, 156-163)
@@ -148,11 +278,18 @@ class SpecUNet2D(nn.Module):
         enc_out = rb(4 * f, "encoder_out")(bott, train=train)
 
         # Decoder with skip concats (:114-123, 170-181); concat order matches
-        # torch.cat([skip, up], dim=1) → channels-last axis here.
-        conv6 = rb(3 * f, "conv6")(jnp.concatenate([conv4, _up(enc_out)], -1), train=train)
-        conv7 = rb(2 * f, "conv7")(jnp.concatenate([conv3, _up(conv6)], -1), train=train)
-        conv8 = rb(f, "conv8")(jnp.concatenate([conv2, _up(conv7)], -1), train=train)
-        conv9 = rb(f, "conv9_1")(jnp.concatenate([conv1, _up(conv8)], -1), train=train)
+        # torch.cat([skip, up], dim=1) → channels-last axis here.  In "phase"
+        # mode the concat+upsample is computed implicitly inside ResBlock.
+        if phase:
+            conv6 = rb(3 * f, "conv6")(conv4, low=enc_out, train=train)
+            conv7 = rb(2 * f, "conv7")(conv3, low=conv6, train=train)
+            conv8 = rb(f, "conv8")(conv2, low=conv7, train=train)
+            conv9 = rb(f, "conv9_1")(conv1, low=conv8, train=train)
+        else:
+            conv6 = rb(3 * f, "conv6")(jnp.concatenate([conv4, _up(enc_out)], -1), train=train)
+            conv7 = rb(2 * f, "conv7")(jnp.concatenate([conv3, _up(conv6)], -1), train=train)
+            conv8 = rb(f, "conv8")(jnp.concatenate([conv2, _up(conv7)], -1), train=train)
+            conv9 = rb(f, "conv9_1")(jnp.concatenate([conv1, _up(conv8)], -1), train=train)
 
         # spec head (:126-130, 183-185)
         s = rb(f, "spec_res")(conv9, train=train)
@@ -161,11 +298,10 @@ class SpecUNet2D(nn.Module):
         spec_output = nn.relu(s)
 
         # mask head (:133-140, 187-195): Conv2d(32→4, kernel=(128,1)) collapses
-        # the mel axis, then a 1-D residual block over time.
-        flat = nn.Conv(4, (N_MELS, 1), padding="VALID", use_bias=True,
-                       name="conv_flatten", dtype=x.dtype, param_dtype=jnp.float32)(conv9)
-        flat = nn.relu(flat)                     # (B, 1, 256, 4)
-        flat = jnp.squeeze(flat, axis=1)         # (B, 256, 4) — time-major 1-D
+        # the mel axis — computed as one MXU contraction (see _FlattenHead) —
+        # then a 1-D residual block over time.
+        flat = _FlattenHead(4, dtype=x.dtype, name="conv_flatten")(conv9)
+        flat = nn.relu(flat)                     # (B, 256, 4) — time-major 1-D
         m = ResBlock1D(4, folded=self.folded, name="mask_res")(flat, train=train)
         m = nn.Conv(1, (1,), use_bias=True, name="mask_conv",
                     dtype=x.dtype, param_dtype=jnp.float32)(m)

@@ -96,3 +96,64 @@ def test_train_mode_runs():
     )
     assert out[1].shape == (2, 256)
     assert "batch_stats" in mutated
+
+
+def test_phase_resblock_matches_concat():
+    """ResBlock(low=...) phase decomposition vs explicit concat+upsample,
+    small shapes, float64 — algebraic equivalence at accumulation roundoff."""
+    import jax.numpy as jnp
+    from softspoken_tpu.models.unet import ResBlock, _up
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(0)
+        skip = rng.standard_normal((1, 16, 20, 6))
+        low = rng.standard_normal((1, 8, 10, 4))
+        rb = ResBlock(5, folded=True)
+        cat_in = jnp.concatenate([jnp.asarray(skip), _up(jnp.asarray(low))], -1)
+        v = rb.init(jax.random.PRNGKey(0), cat_in)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(
+                    rb.init(jax.random.PRNGKey(0), jnp.asarray(skip),
+                            low=jnp.asarray(low))))
+        y_cat = rb.apply(v, cat_in)
+        y_ph = rb.apply(v, jnp.asarray(skip), low=jnp.asarray(low))
+        np.testing.assert_allclose(np.asarray(y_ph), np.asarray(y_cat),
+                                   rtol=1e-9, atol=1e-9)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+@pytest.mark.slow
+def test_phase_decoder_matches_concat_f64():
+    """The phase-decomposed decoder (models.unet._phase_merge_kernel) is
+    ALGEBRAICALLY the same convolution as concat([skip, up2(x)]) → conv; in
+    float64 the two paths must agree to accumulation roundoff and share one
+    param tree (checkpoint-interchangeable)."""
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        variables = ckpt.fixture_variables(seed=3)
+        variables = fold_batch_norm(variables)
+        mel = _mel_batch(b=2, seed=7)[..., None].astype(np.float64)
+
+        m_cat = SpecUNet2D(folded=True, compute_dtype=jnp.float64,
+                           decoder_upsample="concat")
+        m_ph = SpecUNet2D(folded=True, compute_dtype=jnp.float64,
+                          decoder_upsample="phase")
+        # identical param trees: phase params ARE the concat params
+        s_cat = jax.tree_util.tree_structure(m_cat.init(jax.random.PRNGKey(0), mel))
+        s_ph = jax.tree_util.tree_structure(m_ph.init(jax.random.PRNGKey(0), mel))
+        assert s_cat == s_ph
+
+        spec_c, mask_c = m_cat.apply(variables, mel)
+        spec_p, mask_p = m_ph.apply(variables, mel)
+        # params are float32, so agreement bottoms out at f32 noise even
+        # under x64 compute
+        np.testing.assert_allclose(np.asarray(mask_p), np.asarray(mask_c),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(spec_p), np.asarray(spec_c),
+                                   rtol=1e-5, atol=1e-7)
+    finally:
+        jax.config.update("jax_enable_x64", False)
