@@ -156,11 +156,13 @@ class Detector:
         if self._mel_kernel == "fused":
             from ..ops.pallas_frame_mel import log_mel_windows_fused
 
-            mode = ("highest" if self._mel_precision == jax.lax.Precision.HIGHEST
-                    else "high")
+            mode = {jax.lax.Precision.HIGHEST: "highest",
+                    jax.lax.Precision.HIGH: "high",
+                    jax.lax.Precision.DEFAULT: "default"}[self._mel_precision]
             mel = log_mel_windows_fused(
                 wave, starts, mode=mode,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                out_dtype=self.model.compute_dtype)
         elif self._use_pallas_mel:
             from ..ops.pallas_mel import log_mel_windows_pallas
 

@@ -43,18 +43,24 @@ from . import mel as melops
 LANES = 128
 W_ROWS = 518          # rows DMA'd per window: ceil((66150 + 127)/128) + 1
 FRAMES_MID = 255      # frames 1..255 computed in-kernel
-N_FREQS_PAD = 1024    # Nyquist bin 1024 has zero mel weight (see pallas_mel)
+# The mel filterbank's support ends at bin 743 (f_max = 8000 Hz of a 22050 Hz
+# / 2048-pt spectrum, pytorch_neural_nets.py:98); every DFT bin >= 744 has
+# zero mel weight, so the kernel computes only the first 768 (= 6 x 128
+# lanes) bins -- 25% less DFT/power/mel work, EXACTLY zero numeric change
+# (verified: mel_filterbank()[768:] == 0).
+N_FREQS_PAD = 768
 
 
 @functools.lru_cache(maxsize=2)
 def _tables():
     w_full = melops.dft_matrices()           # (512, 2050) = [cos | sin]
     fb_full = melops.mel_filterbank()        # (1025, 128)
-    assert np.all(fb_full[N_FREQS_PAD:, :] == 0.0)
+    if not np.all(fb_full[N_FREQS_PAD:, :] == 0.0):  # truncation must be exact
+        raise AssertionError("mel filterbank support exceeds N_FREQS_PAD")
     w = np.concatenate(
         [w_full[:, :N_FREQS_PAD], w_full[:, 1025: 1025 + N_FREQS_PAD]], axis=1
-    )                                         # (512, 2048)
-    fb = fb_full[:N_FREQS_PAD, :]             # (1024, 128)
+    )                                         # (512, 2*768)
+    fb = fb_full[:N_FREQS_PAD, :]             # (768, 128)
     return w.astype(np.float32), fb.astype(np.float32)
 
 
@@ -80,6 +86,31 @@ def _dot3(x: jnp.ndarray, w_hi: jnp.ndarray, w_lo: jnp.ndarray) -> jnp.ndarray:
     out = out + jax.lax.dot(x_hi, w_lo, preferred_element_type=jnp.float32)
     out = out + jax.lax.dot(x_lo, w_hi, preferred_element_type=jnp.float32)
     return out
+
+
+def _permute_split(x, p_lo, p_hi, parts):
+    """y = x[:-1] @ p_lo + x[1:] @ p_hi for 0/1 matrices via a multi-part
+    bf16 split of x instead of f32 HIGHEST (6 MXU passes per operand).
+
+    Every contraction row of a permutation matrix has at most one nonzero,
+    so each pass is rounding-free in the f32 accumulator; the only error is
+    the split itself.  parts=3 reconstructs all 24 f32 mantissa bits
+    (8+8+8 — EXACT, used by the "highest" kernel; asserted in
+    tests/test_pallas_frame_mel.py); parts=2 leaves ~2^-16 relative error,
+    far below the bf16 DFT rounding of the kernels that use it.
+    """
+    def multi(a, p):
+        pb = p.astype(jnp.bfloat16)
+        out = jnp.zeros((a.shape[0], p.shape[1]), jnp.float32)
+        rem = a
+        for _ in range(parts):
+            part = rem.astype(jnp.bfloat16)
+            rem = rem - part.astype(jnp.float32)
+            out = out + jax.lax.dot(part, pb,
+                                    preferred_element_type=jnp.float32)
+        return out
+
+    return multi(x[:-1, :], p_lo) + multi(x[1:, :], p_hi)
 
 
 def pad_rows(max_start: int) -> int:
@@ -121,10 +152,7 @@ def _kernel(starts_ref, buf_hbm, w_ref, fb_ref, out_ref,
     m_idx = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
     p_lo = (l_idx == m_idx + o).astype(jnp.float32)
     p_hi = (l_idx + LANES == m_idx + o).astype(jnp.float32)
-    y = (
-        jax.lax.dot(x[:-1, :], p_lo, precision=jax.lax.Precision.HIGHEST)
-        + jax.lax.dot(x[1:, :], p_hi, precision=jax.lax.Precision.HIGHEST)
-    )                                                  # (517, 128)
+    y = _permute_split(x, p_lo, p_hi, parts=3)         # (517, 128)
 
     # frames 1..255: frame f covers flat[256 f : 256 f + 512] = y rows
     # [2f, 2f+4).  Split the DFT contraction into four K=128 blocks so the
@@ -142,13 +170,14 @@ def _kernel(starts_ref, buf_hbm, w_ref, fb_ref, out_ref,
     im = proj[:, N_FREQS_PAD:]
     power = re * re + im * im
     mel = jax.lax.dot(power, fb_ref[:], precision=precision)
-    out_ref[0] = jnp.sqrt(jnp.log10(mel + 1.0))        # block (1, 255, 128)
+    out_ref[0] = jnp.sqrt(jnp.log10(mel + 1.0)).astype(out_ref.dtype)
 
 
 def _kernel_high(starts_ref, buf_hbm, whi_ref, wlo_ref, fb_ref, out_ref,
-                 xwin, sems):
-    """bf16x3 variant: the DFT runs as three 1-pass bf16 dots (≈ XLA HIGH,
-    the gated engine default) instead of full-f32 MXU passes."""
+                 xwin, sems, passes=3):
+    """bf16 variant: the DFT runs as ``passes`` one-pass bf16 dots.
+    passes=3 ≈ XLA HIGH (the gated engine default); passes=1 is plain bf16
+    (mel_precision="default", gated separately by the quality grid)."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -174,10 +203,7 @@ def _kernel_high(starts_ref, buf_hbm, whi_ref, wlo_ref, fb_ref, out_ref,
     m_idx = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
     p_lo = (l_idx == m_idx + o).astype(jnp.float32)
     p_hi = (l_idx + LANES == m_idx + o).astype(jnp.float32)
-    y = (
-        jax.lax.dot(x[:-1, :], p_lo, precision=jax.lax.Precision.HIGHEST)
-        + jax.lax.dot(x[1:, :], p_hi, precision=jax.lax.Precision.HIGHEST)
-    )
+    y = _permute_split(x, p_lo, p_hi, parts=2)
 
     z0 = y[0:510].reshape(FRAMES_MID, 2, LANES)
     z1 = y[2:512].reshape(FRAMES_MID, 2, LANES)
@@ -187,20 +213,21 @@ def _kernel_high(starts_ref, buf_hbm, whi_ref, wlo_ref, fb_ref, out_ref,
         w_hi = whi_ref[pl.ds(q * LANES, LANES), :]
         w_lo = wlo_ref[pl.ds(q * LANES, LANES), :]
         y_hi = yq.astype(jnp.bfloat16)
-        y_lo = (yq - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         proj = proj + jax.lax.dot(y_hi, w_hi,
                                   preferred_element_type=jnp.float32)
-        proj = proj + jax.lax.dot(y_hi, w_lo,
-                                  preferred_element_type=jnp.float32)
-        proj = proj + jax.lax.dot(y_lo, w_hi,
-                                  preferred_element_type=jnp.float32)
+        if passes == 3:
+            y_lo = (yq - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            proj = proj + jax.lax.dot(y_hi, w_lo,
+                                      preferred_element_type=jnp.float32)
+            proj = proj + jax.lax.dot(y_lo, w_hi,
+                                      preferred_element_type=jnp.float32)
     re = proj[:, :N_FREQS_PAD]
     im = proj[:, N_FREQS_PAD:]
     power = re * re + im * im
     # fb matmul is 33 MF — full-f32 MXU passes cost nothing here
     mel = jax.lax.dot(power, fb_ref[:],
                       precision=jax.lax.Precision.HIGHEST)
-    out_ref[0] = jnp.sqrt(jnp.log10(mel + 1.0))
+    out_ref[0] = jnp.sqrt(jnp.log10(mel + 1.0)).astype(out_ref.dtype)
 
 
 def _frame0(buf: jnp.ndarray, starts: jnp.ndarray,
@@ -225,13 +252,19 @@ def log_mel_windows_fused(
     starts: jnp.ndarray,
     mode: str = "highest",
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """(buf_len,) f32 chunk buffer + (B,) starts → (B, 128, 256) log-mel.
 
     Drop-in for ops.mel.log_mel_windows(wave, starts) on the fused-engine
     chunk path (identical frame math; frames never materialize in HBM).
     ``mode``: "highest" = full-f32 MXU passes; "high" = bf16x3 (three
-    one-pass bf16 dots, matching the gated XLA HIGH default).
+    one-pass bf16 dots, matching the gated XLA HIGH default); "default" =
+    plain one-pass bf16.
+
+    ``out_dtype=bfloat16`` moves the consumer's cast INTO the kernel —
+    bit-identical to casting the f32 result afterwards (one rounding either
+    way) but halves the output write and the downstream transpose.
     """
     B = starts.shape[0]
     starts = starts.astype(jnp.int32)
@@ -241,9 +274,10 @@ def log_mel_windows_fused(
     buf2 = buf_p.reshape(rows_needed, LANES)
 
     w, fb = _tables()
-    if mode == "high":
+    if mode in ("high", "default"):
         w_hi, w_lo = _bf16_split(w)
-        kernel = _kernel_high
+        kernel = functools.partial(
+            _kernel_high, passes=3 if mode == "high" else 1)
         table_args = (jnp.asarray(w_hi), jnp.asarray(w_lo), jnp.asarray(fb))
     else:
         kernel = functools.partial(
@@ -265,12 +299,13 @@ def log_mel_windows_fused(
     mid = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, FRAMES_MID, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, FRAMES_MID, LANES), out_dtype),
         interpret=interpret,
     )(starts, buf2, *table_args)                       # (B, 255, 128)
 
-    prec = (jax.lax.Precision.HIGHEST if mode == "highest"
-            else jax.lax.Precision.HIGH)
-    f0 = _frame0(buf_p, starts, prec)                  # (B, 1, 128)
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[mode]
+    f0 = _frame0(buf_p, starts, prec).astype(out_dtype)  # (B, 1, 128)
     mel = jnp.concatenate([f0, mid], axis=1)           # (B, 256, 128)
     return jnp.transpose(mel, (0, 2, 1))               # (B, 128, 256)

@@ -65,3 +65,31 @@ def test_detector_fused_kernel_end_to_end(tmp_path):
     assert a.num_windows == b.num_windows
     assert a.intervals == b.intervals
     np.testing.assert_allclose(a.avg_values, b.avg_values, atol=1e-4)
+
+
+def test_permute_split_3part_exact():
+    """The hi/mid/lo bf16 split used for the lane-alignment permutation
+    matmuls reconstructs all 24 f32 mantissa bits: parts=3 must be BITWISE
+    equal to the f32 gather it replaces (ops/pallas_frame_mel._permute_split)."""
+    import jax
+    import jax.numpy as jnp
+    from softspoken_tpu.ops.pallas_frame_mel import _permute_split, LANES
+
+    rng = np.random.default_rng(0)
+    # audio-like plus extreme exponent spread
+    x = np.concatenate([
+        rng.uniform(-1, 1, size=(300, LANES)).astype(np.float32),
+        (rng.standard_normal((217, LANES)) * 10.0 ** rng.uniform(
+            -20, 20, size=(217, LANES))).astype(np.float32),
+    ])
+    o = 37
+    l_idx = np.arange(LANES)[:, None]
+    m_idx = np.arange(LANES)[None, :]
+    p_lo = jnp.asarray((l_idx == m_idx + o).astype(np.float32))
+    p_hi = jnp.asarray((l_idx + LANES == m_idx + o).astype(np.float32))
+
+    got = np.asarray(jax.jit(
+        lambda a: _permute_split(a, p_lo, p_hi, parts=3))(jnp.asarray(x)))
+    flat = x.reshape(-1)
+    want = flat[o : o + (x.shape[0] - 1) * LANES].reshape(-1, LANES)
+    np.testing.assert_array_equal(got, want)
