@@ -77,20 +77,40 @@ def aggregate(trace_dir: str, repeats: int):
         raise SystemExit(f"no trace files under {trace_dir}")
     with gzip.open(paths[-1]) as f:
         tr = json.load(f)
-    # device op events: named after HLO ops/fusions, no '$'-prefixed python
-    # host frames; dur is microseconds
+    # The trace has parallel tracks per TPU core: "XLA Modules" (one event
+    # per executable), "XLA Ops" (each HLO op, INCLUDING ops inside while
+    # bodies), "Steps", host threads.  Summing every X event double-counts
+    # (module parent + member ops) and leaves control-flow regions opaque —
+    # restrict to the "XLA Ops" track(s) when present and fall back to the
+    # old name-filter heuristic otherwise.
+    tracks = {}  # (pid, tid) -> thread name
+    for e in tr.get("traceEvents", []):
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tracks[(e.get("pid"), e.get("tid"))] = (
+                e.get("args", {}).get("name", ""))
+    op_tracks = {k for k, v in tracks.items() if "XLA Ops" in v}
+
     agg = collections.Counter()
     cnt = collections.Counter()
+    provenance = {}
     host_markers = ("$", "PjitFunction", "np.asarray", "PythonRefManager",
                     "ArrayImpl", "jit_", "copy_to_host")
     for e in tr.get("traceEvents", []):
         n = e.get("name", "")
-        if e.get("ph") != "X" or not n or any(n.startswith(h) or h in n
-                                              for h in host_markers):
+        if e.get("ph") != "X" or not n:
+            continue
+        if op_tracks:
+            if (e.get("pid"), e.get("tid")) not in op_tracks:
+                continue
+        elif any(n.startswith(h) or h in n for h in host_markers):
             continue
         agg[n] += float(e.get("dur", 0.0))
         cnt[n] += 1
-    return agg, cnt
+        args = e.get("args", {})
+        lk = args.get("long_name") or args.get("tf_op") or ""
+        if lk and n not in provenance:
+            provenance[n] = str(lk)
+    return agg, cnt, provenance
 
 
 def main():
@@ -104,7 +124,7 @@ def main():
 
     wall, audio_sec, eng = capture(
         args.batch, args.chunk_seconds, args.repeats, args.trace_dir)
-    agg, cnt = aggregate(args.trace_dir, args.repeats)
+    agg, cnt, provenance = aggregate(args.trace_dir, args.repeats)
     total_us = sum(agg.values())
 
     from softspoken_tpu.runtime.metrics import analytic_flops_per_window, mfu
@@ -123,12 +143,13 @@ def main():
         f"- summed device op time in trace: {total_us/1e3:.1f} ms "
         f"({total_us/1e3/args.repeats:.1f} ms/chunk)",
         "",
-        "| device op | ms (all reps) | % | count |",
-        "|---|---|---|---|",
+        "| device op | ms (all reps) | % | count | source |",
+        "|---|---|---|---|---|",
     ]
     for n, v in agg.most_common(30):
+        src = provenance.get(n, "")
         lines.append(f"| `{n[:70]}` | {v/1e3:.3f} | {100*v/total_us:.1f}% "
-                     f"| {cnt[n]} |")
+                     f"| {cnt[n]} | {src[:60]} |")
     out = "\n".join(lines) + "\n"
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:

@@ -103,12 +103,15 @@ class EngineConfig:
     # Mel matmul precision: "highest" (6-pass bf16 ≈ f32, the r2 default),
     # "high" (3-pass, ~21-bit mantissa), "default" (1-pass bf16).  The DFT
     # matmul is ~12% of device step time at "highest" (docs/PROFILE_r03.md);
-    # "high" halves that (device-only 3,900 → 4,139 audio-s/s measured).
-    # Gate for the default flip: the full 24-condition quality grid scored
-    # identically at high vs highest to ±0.002 F1 on every metric, and
-    # trained-checkpoint intervals matched exactly on both generators.
+    # 1-pass bf16 lifts device-only throughput ~6% over "high" (5,919 vs
+    # 5,590 audio-s/s at B=128/600 s).  Each step down was gated on the
+    # trained checkpoint over the full 24-condition quality grid on
+    # hardware: high vs highest scored within ±0.002 F1 with intervals
+    # exactly equal; default vs high within 0.0016 frame / 0.0095 event F1
+    # (sign-symmetric, worst-case condition unchanged, intervals identical
+    # on 82/96 files — docs/QUALITY_r03.json mel_default_gate).
     # "auto" = "highest" when precision == "parity" (strict reference
-    # numerics), else "high".
+    # numerics), else "default".
     mel_precision: str = "auto"
     # Decoder upsample+concat strategy: "concat" materializes
     # concat([skip, up2(x)]) like the reference; "phase" computes the same

@@ -120,13 +120,15 @@ class Detector:
                                     compute_dtype=dtype, decoder_upsample=du)
         # one batched host→device transfer for all ~1.7M params
         self.variables = jax.device_put(variables)
-        # mel matmuls default to HIGHEST even in fast mode (see module
-        # docstring; ~12% device-only cost measured on v5e).  The knob
-        # exists because "high" (3-pass) halves that cost; interval
-        # equality on the trained checkpoint gates any default change.
+        # mel matmul precision: parity mode keeps HIGHEST (strict reference
+        # numerics); fast mode runs 1-pass bf16 ("default") — gated on the
+        # trained checkpoint over BOTH eval generators × 12 degradation
+        # conditions on hardware: max |ΔF1| 0.0016 frame / 0.0095 event vs
+        # "high", sign-symmetric, worst-case condition unchanged
+        # (docs/QUALITY_r03.json mel_default_gate).
         mp = config.engine.mel_precision
         if mp == "auto":
-            mp = "highest" if config.engine.precision == "parity" else "high"
+            mp = "highest" if config.engine.precision == "parity" else "default"
         self._mel_precision = {
             "highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,

@@ -93,3 +93,29 @@ def test_permute_split_3part_exact():
     flat = x.reshape(-1)
     want = flat[o : o + (x.shape[0] - 1) * LANES].reshape(-1, LANES)
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_default_matches_xla(buf_and_starts):
+    """mode='default' (1-pass bf16 DFT) stays within bf16 rounding of the
+    f32 reference; quality impact on the trained checkpoint is gated
+    separately on hardware (docs/QUALITY_r03.json mel_default_gate)."""
+    buf, starts = buf_and_starts
+    ref = melops.log_mel_windows(buf, starts,
+                                 precision=jax.lax.Precision.HIGHEST)
+    got = log_mel_windows_fused(buf, starts, mode="default", interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_fused_bf16_output_bit_identical(buf_and_starts):
+    """out_dtype=bfloat16 must equal casting the f32 kernel output — the
+    cast is the last op either way (one rounding)."""
+    buf, starts = buf_and_starts
+    for mode in ("highest", "high", "default"):
+        f32 = log_mel_windows_fused(buf, starts, mode=mode, interpret=True)
+        b16 = log_mel_windows_fused(buf, starts, mode=mode, interpret=True,
+                                    out_dtype=jnp.bfloat16)
+        assert b16.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(f32.astype(jnp.bfloat16)), np.asarray(b16))
