@@ -85,6 +85,12 @@ class EngineConfig:
     # resumes mid-file instead of from zero.  0 disables journaling; the
     # checkpoint itself costs one grid+carry download per N chunks.
     chunk_checkpoint_every: int = 0
+    # Fused-pipeline read-ahead depth: chunks prepared (host fill + async
+    # host→device upload) ahead of the one the device is computing.  At
+    # depth 1 the main thread serializes on each chunk's host fill
+    # (~40 ms/chunk measured) and the tunnel idles between uploads; depth 4
+    # keeps the wire busy end-to-end at ~3×29 MB extra staging + HBM.
+    readahead_chunks: int = 4
     # Streaming-decode resampler for the host pipeline: "host" (scipy/C++
     # polyphase), "device" (fixed-shape jitted matmul), or "auto" (device
     # iff running on TPU).

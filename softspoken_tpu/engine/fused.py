@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 import weakref
 from typing import Callable, List, Optional, Tuple
 
@@ -131,6 +132,7 @@ class FusedStreamingEngine:
 
         if mesh is None:
             self._fn = jax.jit(self._program)
+            self._arg_shardings = None
         else:
             # dp over windows: each chip gathers/scores its share of every
             # batch; GSPMD turns the shared-grid scatter-adds into psums
@@ -143,6 +145,9 @@ class FusedStreamingEngine:
                 in_shardings=(None, repl, repl, repl, sb, sb, sb, repl, repl),
                 out_shardings=(repl, repl, repl, repl),
             )
+            # shardings for the per-chunk args uploaded by the read-ahead
+            # thread: (native, lo, fin, starts, bins, valid)
+            self._arg_shardings = (repl, repl, repl, sb, sb, sb)
         dtype = np.int16 if kind == "i16" else np.float32
         self._dtype = dtype  # staging buffers are allocated fresh per chunk
 
@@ -261,6 +266,7 @@ class FusedStreamingEngine:
         native_frames: int,
         progress: Optional[Callable[[float], None]] = None,
         journal=None,
+        timers=None,
     ) -> DetectionResult:
         """Detect over a native-rate stream of ``native_frames`` samples.
 
@@ -271,7 +277,15 @@ class FusedStreamingEngine:
         resume: completed chunk grids + the inter-chunk carry persist every
         ``cfg.engine.chunk_checkpoint_every`` chunks, and a killed run
         restarts from the last checkpoint instead of from zero.
+
+        ``timers`` (runtime.metrics.StageTimers) accumulates per-phase wall
+        time (host_fill / device_put on the read-ahead thread; wait_prepare /
+        dispatch / final_fetch on the caller thread) for pipeline diagnosis —
+        see scripts/profile_e2e.py.
         """
+        from contextlib import nullcontext
+
+        tt = timers.time if timers is not None else (lambda _n: nullcontext())
         cfg = self.cfg
         up, down = self.up, self.down
         pad_native = 3 * self.native_sr             # exact: ·up/down = 66150
@@ -350,6 +364,7 @@ class FusedStreamingEngine:
             )
             fin = min(next_base, covered) - base
 
+            t_fill = time.perf_counter() if timers is not None else 0.0
             staging = np.zeros(self.in_len, self._dtype)
             if self.W is None:
                 rs, lo = s0, 0
@@ -385,32 +400,51 @@ class FusedStreamingEngine:
             starts_l[:n] = (starts_g[w0:w1] - s0).astype(np.int32)
             bins_l[:n] = (bins_g[w0:w1] - base).astype(np.int32)
             valid[:n] = 1.0
-            # start the host→device copy HERE, on the read-ahead thread: the
-            # tunnel upload (~60 MB/s) then overlaps the previous chunk's
-            # device compute instead of serializing after it
-            return jax.device_put(staging), lo, fin, starts_l, bins_l, valid, w1
+            # start ALL host→device copies HERE, on the read-ahead thread,
+            # as one batched device_put: the tunnel upload then overlaps
+            # earlier chunks' device compute, and the main thread never pays
+            # a per-chunk transfer roundtrip (the scalar lo/fin and the tiny
+            # starts/bins/valid arrays each cost a tunnel dispatch when
+            # uploaded individually at call time — measured ~11 ms/chunk)
+            payload = [staging, np.int32(lo), np.int32(max(fin, 0)),
+                       starts_l.reshape(self.nb, self.B),
+                       bins_l.reshape(self.nb, self.B),
+                       valid.reshape(self.nb, self.B)]
+            if timers is not None:
+                t_put = time.perf_counter()
+                timers.totals["host_fill"] += t_put - t_fill
+                timers.counts["host_fill"] += 1
+            if self._arg_shardings is None:
+                dev = jax.device_put(payload)
+            else:
+                dev = jax.device_put(payload, list(self._arg_shardings))
+            if timers is not None:
+                timers.totals["device_put"] += time.perf_counter() - t_put
+                timers.counts["device_put"] += 1
+            return dev, fin, w1
 
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        # read-ahead depth: chunks whose host fill + async upload run ahead
+        # of the device.  1-deep left the main thread waiting ~40 ms/chunk on
+        # host_fill and the wire idle between uploads (scripts/profile_e2e.py
+        # breakdown); deeper keeps the tunnel saturated.  One worker keeps
+        # disk reads sequential (RawReader's fadvise hints assume order).
+        depth = max(1, getattr(cfg.engine, "readahead_chunks", 4))
         pending: List[Tuple[int, object]] = []  # (fin, device avg handle)
         with ThreadPoolExecutor(max_workers=1) as ex:
-            if k0 < n_chunks:
-                fut = ex.submit(prepare, k0)
+            futs = deque(
+                ex.submit(prepare, ci)
+                for ci in range(k0, min(k0 + depth, n_chunks)))
             for ci in range(k0, n_chunks):
-                staging, lo, fin, starts_l, bins_l, valid, w1 = fut.result()
-                if ci + 1 < n_chunks:
-                    fut = ex.submit(prepare, ci + 1)
-                avg, cnt, carry_sum, carry_cnt = self._fn(
-                    self.det.variables,
-                    staging,
-                    jnp.int32(lo),
-                    jnp.int32(max(fin, 0)),
-                    jnp.asarray(starts_l.reshape(self.nb, self.B)),
-                    jnp.asarray(bins_l.reshape(self.nb, self.B)),
-                    jnp.asarray(valid.reshape(self.nb, self.B)),
-                    carry_sum,
-                    carry_cnt,
-                )
+                with tt("wait_prepare"):
+                    dev, fin, w1 = futs.popleft().result()
+                if ci + depth < n_chunks:
+                    futs.append(ex.submit(prepare, ci + depth))
+                with tt("dispatch"):
+                    avg, cnt, carry_sum, carry_cnt = self._fn(
+                        self.det.variables, *dev, carry_sum, carry_cnt)
                 # defer downloads: keep the device handle, fetch after the
                 # whole queue is dispatched (host syncs stall the pipeline)
                 pending.append((fin, avg))
@@ -431,7 +465,8 @@ class FusedStreamingEngine:
         # one batched fetch: per-chunk `np.asarray(avg[:fin])` would cost a
         # device-side slice dispatch (~30 ms tunnel roundtrip each) plus a
         # serial download per chunk; device_get pipelines them
-        fetched = jax.device_get([avg for _, avg in pending])
+        with tt("final_fetch"):
+            fetched = jax.device_get([avg for _, avg in pending])
         avg_parts = done_parts + [
             a[:fin] for (fin, _), a in zip(pending, fetched)]
         avg_values = np.concatenate(avg_parts)[:covered]
