@@ -103,7 +103,10 @@ def main() -> None:
         dev_det = det
     else:
         dev_det = Detector(dev_cfg, variables=ckpt.fixture_variables(seed=0))
-    dev_eng = get_fused_engine(dev_det, sr_native, "i16")
+    from softspoken_tpu.engine.fused import _i16_kind
+
+    wire_kind = _i16_kind(det)  # "mulaw8" on TPU fast mode, "i16" otherwise
+    dev_eng = get_fused_engine(dev_det, sr_native, wire_kind)
     device_only = max(dev_eng.device_only_rate(), dev_eng.device_only_rate())
 
     # the e2e number is LINK-BOUND, not pipeline slack: 32 kHz int16 mono is
@@ -124,7 +127,9 @@ def main() -> None:
         jax.device_get(jnp.sum(dx[:: len(blob) // 64]))
         up_rates.append(up_bytes / (time.perf_counter() - t0))
     upload_bps = max(up_rates)
-    bytes_per_audio_sec = sr_native * 2  # int16 mono
+    # wire bytes per audio-second depend on the transport codec: int16 mono
+    # is 2 B/sample; the mu-law compander (ops/mulaw.py) ships 1 B/sample
+    bytes_per_audio_sec = sr_native * (1 if wire_kind == "mulaw8" else 2)
     link_bound_rate = upload_bps / bytes_per_audio_sec
 
     rates = sorted(result.audio_seconds / w for w in walls)
@@ -148,6 +153,7 @@ def main() -> None:
                 "device_only": round(device_only, 2),
                 "device_only_mfu": round(mfu(device_only), 4),
                 "upload_mbps": round(upload_bps / 1e6, 1),
+                "wire_codec": wire_kind,
                 "link_bound_rate": round(link_bound_rate, 1),
                 "link_utilization": round(value / link_bound_rate, 3),
             }

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--chunk-seconds", type=float, default=150.0)
+    ap.add_argument("--codec", default="auto",
+                    choices=["auto", "pcm16", "mulaw8"])
     args = ap.parse_args()
 
     from bench import make_recording
@@ -41,7 +43,8 @@ def main():
     from softspoken_tpu.runtime.metrics import StageTimers
 
     cfg = Config().with_engine(device_batch=args.batch,
-                               chunk_seconds=args.chunk_seconds)
+                               chunk_seconds=args.chunk_seconds,
+                               upload_codec=args.codec)
     det = Detector(cfg, variables=ckpt.fixture_variables(seed=0))
 
     tmp = "/tmp/softspoken_bench"
@@ -49,8 +52,12 @@ def main():
     path = os.path.join(tmp, f"bench_{int(args.seconds)}s.wav")
     if not os.path.exists(path):
         make_recording(path, args.seconds)
+    from softspoken_tpu.engine.fused import _i16_kind
+
     inf = wavio.info(path)
-    engine = get_fused_engine(det, inf.samplerate, "i16")
+    kind = _i16_kind(det)
+    print(f"wire kind: {kind}", flush=True)
+    engine = get_fused_engine(det, inf.samplerate, kind)
 
     reader = wavio.RawReader(path)
 

@@ -91,6 +91,16 @@ class EngineConfig:
     # (~40 ms/chunk measured) and the tunnel idles between uploads; depth 4
     # keeps the wire busy end-to-end at ~3×29 MB extra staging + HBM.
     readahead_chunks: int = 4
+    # Transport codec for the fused pipeline's PCM upload (ops/mulaw.py):
+    #   "pcm16"  — exact int16 samples (or f32 for non-16-bit sources)
+    #   "mulaw8" — 8-bit mu-law compander: half the wire bytes on a
+    #              link-bound path; round-trip error ≤ 0.011 full-scale.
+    #              Quality-gated by the degradation grid's mulaw condition
+    #              (frame F1 above clean in BOTH generators,
+    #              docs/QUALITY_r03.json) and the codec gate run.
+    # "auto" = mulaw8 on TPU when precision != "parity" and the source is
+    # 16-bit PCM; exact pcm16 everywhere else (parity mode never lossy).
+    upload_codec: str = "auto"
     # Streaming-decode resampler for the host pipeline: "host" (scipy/C++
     # polyphase), "device" (fixed-shape jitted matmul), or "auto" (device
     # iff running on TPU).

@@ -80,7 +80,7 @@ class FusedStreamingEngine:
 
     def __init__(self, detector: Detector, native_sr: int, kind: str = "i16",
                  mesh=None):
-        assert kind in ("i16", "f32")
+        assert kind in ("i16", "f32", "mulaw8")
         # weak: the engine lives in a WeakKeyDictionary keyed on the detector;
         # a strong back-reference would keep the key alive forever. The
         # detector is always alive while run() executes (the caller holds it).
@@ -148,8 +148,12 @@ class FusedStreamingEngine:
             # shardings for the per-chunk args uploaded by the read-ahead
             # thread: (native, lo, fin, starts, bins, valid)
             self._arg_shardings = (repl, repl, repl, sb, sb, sb)
-        dtype = np.int16 if kind == "i16" else np.float32
+        # staging sample dtype: what prepare() fills and the wire carries.
+        # mulaw8 stages int16 (decoder output) and companding to int8 happens
+        # at payload build, so read_padded/alignment logic is kind-agnostic.
+        dtype = np.float32 if kind == "f32" else np.int16
         self._dtype = dtype  # staging buffers are allocated fresh per chunk
+        self._wire_dtype = np.int8 if kind == "mulaw8" else dtype
 
     @property
     def det(self) -> Detector:
@@ -162,9 +166,14 @@ class FusedStreamingEngine:
     def _program(self, variables, native, lo, fin, starts, bins, valid,
                  carry_sum, carry_cnt):
         """native (in_len,) → (avg (glen,), cnt (glen,), carry', carry_cnt')."""
-        x = native.astype(jnp.float32)
-        if self.kind == "i16":
-            x = x * (1.0 / 32768.0)
+        if self.kind == "mulaw8":
+            from ..ops.mulaw import decode_device
+
+            x = decode_device(native)  # int8 codes -> f32 in [-1, 1]
+        else:
+            x = native.astype(jnp.float32)
+            if self.kind == "i16":
+                x = x * (1.0 / 32768.0)
 
         if self.W is None:
             internal = jax.lax.dynamic_slice(x, (lo,), (self.buf_len,))
@@ -235,7 +244,7 @@ class FusedStreamingEngine:
         starts = np.minimum(starts, max(0, self.buf_len - 66150)).astype(np.int32)
         bins = R.window_bin_offset(np.arange(self.chunk_w), step).astype(np.int32)
         args = (
-            jax.device_put(np.zeros(self.in_len, self._dtype)),
+            jax.device_put(np.zeros(self.in_len, self._wire_dtype)),
             jnp.int32(0),
             jnp.int32(0),
             jax.device_put(starts.reshape(self.nb, self.B)),
@@ -312,12 +321,18 @@ class FusedStreamingEngine:
 
         def read_padded(start: int, frames: int) -> np.ndarray:
             """Native padded-stream samples [start, start+frames)."""
-            out = np.zeros(frames, self._dtype)
             a0 = max(start, pad_native)
             a1 = min(start + frames, pad_native + native_frames)
-            if a1 > a0:
-                got = read_native(a0 - pad_native, a1 - a0)
-                out[a0 - start : a0 - start + len(got)] = got
+            if a1 <= a0:
+                return np.zeros(frames, self._dtype)
+            got = read_native(a0 - pad_native, a1 - a0)
+            if a0 == start and len(got) == frames:
+                # interior chunk (no pad overlap, full read): hand the
+                # reader's buffer straight through — the zero+copy below
+                # was ~1/3 of host_fill on the 1-core host
+                return got
+            out = np.zeros(frames, self._dtype)
+            out[a0 - start : a0 - start + len(got)] = got
             return out
 
         n_chunks = -(-n_windows // self.chunk_w)
@@ -365,11 +380,13 @@ class FusedStreamingEngine:
             fin = min(next_base, covered) - base
 
             t_fill = time.perf_counter() if timers is not None else 0.0
-            staging = np.zeros(self.in_len, self._dtype)
+            # staging carries WIRE samples: int8 mu-law codes encode straight
+            # into it (code 0 == silence, so the zero fill doubles as pad)
+            staging = np.zeros(self.in_len, self._wire_dtype)
             if self.W is None:
                 rs, lo = s0, 0
                 got = read_padded(rs, min(self.in_len, n_nat_padded - rs))
-                staging[: len(got)] = got
+                off = 0
             else:  # polyphase path: align reads to whole `down` blocks
                 in_first = (s0 * down) // up
                 rs = max(0, in_first - 2 * down)
@@ -391,7 +408,16 @@ class FusedStreamingEngine:
                 left = min(rs, self.pad_l)
                 re = min(n_nat_padded, rs + self.in_len - self.pad_l)
                 got = read_padded(rs - left, re - (rs - left))
-                staging[self.pad_l - left : self.pad_l - left + len(got)] = got
+                off = self.pad_l - left
+            if self.kind == "mulaw8":
+                from ..ops.mulaw import encode_i16
+
+                # compand directly into the staging slice: one native LUT
+                # pass, no intermediate int16 staging or extra copy; halves
+                # the upload bytes on the link-bound path
+                encode_i16(np.asarray(got), out=staging[off : off + len(got)])
+            else:
+                staging[off : off + len(got)] = got
 
             n = w1 - w0
             starts_l = np.zeros(self.chunk_w, np.int32)
@@ -526,6 +552,22 @@ def _make_journal(detector: Detector, path: str, journal_dir: Optional[str]):
     return journal_for(journal_dir, path, header)
 
 
+def _i16_kind(detector: Detector) -> str:
+    """Wire kind for a 16-bit PCM source: exact int16, or 8-bit mu-law.
+
+    upload_codec "auto" engages the compander only on TPU in fast mode —
+    parity mode and CPU runs ship exact PCM16 (same policy shape as
+    mel_kernel/mel_precision "auto"; evidence in ops/mulaw.py docstring).
+    """
+    codec = getattr(detector.cfg.engine, "upload_codec", "pcm16")
+    if codec == "auto":
+        codec = ("mulaw8"
+                 if (detector.cfg.engine.precision != "parity"
+                     and jax.default_backend() == "tpu")
+                 else "pcm16")
+    return "mulaw8" if codec == "mulaw8" else "i16"
+
+
 def detect_file_fused(
     detector: Detector, path: str,
     progress: Optional[Callable[[float], None]] = None,
@@ -549,7 +591,8 @@ def detect_file_fused(
         # half the upload bytes of f32 on a link-bound path, bit-identical
         # numerics (the ÷32768 on device equals the f32 scale exactly)
         if inf.channels == 1 and inf.bits_per_sample <= 16:
-            engine = get_fused_engine(detector, inf.samplerate, "i16")
+            engine = get_fused_engine(detector, inf.samplerate,
+                                      _i16_kind(detector))
             with SequentialMonoReader(path, dtype="i16") as smr:
                 return engine.run(smr.read, inf.frames, progress, journal)
         engine = get_fused_engine(detector, inf.samplerate, "f32")
@@ -558,7 +601,8 @@ def detect_file_fused(
 
     if (isinstance(inf, wavio.WavInfo)
             and inf.subtype == "PCM_16" and inf.channels == 1):
-        engine = get_fused_engine(detector, inf.samplerate, "i16")
+        engine = get_fused_engine(detector, inf.samplerate,
+                                  _i16_kind(detector))
         # persistent handle + POSIX_FADV_SEQUENTIAL: reopening per chunk
         # resets kernel readahead, and host disk read is the e2e ceiling
         reader = wavio.RawReader(path)

@@ -88,6 +88,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
     ]
+    lib.ss_mulaw_encode_i16.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int32,
+    ]
     _lib = lib
     return _lib
 
@@ -131,6 +136,31 @@ def downmix_f32(x: np.ndarray) -> Optional[np.ndarray]:
         y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), _threads(),
     )
     return y
+
+
+def mulaw_encode_i16(x: np.ndarray, lut: np.ndarray,
+                     out: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
+    """int16 PCM → int8 mu-law via the 64 Ki LUT; None if native is absent.
+
+    ``out`` (contiguous int8, len(x)) avoids the output allocation.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.int16)
+    lut = np.ascontiguousarray(lut, np.int8)
+    if out is None:
+        q = np.empty(len(x), np.int8)
+    else:
+        assert out.dtype == np.int8 and out.flags.c_contiguous
+        assert len(out) == len(x)
+        q = out
+    lib.ss_mulaw_encode_i16(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(x),
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), _threads(),
+    )
+    return q
 
 
 def pcm16_to_mono_f32(raw: np.ndarray, channels: int) -> Optional[np.ndarray]:
