@@ -1,0 +1,114 @@
+"""Hardware quality gate for the mu-law upload codec (ops/mulaw.py).
+
+Synthesizes labeled eval files ONCE per condition (both generators, a
+representative slice of the degradation grid including a mu-law *content*
+round-trip — worst case: companded audio companded again for transport),
+then scores the SAME files through the fused pipeline with upload_codec
+pcm16 vs mulaw8 and reports parity-point F1 plus the fraction of files
+whose detected intervals are bit-identical across codecs.
+
+Run on the TPU (the codec only matters there); results append to
+docs/QUALITY_r03.json under "codec_gate".
+
+Usage: python scripts/codec_gate.py [--files 6] [--seconds 90]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CONDITIONS = [
+    ("clean", dict()),
+    ("snr5", dict(snr_db=(5.0, 5.0))),
+    ("mulaw", dict(degradations=["mulaw"])),
+    ("clip", dict(degradations=["clip"])),
+    ("rolloff4k+mulaw", dict(degradations=["rolloff4k", "mulaw"])),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=6)
+    ap.add_argument("--seconds", type=float, default=90.0)
+    ap.add_argument("--ckpt", default="root/models/spec_unet_2d/model_checkpoint")
+    ap.add_argument("--out", default="docs/QUALITY_r03.json")
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (script smoke-testing)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        # the env var is ignored once the axon plugin is on PYTHONPATH;
+        # the config knob is honored (memory: axon-jax-platforms)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from quality_grid import score_set  # sibling script, same sys.path trick
+
+    from softspoken_tpu import Config
+    from softspoken_tpu.engine import Detector
+    from softspoken_tpu.train import evaluate as E
+
+    dets = {}
+    for codec in ("pcm16", "mulaw8"):
+        cfg = Config().with_engine(pipeline="fused", upload_codec=codec)
+        dets[codec] = Detector(cfg, checkpoint_path=args.ckpt)
+    pad = Config().engine.pad_seconds
+
+    base = args.workdir or tempfile.mkdtemp(prefix="codec_gate_")
+    gate = {"files": args.files, "seconds": args.seconds,
+            "conditions": {}, "interval_identical_files": 0,
+            "total_files": 0}
+    t_all = time.time()
+    for gen in ("v1", "v2"):
+        for ci, (cname, kw) in enumerate(CONDITIONS):
+            tag = f"{gen}_{cname}"
+            d = os.path.join(base, tag)
+            labels = E.make_eval_set(d, n_files=args.files,
+                                     seconds=args.seconds, seed=8100 + ci,
+                                     generator=gen, **kw)
+            labeled = E.load_labels(labels)
+            row = {}
+            intervals = {}
+            for codec, det in dets.items():
+                res = score_set(det, labeled, pad)
+                row[codec] = res["parity"]
+                # re-run region extraction per file for identity check
+                ivs = []
+                for path, _ in labeled:
+                    r = det.detect_file_streaming(path)
+                    ivs.append(tuple(r.intervals))
+                intervals[codec] = ivs
+            same = sum(a == b for a, b in
+                       zip(intervals["pcm16"], intervals["mulaw8"]))
+            gate["interval_identical_files"] += same
+            gate["total_files"] += args.files
+            row["intervals_identical"] = f"{same}/{args.files}"
+            row["frame_f1_delta"] = round(
+                row["mulaw8"]["frame_f1"] - row["pcm16"]["frame_f1"], 4)
+            gate["conditions"][tag] = row
+            print(f"{tag}: pcm16 frame F1 {row['pcm16']['frame_f1']} "
+                  f"mulaw8 {row['mulaw8']['frame_f1']} "
+                  f"(delta {row['frame_f1_delta']:+.4f}, "
+                  f"identical intervals {same}/{args.files})", flush=True)
+    gate["wall_seconds"] = round(time.time() - t_all, 1)
+
+    doc = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            doc = json.load(f)
+    doc["codec_gate"] = gate
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"updated {args.out} codec_gate", flush=True)
+
+
+if __name__ == "__main__":
+    main()
