@@ -43,11 +43,14 @@ def probe(path: str):
     except wavio.WavFormatError:
         from . import aiff as aiffmod
         from . import flac as flacmod
+        from . import oggvorbis as oggmod
 
         if flacmod.is_flac(path):
             return flacmod.info(path)
         if aiffmod.is_aiff(path):
             return aiffmod.info(path)
+        if oggmod.is_ogg(path):
+            return oggmod.info(path)
         raise
 
 
@@ -60,11 +63,14 @@ def read_any(
     except wavio.WavFormatError:
         from . import aiff as aiffmod
         from . import flac as flacmod
+        from . import oggvorbis as oggmod
 
         if flacmod.is_flac(path):
             return flacmod.read(path, start=start, frames=frames, always_2d=always_2d)
         if aiffmod.is_aiff(path):
             return aiffmod.read(path, start=start, frames=frames, always_2d=always_2d)
+        if oggmod.is_ogg(path):
+            return oggmod.read(path, start=start, frames=frames, always_2d=always_2d)
         raise
 
 
