@@ -80,12 +80,10 @@ def main():
             for codec, det in dets.items():
                 res = score_set(det, labeled, pad)
                 row[codec] = res["parity"]
-                # re-run region extraction per file for identity check
-                ivs = []
-                for path, _ in labeled:
-                    r = det.detect_file_streaming(path)
-                    ivs.append(tuple(r.intervals))
-                intervals[codec] = ivs
+                # score_set already detected every file once; its engine
+                # intervals serve the identity check directly (re-running
+                # detection here doubled the gate's TPU wall time)
+                intervals[codec] = res["intervals"]
             same = sum(a == b for a, b in
                        zip(intervals["pcm16"], intervals["mulaw8"]))
             gate["interval_identical_files"] += same

@@ -51,10 +51,13 @@ def score_set(det, labeled, pad_seconds):
     from softspoken_tpu.train import evaluate as E
 
     per_file = []
+    engine_intervals = []  # the pipeline's own intervals (codec gate reuses
+    #                        these instead of re-running detection per file)
     for path, truth in labeled:
         res = det.detect_file_streaming(path)
         dur, _sr = get_audio_data(path)
         per_file.append((res.avg_values, dur, truth))
+        engine_intervals.append(tuple(res.intervals))
 
     def metrics_at(threshold, break_duration):
         ft, et = {}, {}
@@ -89,6 +92,7 @@ def score_set(det, labeled, pad_seconds):
                   "event_f1": round(te["f1"], 4)},
         "threshold_sweep": sweep,
         "n_files": len(per_file),
+        "intervals": engine_intervals,
     }
 
 
@@ -152,6 +156,7 @@ def main():
             synth_s = time.time() - t0
             t0 = time.time()
             result = score_set(det, E.load_labels(labels), pad)
+            result.pop("intervals", None)  # per-file detail, not for the JSON
             result["synth_seconds"] = round(synth_s, 1)
             result["detect_seconds"] = round(time.time() - t0, 1)
             out["conditions"][tag] = result

@@ -188,12 +188,16 @@ def load_pth(path: str) -> Tuple[Dict, int]:
     works in images without torch.  Legacy (non-zip) .pth files fall back to
     real torch when it is installed.
     """
+    import pickle
+
     from . import pth_reader
 
     try:
         sd, epoch = pth_reader.load_checkpoint(path)
-    except pth_reader.UnsupportedPthError:
-        import torch  # legacy-format fallback only
+    except (pth_reader.UnsupportedPthError, pickle.UnpicklingError):
+        # UnpicklingError covers malformed pickle streams the restricted
+        # reader can't parse; torch.load may still know the format
+        import torch  # legacy-format / unusual-globals fallback
 
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
         sd, epoch = ckpt["model_state_dict"], int(ckpt.get("epoch", -1))

@@ -98,7 +98,23 @@ _SAFE_GLOBALS = {
     ("torch._utils", "_rebuild_tensor_v2"): _rebuild_tensor_v2,
     ("torch._utils", "_rebuild_tensor"): _rebuild_tensor,
     ("torch._utils", "_rebuild_parameter"): _rebuild_parameter,
+    # benign numpy data constructors: real checkpoints often carry extras
+    # like {'best_f1': np.float64(...)} next to the state dict
+    ("numpy", "ndarray"): np.ndarray,
+    ("numpy", "dtype"): np.dtype,
+    # protocol-2 pickles of numpy values reconstruct bytes via
+    # _codecs.encode(latin-1 str) — a pure data transform
+    ("_codecs", "encode"): __import__("codecs").encode,
 }
+for _mod in ("numpy.core.multiarray", "numpy._core.multiarray"):  # numpy 1/2
+    for _name in ("_reconstruct", "scalar"):
+        try:
+            import importlib
+
+            _SAFE_GLOBALS[(_mod, _name)] = getattr(
+                importlib.import_module(_mod), _name)
+        except (ImportError, AttributeError):
+            pass
 
 
 class _RestrictedUnpickler(pickle.Unpickler):
@@ -111,14 +127,17 @@ class _RestrictedUnpickler(pickle.Unpickler):
             return _SAFE_GLOBALS[(module, name)]
         if module in ("torch", "torch.storage") and name.endswith("Storage"):
             return _StorageMarker(name)
-        raise pickle.UnpicklingError(
+        # UnsupportedPthError (not UnpicklingError) so load_pth's
+        # torch.load(weights_only=True) fallback gets a chance at
+        # checkpoints carrying globals outside this reader's safelist
+        raise UnsupportedPthError(
             f"blocked global {module}.{name} — not part of the tensor "
             "checkpoint format this restricted reader accepts"
         )
 
     def persistent_load(self, pid):
         if not (isinstance(pid, tuple) and len(pid) >= 5 and pid[0] == "storage"):
-            raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
+            raise UnsupportedPthError(f"unknown persistent id {pid!r}")
         _, storage_cls, key, _location, numel = pid[:5]
         name = storage_cls.name if isinstance(storage_cls, _StorageMarker) \
             else getattr(storage_cls, "__name__", str(storage_cls))

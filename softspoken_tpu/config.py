@@ -94,7 +94,8 @@ class EngineConfig:
     # Transport codec for the fused pipeline's PCM upload (ops/mulaw.py):
     #   "pcm16"  — exact int16 samples (or f32 for non-16-bit sources)
     #   "mulaw8" — 8-bit mu-law compander: half the wire bytes on a
-    #              link-bound path; round-trip error ≤ 0.011 full-scale.
+    #              link-bound path; round-trip error ≤ 0.022 full-scale
+    #              (worst case at clipping; ops/mulaw.py MAX_ABS_ERROR).
     #              Quality-gated by the degradation grid's mulaw condition
     #              (frame F1 above clean in BOTH generators,
     #              docs/QUALITY_r03.json) and the codec gate run.

@@ -142,7 +142,15 @@ class Detector:
         # kernel needs Mosaic; CPU runs use interpret mode only in tests).
         mk = config.engine.mel_kernel
         if mk == "auto":
-            mk = "fused" if jax.default_backend() == "tpu" else "xla"
+            # parity mode keeps the XLA two-matmul chain everywhere: the
+            # fused Pallas kernel differs ~1e-5 (4-block DFT accumulation
+            # order) which would break the strict-reference-numerics
+            # contract and TPU-vs-CPU parity comparisons (same carve-out
+            # policy as mel_precision and upload_codec "auto")
+            mk = ("fused"
+                  if (config.engine.precision != "parity"
+                      and jax.default_backend() == "tpu")
+                  else "xla")
         self._mel_kernel = mk
         self._use_pallas_mel = mk == "pallas"
 
@@ -405,6 +413,13 @@ class Detector:
             pipeline = "fused" if jax.default_backend() == "tpu" else "host"
         if pipeline == "fused":
             return self.detect_file_fused(path, progress, journal_dir)
+        if journal_dir:
+            # chunk-granular resume lives in the fused pipeline's grid
+            # bookkeeping; say so instead of silently restarting from zero
+            logging.getLogger(__name__).warning(
+                "chunk checkpointing requires the fused pipeline "
+                "(engine.pipeline='fused'); host pipeline run of %s will "
+                "not journal chunk progress", path)
 
         pad = cfg.pad_samples
         total = internal_length(path, cfg.dsp.sample_rate)

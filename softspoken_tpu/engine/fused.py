@@ -548,6 +548,17 @@ def _make_journal(detector: Detector, path: str, journal_dir: Optional[str]):
         "size": int(st.st_size), "mtime_ns": int(st.st_mtime_ns),
         "weights": dig, "step_seconds": cfg.engine.step_seconds,
         "precision": cfg.engine.precision, "sample_rate": cfg.dsp.sample_rate,
+        # every numerics-affecting knob: stitching grids computed under
+        # different kernels/precisions across a resume boundary would
+        # silently violate journal.py's identical-computation contract.
+        # "auto" values resolve per-backend, so the backend is pinned too.
+        "mel_precision": cfg.engine.mel_precision,
+        "mel_kernel": cfg.engine.mel_kernel,
+        "decoder_upsample": cfg.engine.decoder_upsample,
+        "upload_codec": getattr(cfg.engine, "upload_codec", "pcm16"),
+        "device_batch": cfg.engine.device_batch,
+        "chunk_seconds": cfg.engine.chunk_seconds,
+        "backend": jax.default_backend(),
     }
     return journal_for(journal_dir, path, header)
 

@@ -189,6 +189,8 @@ class OggInfo:
     frames: int
     subtype: str = "VORBIS"
     bits_per_sample: int = 0  # lossy — no PCM bit depth
+    data_bytes: int = 0  # no PCM payload on disk; consumers fall back to
+    #                      frames * bytes-per-frame (silencer stream gate)
 
     @property
     def duration(self) -> float:
@@ -267,6 +269,16 @@ def read(
                 break
             if n < 0:  # hole/bad link — treat as decode error
                 raise OggFormatError(f"ov_read_float error {n}: {path}")
+            # chained streams decode per-link: a link whose channel count or
+            # rate differs from the whole-file info would make pcm[c] an
+            # invalid pointer / silently resample — reject instead of crash
+            li = o.vfile.ov_info(o.vf, bitstream.value)
+            if li and (int(li.contents.channels) != ch
+                       or int(li.contents.rate) != inf.samplerate):
+                raise OggFormatError(
+                    f"chained Ogg with per-link format change unsupported: "
+                    f"{path} (link {bitstream.value}: "
+                    f"{int(li.contents.channels)}ch@{int(li.contents.rate)})")
             for c in range(ch):
                 out[got:got + n, c] = np.ctypeslib.as_array(pcm[c], (n,))
             got += n

@@ -89,8 +89,13 @@ def _pk_tuple(*items: bytes) -> bytes:
     return b"(" + b"".join(items) + b"t"
 
 
-def _write_synthetic_pth(path: str, sd, epoch: int) -> None:
-    """torch.save-compatible zip archive, stdlib only (no torch import)."""
+def _write_synthetic_pth(path: str, sd, epoch: int, extra_items=None) -> None:
+    """torch.save-compatible zip archive, stdlib only (no torch import).
+
+    ``extra_items`` are picklable non-tensor values appended at the top
+    level (the way real checkpoints carry metrics next to the state dict);
+    their opcodes come from a real pickle.dumps with PROTO/STOP stripped.
+    """
     contiguous_strides = lambda shape: [
         int(np.prod(shape[i + 1:], dtype=np.int64)) for i in range(len(shape))
     ]
@@ -119,7 +124,15 @@ def _write_synthetic_pth(path: str, sd, epoch: int) -> None:
         )
         body += _pk_str(key) + tensor
     body += b"u"  # SETITEMS → model_state_dict
-    body += _pk_str("epoch") + _pk_int(epoch) + b"u" + b"."
+    body += _pk_str("epoch") + _pk_int(epoch)
+    if extra_items:
+        import pickle as _p
+
+        for key, value in extra_items.items():
+            frag = _p.dumps(value, protocol=2)
+            assert frag[:2] == b"\x80\x02" and frag[-1:] == b"."
+            body += _pk_str(key) + frag[2:-1]
+    body += b"u" + b"."
     with zipfile.ZipFile(path, "w") as z:
         z.writestr("archive/data.pkl", body)
         z.writestr("archive/byteorder", "little")
@@ -168,12 +181,42 @@ def test_synthetic_pth_without_torch(tmp_path, monkeypatch):
 
 
 def test_pth_reader_blocks_malicious_globals(tmp_path):
-    """Arbitrary-code pickles are rejected, not executed."""
-    import pickle as _p
+    """Arbitrary-code pickles are rejected, not executed.
+
+    UnsupportedPthError (not UnpicklingError) so load_pth can still hand
+    unusual-but-benign files to torch.load(weights_only=True), which applies
+    its own (equivalent) global blocking.
+    """
     from softspoken_tpu.ckpt import pth_reader
 
     evil = b"\x80\x02" + _pk_global("os", "system") + _pk_tuple(_pk_str("true")) + b"R."
     with zipfile.ZipFile(str(tmp_path / "evil.pth"), "w") as z:
         z.writestr("archive/data.pkl", evil)
-    with pytest.raises(_p.UnpicklingError):
+    with pytest.raises(pth_reader.UnsupportedPthError):
         pth_reader.load(str(tmp_path / "evil.pth"))
+
+
+def test_pth_with_numpy_scalar_extras_loads_torch_free(tmp_path, monkeypatch):
+    """Real checkpoints often carry e.g. {'best_f1': np.float64(...)} next
+    to the state dict; the numpy data constructors are safelisted so the
+    torch-free reader handles them instead of bailing (and previously the
+    bail was an UnpicklingError that also skipped the torch fallback)."""
+    import pickle as _p
+
+    sd = ckpt.fixture_state_dict(seed=11)
+    pth = str(tmp_path / "extras.pth")
+    _write_synthetic_pth(
+        pth, sd, epoch=3,
+        extra_items={"best_f1": np.float64(0.4875),
+                     "val_losses": np.asarray([0.5, 0.25, 0.125])})
+
+    monkeypatch.setitem(sys.modules, "torch", None)  # torch-free or bust
+    variables, epoch = ckpt.load_pth(pth)
+    assert epoch == 3
+    assert _leaves(variables)  # the state dict converted despite extras
+
+    from softspoken_tpu.ckpt import pth_reader
+    obj = pth_reader.load(pth)
+    assert float(obj["best_f1"]) == 0.4875
+    np.testing.assert_array_equal(obj["val_losses"],
+                                  np.asarray([0.5, 0.25, 0.125]))

@@ -153,3 +153,30 @@ def test_different_weights_invalidate_journal(tmp_path):
         e1._fn = counter.fn
     n_chunks = -(-res.num_windows // e1.chunk_w)
     assert counter.calls == n_chunks  # different weights → full re-run
+
+
+def test_numerics_change_invalidates_journal(tmp_path):
+    """The header pins every numerics-affecting knob: resuming a run under a
+    different mel precision/kernel/upsample/codec would stitch grids from two
+    different computations (review r3 finding)."""
+    from softspoken_tpu.engine.fused import _make_journal
+
+    wav = str(tmp_path / "w.wav")
+    _make_wav(wav, seconds=6.0)
+    jd = str(tmp_path / "progress")
+
+    base = _cfg()
+    det0 = Detector(base, variables=ckpt.fixture_variables(seed=0))
+    h0 = _make_journal(det0, wav, jd).header
+
+    for change in (dict(mel_precision="default"),
+                   dict(mel_kernel="xla" if base.engine.mel_kernel != "xla"
+                        else "fused"),
+                   dict(decoder_upsample="phase"),
+                   dict(upload_codec="mulaw8"),
+                   dict(device_batch=16),
+                   dict(chunk_seconds=12.0)):
+        det = Detector(base.with_engine(**change),
+                       variables=ckpt.fixture_variables(seed=0))
+        h = _make_journal(det, wav, jd).header
+        assert h != h0, f"header must change under {change}"

@@ -116,3 +116,31 @@ def test_detect_file_on_ogg(tmp_path):
     padded = internal_length(p, cfg.dsp.sample_rate) + 2 * cfg.pad_samples
     assert res.num_windows == num_windows_for_padded_length(padded, cfg)
     assert n == 20 * sr
+
+
+def test_silencer_on_ogg(tmp_path):
+    """The silence workflow must cover every format probe() dispatches;
+    OggInfo.data_bytes was missing and crashed the stream-size gate
+    (review r3 finding)."""
+    import pandas as pd
+
+    from softspoken_tpu.io import wavio
+    from softspoken_tpu.silence import SilenceRunner
+
+    sr = 22050
+    x = _tone(sr, seconds=4.0, seed=3)
+    src = str(tmp_path / "rec.ogg")
+    ov.write_vorbis(src, x, sr, quality=0.5)
+
+    df = pd.DataFrame([{
+        "file_path": str(tmp_path), "file_name": "rec.ogg",
+        "start_time": 1.0, "end_time": 2.0, "erase": 1,
+    }])
+    outdir = str(tmp_path / "out")
+    report = SilenceRunner(outdir).run(df)
+    assert report.files_failed == 0 and report.files_done == 1
+    y, osr = wavio.read(report.outputs[0])
+    assert osr == sr and len(y) == len(x)
+    s0, s1 = int(1.0 * sr), int(2.0 * sr)
+    assert np.all(y[s0:s1] == 0)              # muted span is hard zero
+    assert np.abs(y[: s0 - 1]).max() > 0.05   # audio elsewhere survives

@@ -119,3 +119,23 @@ def test_fused_bf16_output_bit_identical(buf_and_starts):
         assert b16.dtype == jnp.bfloat16
         np.testing.assert_array_equal(
             np.asarray(f32.astype(jnp.bfloat16)), np.asarray(b16))
+
+
+def test_mel_kernel_auto_parity_carveout(monkeypatch):
+    """'auto' must resolve to the XLA chain in parity mode even on TPU —
+    the fused kernel's 4-block DFT accumulation differs ~1e-5 from the
+    reference-numerics chain (review r3 finding; same policy shape as
+    mel_precision/upload_codec 'auto')."""
+    import jax
+
+    from softspoken_tpu import Config, ckpt
+    from softspoken_tpu.engine import Detector
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    variables = ckpt.fixture_variables(seed=0)
+    parity = Detector(Config().with_engine(precision="parity"),
+                      variables=variables)
+    assert parity._mel_kernel == "xla"
+    fast = Detector(Config().with_engine(precision="fast"),
+                    variables=variables)
+    assert fast._mel_kernel == "fused"
