@@ -165,7 +165,7 @@ def synth_speech(
 # --------------------------------------------------------------------------
 
 ENVIRONMENT_KINDS = ("wind", "rain", "stream", "birds", "insects", "rumble",
-                     "calls")
+                     "calls", "hum")
 
 
 def _colored_noise(rng, n: int, alpha: float) -> np.ndarray:
@@ -272,6 +272,34 @@ def synth_environment(
             if peak > 0:
                 out[at: at + dur] += (
                     rng.uniform(0.4, 1.0) * y / peak).astype(np.float32)
+
+    elif kind == "hum":
+        # Electrical mains hum: a drifting 50-or-60 Hz fundamental with a
+        # buzzy odd-harmonic stack (triode/transformer saturation puts the
+        # energy in odd harmonics) plus slow level wobble.  Added in round 3:
+        # the degradation grid's worst out-of-family condition was v2+hum
+        # (frame F1 0.878, docs/QUALITY_r03.json) — the 100-250 Hz harmonics
+        # land exactly in the speech-F0 register and false-fire the round-3
+        # checkpoint.  Implementation is deliberately independent of the
+        # eval-side train/degrade.py::hum (fixed 50 Hz, harmonics 1-3, even
+        # included, no drift) so train and eval stay uncorrelated.
+        t = np.arange(n_samples) / SR
+        f_base = float(rng.choice((50.0, 60.0)))
+        # mains frequency wanders a few tens of mHz; phase drift decorrelates
+        drift = 1.0 + 1e-3 * np.interp(
+            np.linspace(0, 1, n_samples),
+            np.linspace(0, 1, 64),
+            rng.standard_normal(64).cumsum() * 0.1)
+        phase = 2 * np.pi * np.cumsum(f_base * drift) / SR
+        out = np.zeros(n_samples)
+        for k in (1, 3, 5, 7, 9, 11):
+            out += rng.uniform(0.5, 1.0) / k * np.sin(
+                k * phase + rng.uniform(0, 2 * np.pi))
+        wobble = 1.0 + 0.25 * np.sin(
+            2 * np.pi * rng.uniform(0.05, 0.5) * t + rng.uniform(0, 2 * np.pi))
+        out = (out * wobble).astype(np.float32)
+        # a touch of broadband transformer buzz
+        out += 0.03 * _colored_noise(rng, n_samples, 1.0)
 
     else:  # pragma: no cover
         raise ValueError(f"unknown environment kind {kind!r}")

@@ -336,3 +336,23 @@ def test_sharded_fused_synth_step_matches_unsharded():
     # different GSPMD partitionings reorder f32 reductions (see
     # test_model.py tolerance note)
     assert abs(float(m1["loss"]) - float(m2["loss"])) < 3e-3
+
+
+def test_synth_hum_is_mains_like():
+    """Round-3 addition: energy sits on a 50/60 Hz odd-harmonic stack (the
+    worst out-of-family grid condition; independent of degrade.py::hum)."""
+    from softspoken_tpu.train import synth
+
+    rng = np.random.default_rng(11)
+    n = 22050 * 3
+    e = synth.synth_environment(rng, n, "hum")
+    sp = np.abs(np.fft.rfft(e)) ** 2
+    f = np.fft.rfftfreq(n, 1 / 22050)
+    # ≥70% of total energy within ±5 Hz of some k*50 or k*60 harmonic
+    near = np.zeros(len(f), bool)
+    for base in (50.0, 60.0):
+        k = np.round(f / base)
+        near |= (k >= 1) & (np.abs(f - k * base) < 5.0)
+    assert sp[near].sum() / sp.sum() > 0.7
+    # and the fundamental region (40-70 Hz) is populated
+    assert sp[(f > 40) & (f < 70)].max() > 0.01 * sp.max()
