@@ -101,7 +101,7 @@ def _parse(f) -> AiffInfo:
             data_bytes = size - 8 - offset
         f.seek(here + size + (size & 1))  # chunks are word-aligned
 
-    if channels <= 0 or rate <= 0:
+    if channels <= 0 or rate < 1.0:  # <1 Hz would round to samplerate 0
         raise AiffFormatError("missing/invalid COMM chunk")
     comp_u = comp.upper()
     if comp_u not in (b"NONE", b"SOWT", b"FL32"):

@@ -113,6 +113,13 @@ class FlacReader:
         bits = ctypes.c_int()
         lib.ssflac_info(self._h, ctypes.byref(total), ctypes.byref(sr),
                         ctypes.byref(ch), ctypes.byref(bits))
+        if sr.value <= 0 or ch.value <= 0 or bits.value <= 0:
+            # corrupted STREAMINFO (fuzz): zero fields would divide later
+            lib.ssflac_close(self._h)
+            self._h = None
+            raise FlacError(
+                f"invalid STREAMINFO: sr={sr.value} ch={ch.value} "
+                f"bits={bits.value}: {path}")
         self.info = FlacInfo(
             samplerate=sr.value, channels=ch.value, frames=total.value,
             subtype=f"FLAC_{bits.value}", bits_per_sample=bits.value,
@@ -128,17 +135,35 @@ class FlacReader:
                             f"{self._lib.ssflac_error(self._h).decode()}")
         self._pos = frame
 
+    # per-step allocation bound: a corrupted STREAMINFO total_samples (36-bit
+    # field, up to 64G frames) must not size one giant np.empty — grow with
+    # the data that actually decodes instead (found by tests/test_codec_fuzz)
+    _READ_BLOCK = 1 << 22
+
     def read_i32(self, frames: int) -> np.ndarray:
         """Next ``frames`` interleaved int32 samples at native bit depth;
         shorter at EOF."""
-        out = np.empty(frames * self.info.channels, np.int32)
-        got = self._lib.ssflac_read_i32(
-            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), frames
-        )
-        if got < 0:
-            raise FlacError(self._lib.ssflac_error(self._h).decode() or "decode error")
-        self._pos += int(got)
-        return out[: int(got) * self.info.channels].reshape(-1, self.info.channels)
+        ch = self.info.channels
+        parts = []
+        remaining = int(frames)
+        while remaining > 0:
+            take = min(remaining, self._READ_BLOCK)
+            out = np.empty(take * ch, np.int32)
+            got = self._lib.ssflac_read_i32(
+                self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                take)
+            if got < 0:
+                raise FlacError(
+                    self._lib.ssflac_error(self._h).decode() or "decode error")
+            self._pos += int(got)
+            parts.append(out[: int(got) * ch].reshape(-1, ch))
+            remaining -= int(got)
+            if got < take:  # EOF
+                break
+        if len(parts) == 1:
+            return parts[0]
+        return (np.concatenate(parts)
+                if parts else np.zeros((0, ch), np.int32))
 
     def read_f32(self, start: int = 0, frames: Optional[int] = None,
                  always_2d: bool = False) -> np.ndarray:

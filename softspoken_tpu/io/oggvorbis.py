@@ -218,6 +218,10 @@ class _Open:
         vi = self.vfile.ov_info(self.vf, -1)
         if not vi:
             raise OggFormatError("ov_info failed")
+        if int(vi.contents.rate) <= 0 or int(vi.contents.channels) <= 0:
+            raise OggFormatError(
+                f"invalid Vorbis header: {int(vi.contents.channels)}ch@"
+                f"{int(vi.contents.rate)}")
         total = int(self.vfile.ov_pcm_total(self.vf, -1))
         return OggInfo(samplerate=int(vi.contents.rate),
                        channels=int(vi.contents.channels),

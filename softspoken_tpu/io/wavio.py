@@ -109,6 +109,10 @@ def _parse_header(f: BinaryIO) -> WavInfo:
     if key not in _SUBTYPE_BY_FMT:
         raise WavFormatError(f"unsupported WAV format tag={fmt_tag} bits={bits}")
     bytes_per_frame = channels * (bits // 8)
+    if bytes_per_frame <= 0 or samplerate <= 0:  # fuzz: zeroed fmt fields
+        raise WavFormatError(
+            f"invalid fmt chunk: channels={channels} bits={bits} "
+            f"samplerate={samplerate}")
     # clamp to the bytes physically present: a recorder-crash file whose
     # data-chunk header overstates the payload must decode the samples that
     # exist, not crash downstream views/reshapes with short reads
