@@ -42,10 +42,19 @@ class AudacityTxtTransform(Transform):
         df["end_time"] = pd.to_numeric(df["end_time"], errors="coerce")
         df = df.sort_values(["file_name", "start_time"])
 
+        written = set()
         for wav_name, group in df.groupby("file_name", sort=False):
             lines = [
                 f"{s:.{precision}f}\t{e:.{precision}f}\t{comment}"
                 for s, e in zip(group["start_time"], group["end_time"])
             ]
-            (out_root / f"{Path(wav_name).stem}.txt").write_text("\n".join(lines) + "\n")
+            out = out_root / f"{Path(wav_name).stem}.txt"
+            out.write_text("\n".join(lines) + "\n")
+            written.add(out.name)
+        # the output dir is exporter-owned: a recording whose detections
+        # were all deleted in review must not leave a stale label file
+        # claiming regions the user removed (review r3 finding)
+        for old in out_root.glob("*.txt"):
+            if old.name not in written:
+                old.unlink()
         return None

@@ -24,11 +24,27 @@ import pandas as pd
 from .base import Transform
 
 
+_DURATION_CACHE: Dict[tuple, float] = {}
+
+
 def _wav_duration(path: Union[str, Path]) -> float:
-    # format-dispatching probe: projects can now hold FLAC/AIFF recordings
+    # format-dispatching probe: projects can now hold FLAC/AIFF/OGG
+    # recordings.  Cached on (path, mtime, size): the review screen re-runs
+    # every exporter on each grade/edit, and re-probing hundreds of file
+    # headers per keystroke is O(files) blocking IO (review r3 finding)
     from ..io.audio import get_audio_data
 
-    dur, _sr = get_audio_data(str(path))
+    path = str(path)
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None and key in _DURATION_CACHE:
+        return _DURATION_CACHE[key]
+    dur, _sr = get_audio_data(path)
+    if key is not None:
+        _DURATION_CACHE[key] = dur
     return dur
 
 

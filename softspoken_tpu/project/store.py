@@ -73,7 +73,18 @@ class DetectionStore:
                 df["review_datetime"] = pd.to_datetime(
                     df["review_datetime"], errors="coerce"
                 )
-            self.df = df.reindex(columns=COLUMNS).astype(COLUMN_TYPES)
+            df = df.reindex(columns=COLUMNS)
+            # legacy CSVs can lack schema columns (e.g. no 'erase'):
+            # reindex fills them with NaN, which astype(int) rejects —
+            # backfill the schema defaults first (review r3 finding)
+            if df["erase"].isna().any():
+                df["erase"] = pd.to_numeric(
+                    df["erase"], errors="coerce").fillna(0)
+            for col in ("file_path", "file_name", "start_time", "end_time",
+                        "user_comment"):
+                if df[col].isna().any():
+                    df[col] = df[col].fillna("")
+            self.df = df.astype(COLUMN_TYPES)
         else:
             self.df = empty_detections_frame()
 
@@ -91,14 +102,34 @@ class DetectionStore:
         return 1 if pd.isna(mx) else int(mx) + 1
 
     def processed_files(self) -> set:
-        """Full paths already present — enables idempotent re-runs (fixes the
-        reference's duplicate-rows-on-resume quirk, SURVEY.md §2.3)."""
-        if self.df.empty:
-            return set()
-        return {
-            os.path.join(p, n)
-            for p, n in zip(self.df["file_path"], self.df["file_name"])
-        }
+        """Full paths already processed — enables idempotent re-runs (fixes
+        the reference's duplicate-rows-on-resume quirk, SURVEY.md §2.3).
+
+        Union of files with detection rows AND the ``.processed`` sidecar —
+        rows alone would re-run every zero-detection file on resume (review
+        r3 finding: in a quiet corpus that is most of the compute)."""
+        out = set()
+        if not self.df.empty:
+            out.update(
+                os.path.join(p, n)
+                for p, n in zip(self.df["file_path"], self.df["file_name"])
+            )
+        try:
+            with open(self._processed_sidecar, encoding="utf-8") as f:
+                out.update(line.rstrip("\n") for line in f if line.strip())
+        except OSError:
+            pass
+        return out
+
+    @property
+    def _processed_sidecar(self) -> str:
+        return self.path + ".processed"
+
+    def mark_processed(self, file_full_path: str) -> None:
+        """Record completion independent of row count (zero detections is
+        still 'done'); append-only so a crash can't lose earlier entries."""
+        with open(self._processed_sidecar, "a", encoding="utf-8") as f:
+            f.write(file_full_path + "\n")
 
     def append_intervals(
         self, file_full_path: str, intervals: Iterable[Tuple[float, float]]

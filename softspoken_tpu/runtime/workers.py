@@ -215,6 +215,7 @@ class DetectRunner:
             with self.timers.time("persist"):
                 report.rows_added += self.store.append_intervals(path, result.intervals)
                 self.store.save()  # per-file checkpoint (worker.py:128)
+                self.store.mark_processed(path)  # zero-detection files too
 
             self.meter.add_audio(result.audio_seconds)
             report.files_done += 1

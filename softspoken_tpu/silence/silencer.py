@@ -84,6 +84,7 @@ class SilenceRunner:
         total = len(groups)
         os.makedirs(self.output_dir, exist_ok=True)
 
+        used_names = set()
         for gi, ((fpath, fname), rows) in enumerate(groups):
             if self._stop:
                 report.stopped = True
@@ -91,13 +92,27 @@ class SilenceRunner:
             full = os.path.join(fpath, fname)
             if on_file_start:
                 on_file_start(full)
-            intervals = [
-                (float(s), float(e))
-                for s, e in zip(rows["start_time"], rows["end_time"])
-            ]
             stem, _ext = os.path.splitext(fname)
-            out_path = os.path.join(self.output_dir, f"{stem}_silenced.wav")
+            # reference naming (silencer_ui.py:987-990) is basename-only;
+            # keep it, but same-named recordings from different folders must
+            # not silently overwrite each other's output (review r3 finding)
+            out_name = f"{stem}_silenced.wav"
+            k = 2
+            while out_name in used_names:
+                out_name = f"{stem}_silenced_{k}.wav"
+                k += 1
+            if k > 2:
+                log.warning("output name collision for %s; writing %s",
+                            full, out_name)
+            used_names.add(out_name)
+            out_path = os.path.join(self.output_dir, out_name)
             try:
+                # float() inside the try: one malformed hand-edited review
+                # row must skip-and-continue, not abort the whole run
+                intervals = [
+                    (float(s), float(e))
+                    for s, e in zip(rows["start_time"], rows["end_time"])
+                ]
                 self._silence_one(full, out_path, intervals)
                 report.outputs.append(out_path)
                 if on_file_done:

@@ -92,19 +92,26 @@ if HAVE_QT:
             from ..project import DetectionStore
             from ..runtime import DetectRunner, RunCallbacks
 
-            # Detector resolves cfg.paths' model checkpoint itself (and
-            # degrades to random init with a warning, like the reference)
-            det = Detector(self.cfg)
-            store = DetectionStore(self.project["detections_file"])
-            self._runner = DetectRunner(det, store, self.cfg)
-            report = self._runner.run(
-                self.files,
-                RunCallbacks(
-                    message=self.signals.message.emit,
-                    file_progress=self.signals.file_progress.emit,
-                    overall_progress=self.signals.overall_progress.emit,
-                ),
-            )
+            # Any exception must still emit finished: Qt swallows
+            # QRunnable.run exceptions, which would leave the start button
+            # disabled and the progress bar wedged forever (review r3)
+            try:
+                # Detector resolves cfg.paths' model checkpoint itself (and
+                # degrades to random init with a warning, like the reference)
+                det = Detector(self.cfg)
+                store = DetectionStore(self.project["detections_file"])
+                self._runner = DetectRunner(det, store, self.cfg)
+                report = self._runner.run(
+                    self.files,
+                    RunCallbacks(
+                        message=self.signals.message.emit,
+                        file_progress=self.signals.file_progress.emit,
+                        overall_progress=self.signals.overall_progress.emit,
+                    ),
+                )
+            except Exception as e:  # noqa: BLE001
+                self.signals.message.emit(f"detection failed: {e}")
+                report = None
             self.signals.finished.emit(report)
 
     class _SilenceWorker(QRunnable):
@@ -124,12 +131,18 @@ if HAVE_QT:
 
             from ..silence import SilenceRunner
 
-            self._runner = SilenceRunner(self.output_dir)
-            report = self._runner.run(
-                pd.read_csv(self.review_csv),
-                on_file_start=lambda f: self.signals.message.emit(f"silencing {f}"),
-                on_progress=lambda p: self.signals.overall_progress.emit(float(p)),
-            )
+            try:
+                self._runner = SilenceRunner(self.output_dir)
+                report = self._runner.run(
+                    pd.read_csv(self.review_csv),
+                    on_file_start=lambda f: self.signals.message.emit(f"silencing {f}"),
+                    on_progress=lambda p: self.signals.overall_progress.emit(float(p)),
+                )
+            except Exception as e:  # noqa: BLE001 — e.g. review CSV missing
+                # (silence clicked before review); Qt swallows run()
+                # exceptions, so report the error and still emit finished
+                self.signals.message.emit(f"silencing failed: {e}")
+                report = None
             self.signals.finished.emit(report)
 
     class HomeScreen(QWidget):
@@ -191,7 +204,7 @@ if HAVE_QT:
             )
 
         def add_files(self):
-            paths, _ = QFileDialog.getOpenFileNames(self, "Add audio files", "", "Audio (*.wav *.flac)")
+            paths, _ = QFileDialog.getOpenFileNames(self, "Add audio files", "", "Audio (*.wav *.flac *.aiff *.aif *.ogg)")
             if paths:
                 self.app.pm.update_file_list([os.path.abspath(p) for p in paths])
                 self.refresh()
@@ -265,6 +278,9 @@ if HAVE_QT:
 
         def _on_finished(self, report):
             self.start_btn.setEnabled(True)
+            if report is None:  # worker errored; message already emitted
+                self.log.setText("detection failed — see messages")
+                return
             self.log.setText(
                 f"done: {report.files_done} file(s), {report.rows_added} detection(s)"
             )
@@ -633,6 +649,9 @@ if HAVE_QT:
         def _on_finished(self, report):
             from ..silence import write_status_file
 
+            if report is None:  # worker errored; message already emitted
+                self.info.setText("silencing failed — see messages")
+                return
             pm = self.app.pm
             if not report.stopped:
                 write_status_file(

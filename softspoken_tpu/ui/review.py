@@ -94,10 +94,23 @@ class ReviewSession:
     def erase(self, index: Optional[int] = None, persist: bool = True) -> None:
         self._label(1, index, persist)
 
-    def _label(self, flag: int, index: Optional[int], persist: bool) -> None:
+    def _checked_index(self, index: Optional[int]) -> Optional[int]:
+        """Bounds-checked row index, or None when there is nothing to edit.
+
+        pandas ``.at`` ENLARGES on an out-of-range label — an unguarded
+        edit on an empty session fabricates a phantom NaN row that save()
+        then backfills an ID and persists (review r3 finding)."""
         if len(self.df) == 0:
-            return
+            return None
         i = self.current_index if index is None else index
+        if not 0 <= i < len(self.df):
+            return None
+        return i
+
+    def _label(self, flag: int, index: Optional[int], persist: bool) -> None:
+        i = self._checked_index(index)
+        if i is None:
+            return
         self.df.at[i, "erase"] = flag
         self.df.at[i, "review_datetime"] = self._now()
         if persist:
@@ -106,7 +119,9 @@ class ReviewSession:
             self.next()  # auto-advance (:715-717)
 
     def set_comment(self, text: str, index: Optional[int] = None, persist: bool = False):
-        i = self.current_index if index is None else index
+        i = self._checked_index(index)
+        if i is None:
+            return
         self.df.at[i, "user_comment"] = text
         if persist:
             self.save()
@@ -114,7 +129,9 @@ class ReviewSession:
     def set_times(
         self, start: float, end: float, index: Optional[int] = None, persist: bool = False
     ):
-        i = self.current_index if index is None else index
+        i = self._checked_index(index)
+        if i is None:
+            return
         self.df.at[i, "start_time"] = float(start)
         self.df.at[i, "end_time"] = float(end)
         if persist:

@@ -43,13 +43,19 @@ def display_spec(data: np.ndarray, trim_edges: bool = True) -> np.ndarray:
     return mag
 
 
-def amplitude_to_db(power: np.ndarray, ref: Optional[float] = None, amin=1e-10, top_db=80.0):
-    """librosa.amplitude_to_db semantics on an amplitude array squared by the
-    caller (the reference passes spec**2)."""
-    mag = np.asarray(power, np.float64)
+def amplitude_to_db(s: np.ndarray, ref: Optional[float] = None, amin=1e-5,
+                    top_db=80.0):
+    """Exact librosa.amplitude_to_db semantics: 20*log10, amin=1e-5.
+
+    The reference feeds it the POWER spectrogram
+    (review_detections.py:880 ``amplitude_to_db(spectrogram**2, ref=np.max)``)
+    so the displayed scale is effectively 40*log10(|STFT|) — reproduce that,
+    not a 'corrected' power_to_db (a 10*log10 here halves the dB range and
+    visibly changes the rendered contrast/floor vs the reference)."""
+    mag = np.asarray(s, np.float64)
     ref_value = np.max(mag) if ref is None else ref
-    db = 10.0 * np.log10(np.maximum(amin, mag))
-    db -= 10.0 * np.log10(np.maximum(amin, ref_value))
+    db = 20.0 * np.log10(np.maximum(amin, mag))
+    db -= 20.0 * np.log10(np.maximum(amin, ref_value))
     if top_db is not None:
         db = np.maximum(db, db.max() - top_db)
     return db.astype(np.float32)

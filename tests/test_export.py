@@ -140,3 +140,21 @@ def test_standard_manager_names(review_df):
     assert set(standard_manager(review_df).names()) == {
         "audacity", "kaleidoscope", "raven",
     }
+
+
+def test_audacity_removes_stale_label_files(tmp_path, review_df):
+    from softspoken_tpu.export.audacity import AudacityTxtTransform
+
+    t = AudacityTxtTransform()
+    t(review_df, base_dir=tmp_path, project_name="p")
+    out = tmp_path / "Audacity Outputs" / "p"
+    first = sorted(f.name for f in out.glob("*.txt"))
+    assert len(first) >= 2
+
+    # delete every row of the first recording and re-export: its label
+    # file must disappear, not linger with stale regions (review r3)
+    keep_name = sorted(review_df["file_name"].unique())[1:]
+    t(review_df[review_df["file_name"].isin(keep_name)],
+      base_dir=tmp_path, project_name="p")
+    second = sorted(f.name for f in out.glob("*.txt"))
+    assert len(second) == len(first) - 1

@@ -139,3 +139,42 @@ def test_id_backfill():
     out2 = backfill_ids(df2)
     assert out2.columns[0] == "ID"
     assert out2["ID"].tolist() == [1]
+
+
+def test_legacy_csv_missing_columns_loads(tmp_path):
+    """A pre-schema CSV (no erase/user_comment/review_datetime) must load
+    with defaults, not crash astype with IntCastingNaNError (review r3)."""
+    import pandas as pd
+
+    from softspoken_tpu.project.store import DetectionStore
+
+    csv = str(tmp_path / "legacy.csv")
+    pd.DataFrame({
+        "file_path": ["/rec", "/rec"],
+        "file_name": ["a.wav", "a.wav"],
+        "start_time": [1.25, 7.5],
+        "end_time": [2.5, 9.0],
+    }).to_csv(csv, index=False)
+
+    store = DetectionStore(csv)
+    assert list(store.df["erase"]) == [0, 0]
+    assert list(store.df["ID"]) == [1, 2]
+    assert list(store.df["user_comment"]) == ["", ""]
+
+
+def test_processed_files_includes_zero_detection_files(tmp_path):
+    """mark_processed records completion independent of row count, so a
+    quiet corpus isn't re-run end-to-end on resume (review r3)."""
+    from softspoken_tpu.project.store import DetectionStore
+
+    csv = str(tmp_path / "det.csv")
+    store = DetectionStore(csv)
+    store.append_intervals("/rec/voiced.wav", [(1.0, 2.0)])
+    store.save()
+    store.mark_processed("/rec/voiced.wav")
+    store.mark_processed("/rec/silent.wav")  # zero detections, still done
+
+    again = DetectionStore(csv)
+    done = again.processed_files()
+    assert "/rec/voiced.wav" in done
+    assert "/rec/silent.wav" in done

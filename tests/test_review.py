@@ -121,3 +121,34 @@ def test_render_review_png(project):
     )
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
     assert len(png) > 5000
+
+
+def test_edits_on_empty_session_are_noops(project):
+    """pandas .at enlarges on out-of-range labels; an unguarded edit on an
+    empty session fabricated a phantom NaN row that save() persisted
+    (review r3)."""
+    cfg, pm, proj, wavdir = project
+    s = ReviewSession(proj, pm.projects_folder, cfg, now_fn=_fixed_now)
+    s.delete(list(range(len(s.df))), persist=False)
+    assert len(s.df) == 0
+    s.set_comment("note")
+    s.set_times(1.0, 2.0)
+    s.keep()
+    s.erase()
+    assert len(s.df) == 0
+    s.save(persist=False)
+    assert len(s.df) == 0
+
+
+def test_amplitude_to_db_is_librosa_semantics():
+    """20*log10 with amin=1e-5 — the reference passes spec**2 into
+    librosa.amplitude_to_db (review_detections.py:880), so power 0.01
+    maps to -40 dB, not power_to_db's -20 (review r3)."""
+    from softspoken_tpu.ui.spectrogram import amplitude_to_db
+
+    power = np.array([1.0, 1e-2, 1e-4])
+    db = amplitude_to_db(power)
+    np.testing.assert_allclose(db, [0.0, -40.0, -80.0], atol=1e-6)
+    # top_db clamp relative to the max
+    db2 = amplitude_to_db(np.array([1.0, 1e-8]))
+    np.testing.assert_allclose(db2, [0.0, -80.0], atol=1e-6)

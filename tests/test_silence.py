@@ -148,3 +148,49 @@ def test_status_file(tmp_path):
     path = write_status_file(proj, str(tmp_path))
     assert os.path.exists(path)
     assert proj["silence_status_file"] == path
+
+
+def test_same_basename_outputs_do_not_collide(tmp_path):
+    """Per-site recorders reuse file names; two /siteX/rec.wav inputs must
+    produce two outputs, not silently overwrite one (review r3)."""
+    import pandas as pd
+
+    sr = 22050
+    rows = []
+    for site, freq in (("siteA", 500.0), ("siteB", 900.0)):
+        d = tmp_path / site
+        d.mkdir()
+        t = np.arange(sr * 2) / sr
+        x = (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+        wavio.write(str(d / "rec.wav"), x, sr, subtype="PCM_16")
+        rows.append({"file_path": str(d), "file_name": "rec.wav",
+                     "start_time": 0.5, "end_time": 1.0, "erase": 1})
+
+    out = tmp_path / "out"
+    report = SilenceRunner(str(out)).run(pd.DataFrame(rows))
+    assert report.files_done == 2 and report.files_failed == 0
+    assert len(set(report.outputs)) == 2
+    names = sorted(os.path.basename(p) for p in report.outputs)
+    assert names[0] == "rec_silenced.wav" and names[1] == "rec_silenced_2.wav"
+
+
+def test_malformed_review_row_skips_file_not_run(tmp_path):
+    """float('abc') on one row must record a per-file error and continue
+    (review r3: parsing previously ran outside the try block)."""
+    import pandas as pd
+
+    sr = 22050
+    t = np.arange(sr) / sr
+    good = tmp_path / "good.wav"
+    wavio.write(str(good), (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32),
+                sr, subtype="PCM_16")
+    df = pd.DataFrame([
+        {"file_path": str(tmp_path), "file_name": "bad.wav",
+         "start_time": "abc", "end_time": 1.0, "erase": 1},
+        {"file_path": str(tmp_path), "file_name": "good.wav",
+         "start_time": 0.25, "end_time": 0.5, "erase": 1},
+    ])
+    report = SilenceRunner(str(tmp_path / "out")).run(df)
+    assert report.files_done == 1
+    assert report.files_failed == 1
+    assert any("bad.wav" in k for k in report.errors)
