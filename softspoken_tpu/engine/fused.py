@@ -297,7 +297,10 @@ class FusedStreamingEngine:
         tt = timers.time if timers is not None else (lambda _n: nullcontext())
         cfg = self.cfg
         up, down = self.up, self.down
-        pad_native = 3 * self.native_sr             # exact: ·up/down = 66150
+        # from config, NOT a hardcoded 3: the final interval shift uses
+        # cfg.engine.pad_seconds, and a mismatch skews every detection time
+        # (default 3.0 s · up/down is exact: 66150 at 22050 Hz)
+        pad_native = int(round(cfg.engine.pad_seconds * self.native_sr))
         n_nat_padded = native_frames + 2 * pad_native
         padded_len = -(-n_nat_padded * up // down) if self.W is not None else n_nat_padded
 

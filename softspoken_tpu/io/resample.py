@@ -209,8 +209,16 @@ class DeviceChunkResampler:
         rs -= rs % self.down
         first_out_global = (rs * self.up) // self.down
         lo = out_pos - first_out_global
-        assert 0 <= lo <= 4 * self.up
-        assert lo + out_n <= self.n_blocks * self.up
+        # RuntimeError, not assert: these alignment invariants guard against
+        # SILENTLY time-shifted audio (dynamic_slice clamps out-of-range
+        # starts) and must survive python -O, like engine/fused.py's checks
+        if not 0 <= lo <= 4 * self.up:
+            raise RuntimeError(
+                f"polyphase alignment violated: lo={lo} up={self.up}")
+        if lo + out_n > self.n_blocks * self.up:
+            raise RuntimeError(
+                f"polyphase range violated: lo={lo} out_n={out_n} "
+                f"cap={self.n_blocks * self.up}")
 
         self._buf[:] = 0.0
         # local layout: native sample (rs + i) sits at buf[pad_l + i]; the

@@ -264,7 +264,10 @@ def write(path: str, data: np.ndarray, samplerate: int, subtype: str = "PCM_16")
     block_align = channels * bits // 8
     with open(path, "wb") as f:
         f.write(b"RIFF")
-        f.write(struct.pack("<I", 36 + len(payload)))
+        # RIFF size counts the odd-payload pad byte written below (matches
+        # WavWriter.close); omitting it truncates the final chunk for
+        # strict parsers (review r3 finding)
+        f.write(struct.pack("<I", 36 + len(payload) + (len(payload) & 1)))
         f.write(b"WAVE")
         f.write(b"fmt ")
         f.write(

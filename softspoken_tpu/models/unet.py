@@ -159,7 +159,12 @@ class ResBlock(nn.Module):
             out = bn("bn2")(out)
         out = nn.relu(out + identity)
         if train and self.dropout_p > 0:
-            out = nn.Dropout(self.dropout_p, deterministic=False)(out)
+            # Dropout2d parity (pytorch_neural_nets.py:30): whole feature
+            # maps drop together — broadcast over H,W in NHWC.  Element-wise
+            # dropout here would be weaker spatial regularization than the
+            # reference architecture specifies (review r3 finding).
+            out = nn.Dropout(self.dropout_p, deterministic=False,
+                             broadcast_dims=(1, 2))(out)
         return out
 
 
@@ -193,7 +198,10 @@ class ResBlock1D(nn.Module):
             out = bn("bn2")(out)
         out = nn.relu(out + identity)
         if train and self.dropout_p > 0:
-            out = nn.Dropout(self.dropout_p, deterministic=False)(out)
+            # Dropout1d parity (pytorch_neural_nets.py:66): drop whole
+            # channels, broadcast over the time axis in (B, T, C)
+            out = nn.Dropout(self.dropout_p, deterministic=False,
+                             broadcast_dims=(1,))(out)
         return out
 
 

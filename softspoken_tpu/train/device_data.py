@@ -126,7 +126,10 @@ def make_device_augment_fn(augmentations: Sequence[str], sr: int = SR):
                 k1, k2, k3 = jax.random.split(keys["add_reverb"], 3)
                 level = u(k1, (0.2, 0.8))
                 decay_time = u(k2, (0.2, 1.0))
-                n_del = jax.random.randint(k3, (B, 1), 1, 6).astype(jnp.float32)
+                # host path int-truncates uniform(1.0, 5.0) → {1..4}; randint
+                # upper bound 5 (exclusive) keeps both trainers on the same
+                # augmentation distribution (review r3 finding)
+                n_del = jax.random.randint(k3, (B, 1), 1, 5).astype(jnp.float32)
                 taps = jnp.arange(5, dtype=jnp.float32)[None, :]       # (1, 5)
                 live = (taps < n_del).astype(jnp.float32)               # (B, 5)
                 # delays: linspace(0, sr·decay, k+1)[1:] ≈ (i+1)/k · sr·decay
@@ -162,8 +165,12 @@ def make_device_augment_fn(augmentations: Sequence[str], sr: int = SR):
             ratio = u(k1, (1.5, 6.0))
             thr = 10.0 ** (u(k2, (-40.0, -10.0)) / 20.0)
             mag = jnp.abs(mix)
+            # below-threshold branch uses the RAW value (not |mix|): the
+            # reference quirk rectifies quiet negative samples
+            # (sign(x)·x = |x|), which augment.compress_dynamics matches
+            # deliberately — the device path must too (review r3 finding)
             mix = jnp.sign(mix) * jnp.where(
-                mag > thr, thr + (mag - thr) / ratio, mag
+                mag > thr, thr + (mag - thr) / ratio, mix
             )
         return mix.astype(jnp.float32)
 

@@ -238,3 +238,20 @@ def test_fused_exact_multiple_chunks_returns_full_grid(tmp_path):
     assert len(multi.avg_values) == len(single.avg_values)
     np.testing.assert_allclose(multi.avg_values, single.avg_values, atol=1e-5)
     assert multi.intervals == single.intervals
+
+
+def test_fused_respects_pad_seconds_override(tmp_path):
+    """The fused pipeline's virtual pad must come from cfg.engine.pad_seconds
+    — it was hardcoded to 3 s while the final shift used the config value,
+    offsetting every interval under an override (review r3 finding)."""
+    cfg = Config().with_engine(
+        precision="parity", device_batch=4, chunk_seconds=12.0,
+        pad_seconds=1.0,
+    )
+    det = Detector(cfg, variables=ckpt.fixture_variables(seed=0))
+    p = _wav(tmp_path, 22050, 20.0, subtype="PCM_16", seed=4)
+    host = det.detect_waveform(wavio.read(p)[0])
+    fused = detect_file_fused(det, p)
+    assert fused.num_windows == host.num_windows
+    np.testing.assert_allclose(fused.avg_values, host.avg_values, atol=2e-3)
+    assert fused.intervals == host.intervals

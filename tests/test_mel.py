@@ -143,3 +143,25 @@ def test_mel_filterbank_matches_mpmath_pointwise():
             fall = (hi - f) / (hi - ce)
             want = max(0, min(rise, fall))
             assert abs(float(want) - float(fb[b, m])) < 1e-6, (b, m)
+
+
+def test_gather_frames_matches_index_table():
+    """frame_index_table is the declarative spec of the reflect-pad frame
+    layout; gather_frames is the fused reshape/concat implementation. Pin
+    them to each other so neither can silently diverge (review r3: the
+    table was dead code with no executing caller)."""
+    import numpy as np
+
+    from softspoken_tpu.ops.mel import (FRAMES, WIN_LENGTH, frame_index_table,
+                                        gather_frames)
+
+    rng = np.random.default_rng(17)
+    starts = np.array([0, 66150 // 2], np.int32)
+    wave = rng.standard_normal(66150 + int(starts[-1])).astype(np.float32)
+
+    got = np.asarray(gather_frames(wave, starts))
+    idx = frame_index_table()
+    assert idx.shape == (FRAMES, WIN_LENGTH)
+    for b, s in enumerate(starts):
+        expect = wave[s + idx.reshape(-1)].reshape(FRAMES, WIN_LENGTH)
+        np.testing.assert_array_equal(got[b], expect)

@@ -356,3 +356,59 @@ def test_synth_hum_is_mains_like():
     assert sp[near].sum() / sp.sum() > 0.7
     # and the fundamental region (40-70 Hz) is populated
     assert sp[(f > 40) & (f < 70)].max() > 0.01 * sp.max()
+
+
+def test_device_compress_dynamics_matches_host_quirk():
+    """Below-threshold samples go through sign(x)*x (the reference quirk
+    rectifies quiet negatives) on BOTH training paths (review r3: the
+    device path used |x| and left them untouched)."""
+    import jax
+    import jax.numpy as jnp
+
+    from softspoken_tpu.train import augment
+    from softspoken_tpu.train.device_data import make_device_augment_fn
+
+    aug = make_device_augment_fn(("compress_dynamics",), sr=22050)
+    x = jnp.array([[0.001, -0.001, 0.5, -0.5, 0.0]], jnp.float32)
+    y = np.asarray(aug(x, jax.random.PRNGKey(0)))[0]
+    # quiet negatives rectified positive, loud samples compressed
+    assert y[1] > 0, "quiet negative sample must be rectified (quirk parity)"
+    assert y[0] == pytest.approx(y[1])
+    ref = np.asarray(augment.compress_dynamics(
+        np.array([0.001, -0.001], np.float32), 22050,
+        compression_ratio=2.0, threshold_level=-20.0))
+    assert ref[1] > 0  # host path pins the same quirk
+
+
+def test_resblock_dropout_is_channelwise():
+    """Dropout2d parity: a dropped channel zeroes its whole H x W map and a
+    kept channel scales uniformly by 1/(1-p) (review r3: element-wise
+    dropout was weaker regularization than the reference specifies)."""
+    import jax
+    import jax.numpy as jnp
+
+    from softspoken_tpu.models.unet import ResBlock
+
+    block = ResBlock(features=16, dropout_p=0.5)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 4)),
+                    jnp.float32)
+    variables = block.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=True)
+    kwargs = dict(train=True, mutable=["batch_stats"])
+    out_a, _ = block.apply(variables, x,
+                           rngs={"dropout": jax.random.PRNGKey(7)}, **kwargs)
+    out_b, _ = block.apply(variables, x,
+                           rngs={"dropout": jax.random.PRNGKey(8)}, **kwargs)
+    a = np.asarray(out_a)
+    zero_maps = kept_maps = 0
+    for b in range(a.shape[0]):
+        for c in range(a.shape[-1]):
+            m = a[b, :, :, c]
+            if np.all(m == 0):
+                zero_maps += 1
+            else:
+                kept_maps += 1
+    # p=0.5 over 2x16 maps: both outcomes must occur, at map granularity
+    assert zero_maps > 0 and kept_maps > 0
+    assert not np.array_equal(np.asarray(out_a), np.asarray(out_b))

@@ -204,3 +204,18 @@ def test_truncated_data_chunk_clamps_to_physical_size(tmp_path):
     np.testing.assert_allclose(out * 32768.0, data[: inf.frames])
     raw, _ = wavio.read_raw(p, start=0)
     assert len(raw) == inf.frames * 2
+
+
+def test_odd_payload_riff_size_counts_pad_byte(tmp_path):
+    """RIFF size must include the odd-payload pad byte (review r3: write()
+    omitted it while WavWriter.close counted it)."""
+    import struct
+
+    p = str(tmp_path / "odd.wav")
+    x = (np.random.default_rng(0).uniform(-0.5, 0.5, 333)).astype(np.float32)
+    wavio.write(p, x, 8000, subtype="PCM_U8")  # 333 bytes payload — odd
+    raw = open(p, "rb").read()
+    declared = struct.unpack("<I", raw[4:8])[0]
+    assert declared == len(raw) - 8
+    y, sr = wavio.read(p)
+    assert len(y) == 333 and sr == 8000
