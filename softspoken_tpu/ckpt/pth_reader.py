@@ -74,13 +74,36 @@ def _rebuild_tensor_v2(storage, storage_offset, size, stride,
                        requires_grad=False, backward_hooks=None,
                        metadata=None) -> np.ndarray:
     arr, dtype = storage
+    # The pickle controls offset/size/stride; as_strided on unvalidated
+    # values reads arbitrary memory (a crafted .pth segfaulted this reader
+    # before these checks).  Checkpoint tensors are always non-negative
+    # offset/stride views that fit inside their storage — enforce that.
+    size = tuple(int(s) for s in size)
+    stride = tuple(int(s) for s in stride)
+    storage_offset = int(storage_offset)
+    if storage_offset < 0 or len(stride) != len(size):
+        raise UnsupportedPthError(
+            f"malformed tensor view: offset={storage_offset} "
+            f"size={size} stride={stride}")
+    if any(s < 0 for s in size) or any(s < 0 for s in stride):
+        raise UnsupportedPthError(
+            f"negative size/stride not allowed: size={size} stride={stride}")
     base = arr[storage_offset:]
     if len(size) == 0:
+        if len(base) < 1:
+            raise UnsupportedPthError(
+                f"scalar tensor at offset {storage_offset} overruns "
+                f"storage of {len(arr)} elements")
         return np.asarray(base[0], dtype=dtype)
+    if min(size) > 0:
+        last = sum((n - 1) * st for n, st in zip(size, stride))
+        if last >= len(base):
+            raise UnsupportedPthError(
+                f"tensor view overruns storage: needs element "
+                f"{storage_offset + last}, storage has {len(arr)}")
     itemsize = dtype.itemsize
     out = np.lib.stride_tricks.as_strided(
-        base, shape=tuple(size),
-        strides=tuple(int(s) * itemsize for s in stride),
+        base, shape=size, strides=tuple(s * itemsize for s in stride),
     )
     return np.ascontiguousarray(out)
 
@@ -171,9 +194,23 @@ def load(path: str) -> Any:
             raise UnsupportedPthError("big-endian checkpoints are unsupported")
 
         def read_storage(key: str) -> bytes:
-            return z.read(f"{prefix}data/{key}")
+            try:
+                return z.read(f"{prefix}data/{key}")
+            except KeyError:
+                raise UnsupportedPthError(
+                    f"storage entry data/{key} missing from archive")
 
-        return _RestrictedUnpickler(z.read(pkl[0]), read_storage).load()
+        try:
+            return _RestrictedUnpickler(z.read(pkl[0]), read_storage).load()
+        except UnsupportedPthError:
+            raise
+        except (pickle.UnpicklingError, EOFError, KeyError, ValueError,
+                IndexError, TypeError, struct.error, OverflowError,
+                zipfile.BadZipFile) as e:
+            # corrupt/truncated archives must surface as UnsupportedPthError
+            # so convert.py's torch.load(weights_only=True) fallback (which
+            # catches exactly that) gets its chance when torch exists
+            raise UnsupportedPthError(f"malformed .pth: {e!r}") from e
 
 
 def load_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], int]:

@@ -557,6 +557,7 @@ def _make_journal(detector: Detector, path: str, journal_dir: Optional[str]):
         # "auto" values resolve per-backend, so the backend is pinned too.
         "mel_precision": cfg.engine.mel_precision,
         "mel_kernel": cfg.engine.mel_kernel,
+        "pad_seconds": cfg.engine.pad_seconds,
         "decoder_upsample": cfg.engine.decoder_upsample,
         "upload_codec": getattr(cfg.engine, "upload_codec", "pcm16"),
         "device_batch": cfg.engine.device_batch,

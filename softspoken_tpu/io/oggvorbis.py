@@ -266,6 +266,7 @@ def read(
         got = 0
         pcm = POINTER(POINTER(c_float))()
         bitstream = c_int(0)
+        checked_link = None
         while got < want:
             n = int(o.vfile.ov_read_float(
                 o.vf, byref(pcm), min(want - got, 4096), byref(bitstream)))
@@ -275,14 +276,19 @@ def read(
                 raise OggFormatError(f"ov_read_float error {n}: {path}")
             # chained streams decode per-link: a link whose channel count or
             # rate differs from the whole-file info would make pcm[c] an
-            # invalid pointer / silently resample — reject instead of crash
-            li = o.vfile.ov_info(o.vf, bitstream.value)
-            if li and (int(li.contents.channels) != ch
-                       or int(li.contents.rate) != inf.samplerate):
-                raise OggFormatError(
-                    f"chained Ogg with per-link format change unsupported: "
-                    f"{path} (link {bitstream.value}: "
-                    f"{int(li.contents.channels)}ch@{int(li.contents.rate)})")
+            # invalid pointer / silently resample — reject instead of crash.
+            # Only re-validate when the link index actually changes (one
+            # FFI call per link, not per 4096-sample block).
+            if bitstream.value != checked_link:
+                li = o.vfile.ov_info(o.vf, bitstream.value)
+                if li and (int(li.contents.channels) != ch
+                           or int(li.contents.rate) != inf.samplerate):
+                    raise OggFormatError(
+                        f"chained Ogg with per-link format change "
+                        f"unsupported: {path} (link {bitstream.value}: "
+                        f"{int(li.contents.channels)}ch@"
+                        f"{int(li.contents.rate)})")
+                checked_link = bitstream.value
             for c in range(ch):
                 out[got:got + n, c] = np.ctypeslib.as_array(pcm[c], (n,))
             got += n
@@ -310,68 +316,81 @@ def write_vorbis(path: str, data: np.ndarray, samplerate: int,
         x = x[:, None]
     n, ch = x.shape
 
+    # open the output FIRST: a bad path must fail before any libvorbis
+    # state is allocated, and every successful init below is matched by a
+    # *_clear in the finally so a mid-loop write error leaks nothing
+    # (review r3: clears used to run only on the success path)
+    f = open(path, "wb")
     vi = _VorbisInfo()
     vorbis.vorbis_info_init(byref(vi))
+    vc = _VorbisComment()
+    vorbis.vorbis_comment_init(byref(vc))
+    vd = ctypes.create_string_buffer(_DSP_BYTES)
+    vb = ctypes.create_string_buffer(_BLOCK_BYTES)
+    st = ctypes.create_string_buffer(_STREAM_BYTES)
+    dsp_up = block_up = stream_up = False
     try:
         rc = venc.vorbis_encode_init_vbr(
             byref(vi), c_long(ch), c_long(samplerate), c_float(quality))
         if rc != 0:
             raise OggFormatError(f"vorbis_encode_init_vbr rc={rc}")
-        vc = _VorbisComment()
-        vorbis.vorbis_comment_init(byref(vc))
-        vd = ctypes.create_string_buffer(_DSP_BYTES)
-        vb = ctypes.create_string_buffer(_BLOCK_BYTES)
         if vorbis.vorbis_analysis_init(vd, byref(vi)) != 0:
             raise OggFormatError("vorbis_analysis_init failed")
-        vorbis.vorbis_block_init(vd, vb)
-        st = ctypes.create_string_buffer(_STREAM_BYTES)
-        ogg.ogg_stream_init(st, c_int(0x5353))  # fixed serial: deterministic
+        dsp_up = True
+        if vorbis.vorbis_block_init(vd, vb) != 0:
+            raise OggFormatError("vorbis_block_init failed")
+        block_up = True
+        if ogg.ogg_stream_init(st, c_int(0x5353)) != 0:  # fixed serial:
+            raise OggFormatError("ogg_stream_init failed")  # deterministic
+        stream_up = True
 
         h1, h2, h3 = _OggPacket(), _OggPacket(), _OggPacket()
         vorbis.vorbis_analysis_headerout(
             vd, byref(vc), byref(h1), byref(h2), byref(h3))
         page = _OggPage()
-        with open(path, "wb") as f:
 
-            def _write_page():
-                f.write(ctypes.string_at(page.header, page.header_len))
-                f.write(ctypes.string_at(page.body, page.body_len))
+        def _write_page():
+            f.write(ctypes.string_at(page.header, page.header_len))
+            f.write(ctypes.string_at(page.body, page.body_len))
 
-            for h in (h1, h2, h3):
-                ogg.ogg_stream_packetin(st, byref(h))
-            while ogg.ogg_stream_flush(st, byref(page)):
-                _write_page()
+        for h in (h1, h2, h3):
+            ogg.ogg_stream_packetin(st, byref(h))
+        while ogg.ogg_stream_flush(st, byref(page)):
+            _write_page()
 
-            op = _OggPacket()
-            CHUNK = 4096
-            pos = 0
-            while True:
-                take = min(CHUNK, n - pos)
-                if take > 0:
-                    buf = vorbis.vorbis_analysis_buffer(vd, c_int(take))
-                    for c in range(ch):
-                        # bind the (possibly copied) contiguous column so it
-                        # outlives the memmove — .ctypes.data alone would let
-                        # the temporary free before the copy happens
-                        col = np.ascontiguousarray(x[pos:pos + take, c])
-                        ctypes.memmove(buf[c], col.ctypes.data, take * 4)
-                    pos += take
-                vorbis.vorbis_analysis_wrote(vd, c_int(take))
-                while vorbis.vorbis_analysis_blockout(vd, vb) == 1:
-                    vorbis.vorbis_analysis(vb, None)
-                    vorbis.vorbis_bitrate_addblock(vb)
-                    while vorbis.vorbis_bitrate_flushpacket(vd, byref(op)):
-                        ogg.ogg_stream_packetin(st, byref(op))
-                        while ogg.ogg_stream_pageout(st, byref(page)):
-                            _write_page()
-                if take == 0:
-                    while ogg.ogg_stream_flush(st, byref(page)):
+        op = _OggPacket()
+        CHUNK = 4096
+        pos = 0
+        while True:
+            take = min(CHUNK, n - pos)
+            if take > 0:
+                buf = vorbis.vorbis_analysis_buffer(vd, c_int(take))
+                for c in range(ch):
+                    # bind the (possibly copied) contiguous column so it
+                    # outlives the memmove — .ctypes.data alone would let
+                    # the temporary free before the copy happens
+                    col = np.ascontiguousarray(x[pos:pos + take, c])
+                    ctypes.memmove(buf[c], col.ctypes.data, take * 4)
+                pos += take
+            vorbis.vorbis_analysis_wrote(vd, c_int(take))
+            while vorbis.vorbis_analysis_blockout(vd, vb) == 1:
+                vorbis.vorbis_analysis(vb, None)
+                vorbis.vorbis_bitrate_addblock(vb)
+                while vorbis.vorbis_bitrate_flushpacket(vd, byref(op)):
+                    ogg.ogg_stream_packetin(st, byref(op))
+                    while ogg.ogg_stream_pageout(st, byref(page)):
                         _write_page()
-                    break
-
-        ogg.ogg_stream_clear(st)
-        vorbis.vorbis_block_clear(vb)
-        vorbis.vorbis_dsp_clear(vd)
-        vorbis.vorbis_comment_clear(byref(vc))
+            if take == 0:
+                while ogg.ogg_stream_flush(st, byref(page)):
+                    _write_page()
+                break
     finally:
+        f.close()
+        if stream_up:
+            ogg.ogg_stream_clear(st)
+        if block_up:
+            vorbis.vorbis_block_clear(vb)
+        if dsp_up:
+            vorbis.vorbis_dsp_clear(vd)
+        vorbis.vorbis_comment_clear(byref(vc))
         vorbis.vorbis_info_clear(byref(vi))

@@ -23,9 +23,9 @@ and concatenates.  Parity target: ops.mel.log_mel_windows
 (pytorch_neural_nets.py:92-99 frontend; 259->256 frame trim).
 
 Layout contract: the chunk buffer is viewed as (rows, 128) f32; window
-start s maps to row s // 128 with lane offset s % 128.  The buffer must be
-padded so every window's 518-row span is in bounds — ``pad_rows`` gives
-the required row count.
+start s maps to row s // 128 with lane offset s % 128.  The buffer is
+padded (log_mel_windows_fused: buf_len // 128 + 1 + W_ROWS rows) so every
+window's 518-row span is in bounds.
 """
 
 from __future__ import annotations
@@ -113,13 +113,38 @@ def _permute_split(x, p_lo, p_hi, parts):
     return multi(x[:-1, :], p_lo) + multi(x[1:, :], p_hi)
 
 
-def pad_rows(max_start: int) -> int:
-    """Rows the (rows, 128) buffer view must have for window ``max_start``."""
-    return max_start // LANES + W_ROWS
+def _dft_dot_f32(yq, q, w_refs):
+    """"highest" DFT sub-block dot: full-f32 MXU passes (exact)."""
+    (w_ref,) = w_refs
+    return jax.lax.dot(yq, w_ref[pl.ds(q * LANES, LANES), :],
+                       precision=jax.lax.Precision.HIGHEST)
 
 
-def _kernel(starts_ref, buf_hbm, w_ref, fb_ref, out_ref,
-            xwin, sems, *, precision):
+def _dft_dot_bf16(yq, q, w_refs, passes):
+    """bf16 DFT sub-block dot: ``passes`` one-pass bf16 dots.
+    passes=3 ≈ XLA HIGH (the gated engine default); passes=1 is plain bf16
+    (mel_precision="default", gated separately by the quality grid)."""
+    whi_ref, wlo_ref = w_refs
+    w_hi = whi_ref[pl.ds(q * LANES, LANES), :]
+    y_hi = yq.astype(jnp.bfloat16)
+    out = jax.lax.dot(y_hi, w_hi, preferred_element_type=jnp.float32)
+    if passes == 3:
+        w_lo = wlo_ref[pl.ds(q * LANES, LANES), :]
+        y_lo = (yq - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = out + jax.lax.dot(y_hi, w_lo,
+                                preferred_element_type=jnp.float32)
+        out = out + jax.lax.dot(y_lo, w_hi,
+                                preferred_element_type=jnp.float32)
+    return out
+
+
+def _kernel(starts_ref, buf_hbm, *refs, parts, dft_dot):
+    """One grid step = one window.  The DMA double-buffering, lane
+    alignment, and power/mel epilogue are shared by every precision mode;
+    only the DFT sub-block dot (``dft_dot``) and the alignment split depth
+    (``parts``) vary — a single body so a fix to the DMA or alignment
+    logic cannot silently diverge between modes (review r3)."""
+    *w_refs, fb_ref, out_ref, xwin, sems = refs
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -152,7 +177,7 @@ def _kernel(starts_ref, buf_hbm, w_ref, fb_ref, out_ref,
     m_idx = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
     p_lo = (l_idx == m_idx + o).astype(jnp.float32)
     p_hi = (l_idx + LANES == m_idx + o).astype(jnp.float32)
-    y = _permute_split(x, p_lo, p_hi, parts=3)         # (517, 128)
+    y = _permute_split(x, p_lo, p_hi, parts=parts)     # (517, 128)
 
     # frames 1..255: frame f covers flat[256 f : 256 f + 512] = y rows
     # [2f, 2f+4).  Split the DFT contraction into four K=128 blocks so the
@@ -163,68 +188,11 @@ def _kernel(starts_ref, buf_hbm, w_ref, fb_ref, out_ref,
     qs = (z0[:, 0, :], z0[:, 1, :], z1[:, 0, :], z1[:, 1, :])
     proj = jnp.zeros((FRAMES_MID, 2 * N_FREQS_PAD), jnp.float32)
     for q, yq in enumerate(qs):
-        proj = proj + jax.lax.dot(
-            yq, w_ref[pl.ds(q * LANES, LANES), :], precision=precision
-        )
+        proj = proj + dft_dot(yq, q, w_refs)
     re = proj[:, :N_FREQS_PAD]
     im = proj[:, N_FREQS_PAD:]
     power = re * re + im * im
-    mel = jax.lax.dot(power, fb_ref[:], precision=precision)
-    out_ref[0] = jnp.sqrt(jnp.log10(mel + 1.0)).astype(out_ref.dtype)
-
-
-def _kernel_high(starts_ref, buf_hbm, whi_ref, wlo_ref, fb_ref, out_ref,
-                 xwin, sems, passes=3):
-    """bf16 variant: the DFT runs as ``passes`` one-pass bf16 dots.
-    passes=3 ≈ XLA HIGH (the gated engine default); passes=1 is plain bf16
-    (mel_precision="default", gated separately by the quality grid)."""
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
-
-    def issue(slot, prog):
-        r0 = starts_ref[prog] // LANES
-        return pltpu.make_async_copy(
-            buf_hbm.at[pl.ds(r0, W_ROWS), :], xwin.at[slot], sems.at[slot]
-        )
-
-    @pl.when(i == 0)
-    def _first():
-        issue(0, 0).start()
-
-    @pl.when(i + 1 < n)
-    def _prefetch():
-        issue((i + 1) % 2, i + 1).start()
-
-    issue(i % 2, i).wait()
-    x = xwin[i % 2]
-
-    o = starts_ref[i] % LANES
-    l_idx = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-    m_idx = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-    p_lo = (l_idx == m_idx + o).astype(jnp.float32)
-    p_hi = (l_idx + LANES == m_idx + o).astype(jnp.float32)
-    y = _permute_split(x, p_lo, p_hi, parts=2)
-
-    z0 = y[0:510].reshape(FRAMES_MID, 2, LANES)
-    z1 = y[2:512].reshape(FRAMES_MID, 2, LANES)
-    qs = (z0[:, 0, :], z0[:, 1, :], z1[:, 0, :], z1[:, 1, :])
-    proj = jnp.zeros((FRAMES_MID, 2 * N_FREQS_PAD), jnp.float32)
-    for q, yq in enumerate(qs):
-        w_hi = whi_ref[pl.ds(q * LANES, LANES), :]
-        w_lo = wlo_ref[pl.ds(q * LANES, LANES), :]
-        y_hi = yq.astype(jnp.bfloat16)
-        proj = proj + jax.lax.dot(y_hi, w_hi,
-                                  preferred_element_type=jnp.float32)
-        if passes == 3:
-            y_lo = (yq - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            proj = proj + jax.lax.dot(y_hi, w_lo,
-                                      preferred_element_type=jnp.float32)
-            proj = proj + jax.lax.dot(y_lo, w_hi,
-                                      preferred_element_type=jnp.float32)
-    re = proj[:, :N_FREQS_PAD]
-    im = proj[:, N_FREQS_PAD:]
-    power = re * re + im * im
-    # fb matmul is 33 MF — full-f32 MXU passes cost nothing here
+    # fb matmul is 33 MF — full-f32 MXU passes cost nothing in any mode
     mel = jax.lax.dot(power, fb_ref[:],
                       precision=jax.lax.Precision.HIGHEST)
     out_ref[0] = jnp.sqrt(jnp.log10(mel + 1.0)).astype(out_ref.dtype)
@@ -276,17 +244,17 @@ def log_mel_windows_fused(
     w, fb = _tables()
     if mode in ("high", "default"):
         w_hi, w_lo = _bf16_split(w)
-        kernel = functools.partial(
-            _kernel_high, passes=3 if mode == "high" else 1)
+        dft_dot = functools.partial(
+            _dft_dot_bf16, passes=3 if mode == "high" else 1)
+        kernel = functools.partial(_kernel, parts=2, dft_dot=dft_dot)
         table_args = (jnp.asarray(w_hi), jnp.asarray(w_lo), jnp.asarray(fb))
     else:
-        kernel = functools.partial(
-            _kernel, precision=jax.lax.Precision.HIGHEST)
+        kernel = functools.partial(_kernel, parts=3, dft_dot=_dft_dot_f32)
         table_args = (jnp.asarray(w), jnp.asarray(fb))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]   # chunk buf (HBM)
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]      # chunk buf (HBM)
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(table_args),
         out_specs=pl.BlockSpec(
             (1, FRAMES_MID, LANES), lambda i, *_: (i, 0, 0)

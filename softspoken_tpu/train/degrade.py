@@ -44,13 +44,20 @@ def clip(audio: np.ndarray, sr: int, rng: np.random.Generator,
     return np.clip(audio / thresh, -1.0, 1.0).astype(np.float32)
 
 
-def mulaw(audio: np.ndarray, sr: int, rng: np.random.Generator,
-          mu: float = 255.0) -> np.ndarray:
-    """8-bit μ-law companding round trip."""
-    x = np.clip(audio, -1.0, 1.0)
-    comp = np.sign(x) * np.log1p(mu * np.abs(x)) / np.log1p(mu)
-    q = np.round((comp * 0.5 + 0.5) * 255.0) / 255.0 * 2.0 - 1.0
-    return (np.sign(q) * ((1.0 + mu) ** np.abs(q) - 1.0) / mu).astype(np.float32)
+def mulaw(audio: np.ndarray, sr: int, rng: np.random.Generator) -> np.ndarray:
+    """8-bit μ-law companding round trip — the SHIPPED transport codec.
+
+    Uses ops.mulaw's exact encode/decode (255-level mid-tread, code 0 ==
+    digital silence) through the same int16 quantization a PCM16 file on
+    disk would have, so the quality grid's "mulaw" condition exercises the
+    codec the fused engine actually puts on the wire (review r3: an earlier
+    independent 256-level mid-rise implementation here mapped silence to a
+    +8.6e-5 DC pedestal the real codec never produces).
+    """
+    from ..ops import mulaw as wire
+
+    i16 = np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(np.int16)
+    return wire.decode_host(wire.encode_lut()[i16.view(np.uint16)])
 
 
 def hum(audio: np.ndarray, sr: int, rng: np.random.Generator) -> np.ndarray:

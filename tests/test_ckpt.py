@@ -220,3 +220,84 @@ def test_pth_with_numpy_scalar_extras_loads_torch_free(tmp_path, monkeypatch):
     assert float(obj["best_f1"]) == 0.4875
     np.testing.assert_array_equal(obj["val_losses"],
                                   np.asarray([0.5, 0.25, 0.125]))
+
+
+def _write_view_pth(path: str, numel: int, offset, size, stride) -> None:
+    """Archive with ONE tensor whose view params are attacker-controlled."""
+    storage = np.arange(numel, dtype=np.float32)
+    pid = _pk_tuple(
+        _pk_str("storage"), _pk_global("torch", "FloatStorage"),
+        _pk_str("0"), _pk_str("cpu"), _pk_int(numel),
+    )
+    tensor = (
+        _pk_global("torch._utils", "_rebuild_tensor_v2")
+        + _pk_tuple(
+            pid + b"Q",
+            _pk_int(offset),
+            _pk_tuple(*[_pk_int(d) for d in size]),
+            _pk_tuple(*[_pk_int(s) for s in stride]),
+            b"\x89",
+            _pk_global("collections", "OrderedDict") + b")R",
+        )
+        + b"R"
+    )
+    body = (b"\x80\x02" + b"}" + b"(" + _pk_str("t") + tensor + b"u" + b".")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("archive/data.pkl", body)
+        z.writestr("archive/data/0", storage.tobytes())
+
+
+def test_pth_reader_rejects_out_of_bounds_views(tmp_path):
+    """size/stride/offset come from the pickle: unvalidated as_strided reads
+    arbitrary memory (a crafted archive segfaulted the reader — review r3).
+    Every malformed view must raise UnsupportedPthError, never crash."""
+    from softspoken_tpu.ckpt import pth_reader
+
+    cases = [
+        (8, 0, (4, 4), (10 ** 9, 1)),   # wild stride → OOB read
+        (8, 0, (4, 4), (4, 1)),         # needs 16 elements, storage has 8
+        (8, -4, (2,), (1,)),            # negative offset
+        (8, 0, (4,), (-1,)),            # negative stride
+        (8, 9, (), ()),                 # scalar past the end
+        (8, 0, (2, 2), (1,)),           # rank mismatch
+    ]
+    for numel, off, size, stride in cases:
+        p = str(tmp_path / f"bad_{off}_{size}_{stride}.pth")
+        _write_view_pth(p, numel, off, size, stride)
+        with pytest.raises(pth_reader.UnsupportedPthError):
+            pth_reader.load(p)
+
+    # a well-formed non-contiguous view (e.g. a transpose) still loads
+    ok = str(tmp_path / "ok.pth")
+    _write_view_pth(ok, 6, 0, (3, 2), (1, 3))  # transpose of (2,3)
+    got = pth_reader.load(ok)["t"]
+    np.testing.assert_array_equal(
+        got, np.arange(6, dtype=np.float32).reshape(2, 3).T)
+
+
+def test_pth_reader_wraps_corrupt_archives(tmp_path):
+    """Missing storage entries / truncated pickles surface as
+    UnsupportedPthError so convert.py's torch.load(weights_only=True)
+    fallback gets its chance (review r3: KeyError/EOFError escaped)."""
+    from softspoken_tpu.ckpt import pth_reader
+
+    # storage entry data/0 missing from the archive
+    p1 = str(tmp_path / "nostorage.pth")
+    _write_view_pth(p1, 8, 0, (8,), (1,))
+    p1b = str(tmp_path / "nostorage2.pth")
+    with zipfile.ZipFile(p1) as zin, zipfile.ZipFile(p1b, "w") as zout:
+        for n in zin.namelist():
+            if not n.endswith("data/0"):
+                zout.writestr(n, zin.read(n))
+    with pytest.raises(pth_reader.UnsupportedPthError):
+        pth_reader.load(p1b)
+
+    # truncated data.pkl
+    p2 = str(tmp_path / "trunc.pth")
+    with zipfile.ZipFile(p1) as zin, zipfile.ZipFile(p2, "w") as zout:
+        for n in zin.namelist():
+            raw = zin.read(n)
+            zout.writestr(n, raw[: len(raw) // 2] if n.endswith("data.pkl")
+                          else raw)
+    with pytest.raises(pth_reader.UnsupportedPthError):
+        pth_reader.load(p2)

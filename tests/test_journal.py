@@ -175,7 +175,11 @@ def test_numerics_change_invalidates_journal(tmp_path):
                    dict(decoder_upsample="phase"),
                    dict(upload_codec="mulaw8"),
                    dict(device_batch=16),
-                   dict(chunk_seconds=12.0)):
+                   dict(chunk_seconds=12.0),
+                   # a pad change shifts every window's audio by the pad
+                   # delta while often leaving n_windows identical — it must
+                   # invalidate the sidecar (review r3 finding)
+                   dict(pad_seconds=2.9)):
         det = Detector(base.with_engine(**change),
                        variables=ckpt.fixture_variables(seed=0))
         h = _make_journal(det, wav, jd).header

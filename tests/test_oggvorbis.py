@@ -144,3 +144,17 @@ def test_silencer_on_ogg(tmp_path):
     s0, s1 = int(1.0 * sr), int(2.0 * sr)
     assert np.all(y[s0:s1] == 0)              # muted span is hard zero
     assert np.abs(y[: s0 - 1]).max() > 0.05   # audio elsewhere survives
+
+
+def test_write_vorbis_bad_path_raises_and_state_survives(tmp_path):
+    """A failed write must raise cleanly and leak no encoder state: the
+    clears now run in a finally keyed to which inits succeeded (review r3:
+    they ran only on the success path).  A subsequent good write works."""
+    x = (0.2 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000)).astype(
+        np.float32)
+    with pytest.raises(OSError):
+        ov.write_vorbis(str(tmp_path / "no_such_dir" / "x.ogg"), x, 8000)
+    ok = str(tmp_path / "ok.ogg")
+    ov.write_vorbis(ok, x, 8000)
+    y, sr = ov.read(ok)
+    assert sr == 8000 and len(y) == len(x)

@@ -67,3 +67,23 @@ def test_make_eval_set_v2_with_degradations(tmp_path):
     assert len(labeled) == 1
     path, ivs = labeled[0]
     assert ivs and path.endswith("eval_000.wav")
+
+
+def test_degrade_mulaw_is_the_shipped_wire_codec():
+    """The quality grid's "mulaw" condition must exercise the SAME codec
+    the fused engine ships on the wire (review r3: an independent 256-level
+    mid-rise quantizer here gave silence a +8.6e-5 DC pedestal the real
+    255-level mid-tread codec never produces)."""
+    from softspoken_tpu.ops import mulaw as wire
+
+    rng = np.random.default_rng(6)
+    x = np.concatenate([
+        np.zeros(100, np.float32),                       # digital silence
+        (0.4 * np.sin(2 * np.pi * 250 * np.arange(4000) / 8000)
+         ).astype(np.float32),
+    ])
+    y = degrade.mulaw(x, 8000, rng)
+    assert np.all(y[:100] == 0.0), "silence must round-trip to exact zero"
+    i16 = np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(
+        y, wire.decode_host(wire.encode_lut()[i16.view(np.uint16)]))
