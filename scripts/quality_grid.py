@@ -47,7 +47,6 @@ CONDITIONS = [
 def score_set(det, labeled, pad_seconds):
     """One detection pass per file; metrics at many operating points."""
     from softspoken_tpu.engine import regions as R
-    from softspoken_tpu.io.audio import get_audio_data
     from softspoken_tpu.train import evaluate as E
 
     per_file = []
@@ -55,8 +54,9 @@ def score_set(det, labeled, pad_seconds):
     #                        these instead of re-running detection per file)
     for path, truth in labeled:
         res = det.detect_file_streaming(path)
-        dur, _sr = get_audio_data(path)
-        per_file.append((res.avg_values, dur, truth))
+        # duration from the result itself: same internal-rate clock the
+        # predictions were made on, no second header probe (review r3)
+        per_file.append((res.avg_values, res.audio_seconds, truth))
         engine_intervals.append(tuple(res.intervals))
 
     def metrics_at(threshold, break_duration):
@@ -64,8 +64,10 @@ def score_set(det, labeled, pad_seconds):
         for avg, dur, truth in per_file:
             regs = R.find_speech_regions(avg, threshold, break_duration)
             regs = R.shift_regions(regs, -pad_seconds)
+            # clamp into [0, dur] FIRST so the min-length filter judges the
+            # audible span, not the pad-straddling one (review r3 finding)
+            regs = [(max(0.0, s), e) for s, e in regs if e > 0]
             pred = R.filter_min_length(regs, 0.1)
-            pred = [(max(0.0, s), e) for s, e in pred if e > 0]
             fm = E.frame_metrics(pred, truth, dur)
             em = E.event_metrics(pred, truth, 0.5)
             E._accumulate(ft, fm)
@@ -96,12 +98,20 @@ def score_set(det, labeled, pad_seconds):
     }
 
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="docs/QUALITY_r03.json")
     ap.add_argument("--files", type=int, default=8)
     ap.add_argument("--seconds", type=float, default=120.0)
-    ap.add_argument("--ckpt", default="root/models/spec_unet_2d/model_checkpoint")
+    # resolved against the REPO ROOT, not the cwd: a cwd-relative default
+    # silently fell back to random fixture weights when run from elsewhere,
+    # publishing a garbage grid attributed to the real checkpoint
+    # (review r3 finding)
+    ap.add_argument("--ckpt", default=os.path.join(
+        REPO_ROOT, "root/models/spec_unet_2d/model_checkpoint"))
     ap.add_argument("--quick", action="store_true",
                     help="2 files x 60 s, clean+2 conditions (smoke)")
     ap.add_argument("--workdir", default=None)
@@ -119,8 +129,16 @@ def main():
         n_files, seconds = 2, 60.0
         conditions = CONDITIONS[:2] + [CONDITIONS[7]]
 
+    if args.quick and args.out == "docs/QUALITY_r03.json":
+        # the smoke run must never clobber the committed evidence file
+        args.out = "/tmp/quality_grid_quick.json"
+
     cfg = Config().with_engine(mel_precision=args.mel_precision)
     det = Detector(cfg, checkpoint_path=args.ckpt)
+    if getattr(det, "epoch", -1) < 0:
+        raise SystemExit(
+            f"checkpoint {args.ckpt} did not load (epoch<0) — refusing to "
+            "run the grid on random init")
     pad = cfg.engine.pad_seconds
 
     out = {

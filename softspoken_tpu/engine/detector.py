@@ -129,6 +129,9 @@ class Detector:
         mp = config.engine.mel_precision
         if mp == "auto":
             mp = "highest" if config.engine.precision == "parity" else "default"
+        # the resolved MODE STRING is canonical (the fused kernel keys off
+        # it); the XLA enum is derived once here, not reverse-mapped later
+        self._mel_mode = mp
         self._mel_precision = {
             "highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
@@ -152,7 +155,6 @@ class Detector:
                       and jax.default_backend() == "tpu")
                   else "xla")
         self._mel_kernel = mk
-        self._use_pallas_mel = mk == "pallas"
 
         self._fwd = jax.jit(self._forward)
         self._fwd_full = jax.jit(self._forward_full)
@@ -166,14 +168,11 @@ class Detector:
         if self._mel_kernel == "fused":
             from ..ops.pallas_frame_mel import log_mel_windows_fused
 
-            mode = {jax.lax.Precision.HIGHEST: "highest",
-                    jax.lax.Precision.HIGH: "high",
-                    jax.lax.Precision.DEFAULT: "default"}[self._mel_precision]
             mel = log_mel_windows_fused(
-                wave, starts, mode=mode,
+                wave, starts, mode=self._mel_mode,
                 interpret=jax.default_backend() != "tpu",
                 out_dtype=self.model.compute_dtype)
-        elif self._use_pallas_mel:
+        elif self._mel_kernel == "pallas":
             from ..ops.pallas_mel import log_mel_windows_pallas
 
             mel = log_mel_windows_pallas(wave, starts)
@@ -231,6 +230,17 @@ class Detector:
         reference's torch layout: (B,2,128,256) NCHW and (B,1,256).
         """
         idxs = np.asarray(batch_indexes, np.int64)
+        if idxs.size == 0:
+            return (np.zeros((0, 2, 128, 256), np.float32),
+                    np.zeros((0, 1, 256), np.float32))
+        if int(idxs.max()) + self.cfg.samples_per_window > np.iinfo(np.int32).max:
+            # device indexes are int32; wrapping would silently score the
+            # wrong audio.  (The chunked hot path uses chunk-LOCAL indexes
+            # and handles any length — use detect_file* for >27 h streams.)
+            raise ValueError(
+                f"start index {int(idxs.max())} exceeds the int32 device "
+                "index range; use the chunked detect_file/detect_waveform "
+                "APIs for very long recordings")
         need = int(idxs.max()) + self.cfg.samples_per_window
         wave = np.zeros(max(need, len(audio_data)), np.float32)
         wave[: len(audio_data)] = np.asarray(audio_data, np.float32)
@@ -272,19 +282,21 @@ class Detector:
             for w0 in range(0, n_windows, chunk_w)
         ]
 
-        # double-buffered host fill: decode/resample of chunk i+1 overlaps
-        # the device compute of chunk i (single fill thread — fill_segment
-        # may carry sequential decoder state)
+        # pipelined host fill: decode/resample of chunk i+1 overlaps the
+        # device compute of chunk i (single fill thread — fill_segment may
+        # carry sequential decoder state).  Each chunk gets a FRESH buffer:
+        # on the remote (axon) backend block_until_ready can return before
+        # the upload actually consumed the host memory (engine/fused.py,
+        # project memory), so reusing a double buffer here silently
+        # corrupted in-flight chunk audio (review r3 finding).  np.zeros is
+        # lazily-zeroed pages — the allocation is cheap next to the decode.
         from concurrent.futures import ThreadPoolExecutor
-
-        bufs = [np.zeros(buf_len, np.float32), np.zeros(buf_len, np.float32)]
 
         def fill_chunk(ci: int) -> np.ndarray:
             w0, w1 = chunk_ranges[ci]
             s0 = int(starts[w0])
             s1 = min(int(starts[w1 - 1]) + cfg.samples_per_window, padded_len)
-            b = bufs[ci % 2]
-            b[:] = 0.0
+            b = np.zeros(buf_len, np.float32)
             fill_segment(s0, s1, b[: s1 - s0])
             return b
 
@@ -293,7 +305,6 @@ class Detector:
             for ci, (w0, w1) in enumerate(chunk_ranges):
                 buf = fut.result()
                 wave_dev = jnp.asarray(buf)
-                wave_dev.block_until_ready()  # buf is reused two chunks later
                 if ci + 1 < len(chunk_ranges):
                     fut = ex.submit(fill_chunk, ci + 1)
 

@@ -35,6 +35,28 @@ def _cache_dir() -> str:
     return d
 
 
+def _host_isa_tag() -> str:
+    """Short digest of the host CPU's ISA surface.
+
+    The build uses -march=native, so the cache key must discriminate hosts:
+    a shared/NFS cache dir serving an AVX-512 build to a host without it
+    SIGILLs at runtime (review r3 finding).  /proc/cpuinfo flags capture the
+    ISA on Linux; elsewhere fall back to the platform machine string.
+    """
+    import platform
+
+    blob = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    blob = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(blob.encode()).hexdigest()[:8]
+
+
 def build_shared_lib(src: str, name: str) -> Optional[str]:
     """Compile a csrc/*.cpp into a content-hash-cached .so; None on failure.
 
@@ -44,7 +66,8 @@ def build_shared_lib(src: str, name: str) -> Optional[str]:
         return None
     with open(src, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    so_path = os.path.join(_cache_dir(), f"{name}_{digest}.so")
+    so_path = os.path.join(
+        _cache_dir(), f"{name}_{digest}_{_host_isa_tag()}.so")
     if os.path.exists(so_path):
         return so_path
     tmp = so_path + f".tmp{os.getpid()}"

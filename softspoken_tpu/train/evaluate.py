@@ -198,16 +198,19 @@ def evaluate_detector(
     predictions, mirroring what a reviewer would export.
     """
     from ..engine import regions as R
-    from ..io.audio import get_audio_data
 
     frame_total: Dict[str, float] = {}
     event_total: Dict[str, float] = {}
     per_file = []
     for path, truth in labeled:
         res = detector.detect_file(path)
-        pred = R.filter_min_length(res.intervals, min_len)
-        pred = [(max(0.0, s), e) for s, e in pred if e > 0]
-        dur, _sr = get_audio_data(path)  # format-dispatching (WAV/FLAC/AIFF)
+        # clamp into [0, dur] FIRST so the min-length filter judges the
+        # audible span, not a pad-straddling one (review r3 finding); the
+        # duration comes from the detection result itself — same clock the
+        # predictions were made on, and no second header probe per file
+        pred = [(max(0.0, s), e) for s, e in res.intervals if e > 0]
+        pred = R.filter_min_length(pred, min_len)
+        dur = res.audio_seconds
         fm = frame_metrics(pred, truth, dur)
         em = event_metrics(pred, truth, iou)
         _accumulate(frame_total, fm)

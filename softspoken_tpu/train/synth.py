@@ -340,6 +340,12 @@ def synth_field_recording(
     bed = 0.7 * bed + 0.3 * synth_environment(rng, n22, second_kind)
 
     audio22 = 0.15 * bed
+    # SNR reference is the environment bed ONLY: computing it against the
+    # accumulating mix let a later event that overlaps an earlier one see
+    # inflated "bed" RMS and come out louder than its labeled SNR, making
+    # pinned-SNR eval conditions systematically easier than claimed
+    # (review r3 finding)
+    bed_ref = audio22.copy()
     intervals: List[Tuple[float, float]] = []
     n_events = int(rng.integers(speech_events[0], speech_events[1] + 1))
     for _ in range(n_events):
@@ -352,7 +358,7 @@ def synth_field_recording(
             continue
         at = int(rng.integers(0, max(1, n22 - n)))
         snr = float(rng.uniform(*snr_db))
-        bed_rms = float(np.sqrt(np.mean(audio22[at : at + n] ** 2) + 1e-12))
+        bed_rms = float(np.sqrt(np.mean(bed_ref[at : at + n] ** 2) + 1e-12))
         sp_rms = float(np.sqrt(np.mean(sp[act] ** 2) + 1e-12))
         gain = bed_rms * 10.0 ** (snr / 20.0) / sp_rms
         audio22[at : at + n] += gain * sp

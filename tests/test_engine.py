@@ -142,3 +142,10 @@ def test_process_batch_reference_shapes(detector):
     spec, mask = detector.process_batch(padded, [0, 13230])
     assert spec.shape == (2, 2, 128, 256)
     assert mask.shape == (2, 1, 256)
+
+
+def test_process_batch_empty_and_int32_guard(detector):
+    spec, mask = detector.process_batch(np.zeros(66150, np.float32), [])
+    assert spec.shape == (0, 2, 128, 256) and mask.shape == (0, 1, 256)
+    with pytest.raises(ValueError, match="int32"):
+        detector.process_batch(np.zeros(66150, np.float32), [2**31])

@@ -68,6 +68,7 @@ def test_make_eval_set_and_harness(tmp_path):
 
             class R:
                 intervals = list(truth) + [(8.0, 8.05)]  # killed by min-len
+                audio_seconds = 10.0  # harness reads duration off the result
 
             return R()
 
@@ -75,3 +76,50 @@ def test_make_eval_set_and_harness(tmp_path):
     assert out["event"]["f1"] == 1.0
     assert out["frame"]["f1"] > 0.99
     assert len(out["files"]) == 2
+
+
+def test_evaluate_clamps_before_min_length(tmp_path):
+    """A pad-straddling prediction whose audible span is shorter than
+    min_len must be dropped: clamp first, then filter (review r3: the old
+    order let (-0.5, 0.04) survive as a 0.04 s false positive)."""
+    labels = E.make_eval_set(str(tmp_path), n_files=1, seconds=10.0, seed=5)
+    labeled = E.load_labels(labels)
+
+    class D:
+        def detect_file(self, path):
+            truth = dict(labeled)[path]
+
+            class R:
+                intervals = list(truth) + [(-0.5, 0.04)]
+                audio_seconds = 10.0
+
+            return R()
+
+    out = E.evaluate_detector(D(), labeled)
+    assert out["event"]["f1"] == 1.0  # the straddler did not count as a fp
+
+
+def test_synth_field_recording_snr_vs_bed_only():
+    """Overlapping events must not inflate each other's SNR reference: the
+    gain is computed against the environment bed, not the accumulating mix
+    (review r3 finding).  With many long events forced into a short window,
+    the labeled-SNR energy budget must still hold approximately."""
+    import numpy as np
+
+    from softspoken_tpu.train.synth import SR, synth_field_recording
+
+    rng = np.random.default_rng(11)
+    audio, ivs = synth_field_recording(
+        rng, seconds=12.0, speech_events=(6, 6), snr_db=(0.0, 0.0))
+    assert ivs  # events exist (overlap-heavy by construction)
+    # at SNR 0 vs the bed, total speech power ≈ bed power over speech spans;
+    # under the old mix-referenced gain, stacked events compounded well past
+    # this. Allow generous slack for synthesis variance.
+    act = np.zeros(len(audio), bool)
+    for s, e in ivs:
+        act[int(s * 32000):int(e * 32000)] = True
+    # the mixed recording over speech spans should not be wildly hotter
+    # than the bed-only level (r ≈ sqrt(2) at snr 0, stacking quirk gave
+    # r drifting upward with overlap count)
+    r = np.sqrt(np.mean(audio[act] ** 2) / (np.mean(audio[~act] ** 2) + 1e-12))
+    assert r < 3.0
