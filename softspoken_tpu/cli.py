@@ -562,6 +562,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    # Honor JAX_PLATFORMS even when a sitecustomize-registered plugin
+    # (e.g. a remote-attached TPU) initialized the backend registry before
+    # this process's env var was consulted — observed: JAX_PLATFORMS=cpu
+    # was silently ignored and CLI subprocesses dispatched to the remote
+    # TPU anyway (hanging when the tunnel is unreachable).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO)
     args.func(args)

@@ -120,6 +120,30 @@ class FlacReader:
             raise FlacError(
                 f"invalid STREAMINFO: sr={sr.value} ch={ch.value} "
                 f"bits={bits.value}: {path}")
+        if total.value == 0:
+            # STREAMINFO total_samples == 0 means UNKNOWN length per the
+            # FLAC spec (streaming encoders emit it); treating it as a
+            # real zero silently decoded such files as empty (review r3).
+            # One bounded counting pass establishes the true length, then
+            # the handle is reopened at frame 0.
+            n = 0
+            scratch = np.empty(self._READ_BLOCK * ch.value, np.int32)
+            ptr = scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            while True:
+                got = lib.ssflac_read_i32(self._h, ptr, self._READ_BLOCK)
+                if got < 0:
+                    msg = lib.ssflac_error(self._h).decode() or "decode error"
+                    lib.ssflac_close(self._h)
+                    self._h = None
+                    raise FlacError(f"{msg}: {path}")
+                if got == 0:
+                    break
+                n += int(got)
+            lib.ssflac_close(self._h)
+            self._h = lib.ssflac_open(path.encode())
+            if not self._h:
+                raise FlacError(f"not a decodable FLAC file: {path}")
+            total.value = n
         self.info = FlacInfo(
             samplerate=sr.value, channels=ch.value, frames=total.value,
             subtype=f"FLAC_{bits.value}", bits_per_sample=bits.value,

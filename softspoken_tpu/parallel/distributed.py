@@ -31,13 +31,24 @@ def init_distributed(
     """
     if num_processes in (None, 1) and "JAX_COORDINATOR_ADDRESS" not in os.environ \
             and coordinator_address is None:
-        log.debug("single-process run; jax.distributed not initialized")
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        # No explicit configuration: defer to jax.distributed's own cluster
+        # auto-detection (SLURM / OpenMPI / cloud-TPU metadata).  On a plain
+        # single host detection raises immediately — that IS the no-op path
+        # (an early return here used to skip auto-detection entirely, so
+        # SLURM ranks each saw process_count()==1 and every host detected
+        # the FULL file list — review r3 finding).
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # noqa: BLE001 — "no cluster found" is normal
+            log.debug("single-process run; jax.distributed not initialized "
+                      "(%s)", e)
+            return
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     log.info(
         "distributed: process %d/%d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),

@@ -85,5 +85,23 @@ class MeshDetector:
         # the fused streaming pipeline shards its batches over the same mesh
         detector._fused_mesh = self.mesh
 
+    def restore(self) -> None:
+        """Undo the rerouting: the wrapped Detector goes back to its
+        single-device forwards (review r3: the mutation used to be
+        irreversible — dropping the wrapper left the shared Detector
+        silently mesh-bound, inheriting batch-multiple requirements and a
+        stale fused-engine cache key)."""
+        if self._orig is None:
+            return
+        self.det._fwd, self.det._fwd_chunk = self._orig
+        self.det._fused_mesh = None
+        self._orig = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.restore()
+
     def __getattr__(self, name):
         return getattr(self.det, name)

@@ -126,25 +126,35 @@ class DetectRunner:
         q: Queue = Queue(maxsize=1)
 
         def producer():
-            for path in files:
-                if self._stop.is_set():
-                    break
-                if path in already:
-                    q.put((path, "skip"))
-                    continue
-                if self._use_streaming(path):
-                    q.put((path, "stream"))
-                    continue
-                try:
-                    audio = self._decode(path)
-                except Exception as e:  # noqa: BLE001
-                    q.put((path, ("error", str(e))))
-                    continue
-                if audio is None:
-                    q.put((path, ("error", "decode failed")))
-                else:
-                    q.put((path, audio))
-            q.put((None, None))
+            # the sentinel lives in a finally: if ANYTHING in the loop
+            # raises outside the guarded decode (path probing, backend
+            # checks), the consumer must still unblock instead of hanging
+            # forever in q.get() (review r3 finding)
+            try:
+                for path in files:
+                    if self._stop.is_set():
+                        break
+                    if path in already:
+                        q.put((path, "skip"))
+                        continue
+                    try:
+                        streaming = self._use_streaming(path)
+                    except Exception:  # noqa: BLE001
+                        streaming = False
+                    if streaming:
+                        q.put((path, "stream"))
+                        continue
+                    try:
+                        audio = self._decode(path)
+                    except Exception as e:  # noqa: BLE001
+                        q.put((path, ("error", str(e))))
+                        continue
+                    if audio is None:
+                        q.put((path, ("error", "decode failed")))
+                    else:
+                        q.put((path, audio))
+            finally:
+                q.put((None, None))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

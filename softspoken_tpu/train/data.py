@@ -98,9 +98,18 @@ def build_batch(
 
     mix = speech_clips + noise_scaled
     if augmentations:
-        key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
-        params = aug.get_parameters(key, augmentations)
-        mix = np.asarray(aug.apply_augmentations(jnp.asarray(mix), SR, augmentations, params))
+        # per-CLIP parameter draws (reference semantics, voice_activity.py
+        # :314-343 — and what the device trainer does): one draw for the
+        # whole batch gave every row identical reverb/bandpass/volume and
+        # 1/B the augmentation diversity (review r3 finding).  Eager per-row
+        # application; this host path is not the throughput trainer.
+        rows = []
+        for b in range(B):
+            key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
+            params = aug.get_parameters(key, augmentations)
+            rows.append(aug.apply_augmentations(
+                jnp.asarray(mix[b: b + 1]), SR, augmentations, params))
+        mix = np.asarray(jnp.concatenate(rows, axis=0))
 
     def mel_of(x: np.ndarray) -> np.ndarray:
         # (B, 66150) clips straight through the batched frontend — the same

@@ -94,35 +94,60 @@ def make_device_augment_fn(augmentations: Sequence[str], sr: int = SR):
     if not augs:
         return lambda mix, key: mix
 
+    _FILTERS = ("add_reverb", "add_echo", "bandpass_filter")
+
     def augment(mix: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         B, n = mix.shape
-        keys = dict(zip(augs, jax.random.split(key, len(augs))))
+        # per-aug keys folded on the aug's STABLE identity (its index in
+        # _DEVICE_AUGS), not its position in the caller's list: the same
+        # augmentation set then draws the same parameters regardless of
+        # requested order, so reordering changes only the composition
+        keys = {a: jax.random.fold_in(key, _DEVICE_AUGS.index(a))
+                for a in augs}
 
         def u(k, lohi, shape=(B, 1)):
             return jax.random.uniform(k, shape, minval=lohi[0], maxval=lohi[1])
 
-        if "change_pitch" in keys:
+        def change_pitch(mix):
             semi = u(keys["change_pitch"], (-3.0, 3.0), (B,))
             factor = 2.0 ** (semi / 12.0)
             src = jnp.arange(n, dtype=jnp.float32)[None, :] / factor[:, None]
             lo_i = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n - 1)
             w = src - lo_i.astype(jnp.float32)
             hi_i = jnp.clip(lo_i + 1, 0, n - 1)
-            mix = (1.0 - w) * jnp.take_along_axis(mix, lo_i, axis=1) + \
+            return (1.0 - w) * jnp.take_along_axis(mix, lo_i, axis=1) + \
                 w * jnp.take_along_axis(mix, hi_i, axis=1)
 
-        # one combined frequency response for all filtering augs.
-        # Zero-pad to a power of two: TPU XLA lowers non-radix FFTs into a
-        # dense DFT matmul (a 66150² = 17.5 GB buffer!), and the padding
-        # turns circular filtering into linear convolution for every delay
-        # shorter than the pad (max reverb delay 1 s ≪ 2.9 s pad).
-        filt_augs = [a for a in ("add_reverb", "add_echo", "bandpass_filter")
-                     if a in keys]
-        if filt_augs:
+        def reduce_volume(mix):
+            return mix * u(keys["reduce_volume"], (0.1, 0.99))
+
+        def add_harmonic_distortion(mix):
+            k_dist = u(keys["add_harmonic_distortion"], (10.0, 50.0))
+            return jnp.sign(mix) * (1.0 - jnp.exp(-k_dist * jnp.abs(mix)))
+
+        def compress_dynamics(mix):
+            k1, k2 = jax.random.split(keys["compress_dynamics"])
+            ratio = u(k1, (1.5, 6.0))
+            thr = 10.0 ** (u(k2, (-40.0, -10.0)) / 20.0)
+            mag = jnp.abs(mix)
+            # below-threshold branch uses the RAW value (not |mix|): the
+            # reference quirk rectifies quiet negative samples
+            # (sign(x)·x = |x|), which augment.compress_dynamics matches
+            # deliberately — the device path must too (review r3 finding)
+            return jnp.sign(mix) * jnp.where(
+                mag > thr, thr + (mag - thr) / ratio, mix
+            )
+
+        def apply_filters(mix, group):
+            # one combined frequency response for ADJACENT filtering augs.
+            # Zero-pad to a power of two: TPU XLA lowers non-radix FFTs into
+            # a dense DFT matmul (a 66150² = 17.5 GB buffer!), and the pad
+            # turns circular filtering into linear convolution for every
+            # delay shorter than the pad (max reverb delay 1 s ≪ 2.9 s pad).
             nfft = 1 << (n - 1).bit_length()
             theta = 2.0 * jnp.pi * jnp.fft.rfftfreq(nfft).astype(jnp.float32)
             H = jnp.ones((B, theta.shape[0]), jnp.complex64)
-            if "add_reverb" in keys:
+            if "add_reverb" in group:
                 k1, k2, k3 = jax.random.split(keys["add_reverb"], 3)
                 level = u(k1, (0.2, 0.8))
                 decay_time = u(k2, (0.2, 1.0))
@@ -140,38 +165,43 @@ def make_device_augment_fn(augmentations: Sequence[str], sr: int = SR):
                     g[..., None] * jnp.exp(-1j * d[..., None] * theta), axis=1
                 )
                 H = H * ((1.0 - level) + level * tap_resp)
-            if "add_echo" in keys:
+            if "add_echo" in group:
                 k1, k2 = jax.random.split(keys["add_echo"])
                 d = u(k1, (0.1, 0.7)) * sr
                 decay = u(k2, (0.3, 0.7))
                 H = H * (1.0 + decay * jnp.exp(-1j * d * theta))
-            if "bandpass_filter" in keys:
+            if "bandpass_filter" in group:
                 k1, k2 = jax.random.split(keys["bandpass_filter"])
                 f_lo = u(k1, (100.0, 500.0))
                 f_hi = u(k2, (600.0, 2500.0))
                 H = H * _butter1_band_response(theta[None, :], f_lo, f_hi, sr)
             padded = jnp.pad(mix, ((0, 0), (0, nfft - n)))
-            mix = jnp.fft.irfft(jnp.fft.rfft(padded) * H, n=nfft)[
+            return jnp.fft.irfft(jnp.fft.rfft(padded) * H, n=nfft)[
                 :, :n
             ].astype(jnp.float32)
 
-        if "reduce_volume" in keys:
-            mix = mix * u(keys["reduce_volume"], (0.1, 0.99))
-        if "add_harmonic_distortion" in keys:
-            k_dist = u(keys["add_harmonic_distortion"], (10.0, 50.0))
-            mix = jnp.sign(mix) * (1.0 - jnp.exp(-k_dist * jnp.abs(mix)))
-        if "compress_dynamics" in keys:
-            k1, k2 = jax.random.split(keys["compress_dynamics"])
-            ratio = u(k1, (1.5, 6.0))
-            thr = 10.0 ** (u(k2, (-40.0, -10.0)) / 20.0)
-            mag = jnp.abs(mix)
-            # below-threshold branch uses the RAW value (not |mix|): the
-            # reference quirk rectifies quiet negative samples
-            # (sign(x)·x = |x|), which augment.compress_dynamics matches
-            # deliberately — the device path must too (review r3 finding)
-            mix = jnp.sign(mix) * jnp.where(
-                mag > thr, thr + (mag - thr) / ratio, mix
-            )
+        pointwise = {"change_pitch": change_pitch,
+                     "reduce_volume": reduce_volume,
+                     "add_harmonic_distortion": add_harmonic_distortion,
+                     "compress_dynamics": compress_dynamics}
+
+        # apply in the CALLER's sequence order — nonlinear augmentations do
+        # not commute with filtering, and the host path honors the order
+        # (review r3: a fixed pitch→filter→volume→distort→compress order
+        # silently diverged for any other requested sequence).  Adjacent
+        # filter augs still fuse into one FFT round trip; filters within a
+        # fused group commute (they multiply in the frequency domain).
+        i = 0
+        while i < len(augs):
+            if augs[i] in _FILTERS:
+                group = []
+                while i < len(augs) and augs[i] in _FILTERS:
+                    group.append(augs[i])
+                    i += 1
+                mix = apply_filters(mix, group)
+            else:
+                mix = pointwise[augs[i]](mix)
+                i += 1
         return mix.astype(jnp.float32)
 
     return augment
@@ -262,17 +292,14 @@ def make_sharded_fused_train_step(model, tx, synth_fn, mesh, n_inner: int = 8):
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from .loop import make_train_step
+    from .loop import batch_partition_specs, make_train_step
 
     base_step = make_train_step(model, tx)
 
     def constrain(batch):
-        seq = "seq" if "seq" in mesh.axis_names else None
-        spec = {
-            "mel": P("data", None, seq, None),
-            "mask": P("data", None),
-            "spec": P("data", None, seq, None),
-        }
+        # same layout as the host sharded trainer, from the one shared
+        # spec builder (loop.batch_partition_specs)
+        spec = batch_partition_specs(mesh)
         return {
             k: jax.lax.with_sharding_constraint(v, NamedSharding(mesh, spec[k]))
             for k, v in batch.items()

@@ -22,7 +22,6 @@ import jax
 import numpy as np
 
 from .. import ckpt as ckpt_mod
-from ..config import DEFAULT_CONFIG
 from ..io import internal_length, load_audio
 from . import data as D
 from .loop import create_train_state, make_sharded_train_step, make_train_step

@@ -107,15 +107,29 @@ def make_train_step(model: SpecUNet2D, tx: optax.GradientTransformation):
     return train_step
 
 
+def batch_partition_specs(mesh, shard_time: bool = True):
+    """PartitionSpec per training-batch key: dp over batch, optional sp over
+    the mel time axis.  The SINGLE source of truth for the batch layout —
+    shared by the host sharded trainer below and the fused synthetic
+    trainer (device_data.make_sharded_fused_train_step), so the two cannot
+    silently shard differently (review r3 finding)."""
+    from jax.sharding import PartitionSpec as P
+
+    seq = "seq" if (shard_time and "seq" in mesh.axis_names) else None
+    return {
+        "mel": P("data", None, seq, None),
+        "mask": P("data", None),
+        "spec": P("data", None, seq, None),
+    }
+
+
 def make_sharded_train_step(model, tx, mesh, shard_time: bool = True):
     """Train step jitted with dp (batch) × sp (mel time) shardings."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    seq = "seq" if (shard_time and "seq" in mesh.axis_names) else None
     batch_sharding = {
-        "mel": NamedSharding(mesh, P("data", None, seq, None)),
-        "mask": NamedSharding(mesh, P("data", None)),
-        "spec": NamedSharding(mesh, P("data", None, seq, None)),
+        k: NamedSharding(mesh, s)
+        for k, s in batch_partition_specs(mesh, shard_time).items()
     }
     repl = NamedSharding(mesh, P())
     step = jax.jit(

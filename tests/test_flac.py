@@ -303,3 +303,27 @@ def test_sequential_i16_reader_rejects_unsupported(tmp_path):
     flac_ref.write_flac(p, stereo, 22050, bits=16)
     with pytest.raises(ValueError):
         SequentialMonoReader(p, dtype="i16")
+
+
+def test_unknown_length_streaminfo_decodes_fully(tmp_path):
+    """STREAMINFO total_samples == 0 means UNKNOWN length (streaming
+    encoders emit it); the reader must establish the real length with a
+    counting pass instead of decoding the file as empty (review r3)."""
+    p = str(tmp_path / "known.flac")
+    x = _sine_int(flac_ref.BLOCKSIZE * 3 + 77, 1, 16, seed=9)
+    flac_ref.write_flac(p, x, 22050, bits=16)
+
+    raw = bytearray(open(p, "rb").read())
+    # STREAMINFO data starts at byte 8 (4 'fLaC' + 4 block header);
+    # total_samples is the low 36 bits of bytes 13..17 of the block
+    raw[8 + 13] &= 0xF0
+    raw[8 + 14: 8 + 18] = b"\x00\x00\x00\x00"
+    p0 = str(tmp_path / "unknown.flac")
+    open(p0, "wb").write(bytes(raw))
+
+    inf = flac.info(p0)
+    assert inf.frames == len(x)
+    y, sr = flac.read(p0)
+    assert sr == 22050 and len(y) == len(x)
+    np.testing.assert_array_equal(
+        np.round(y * 32768.0).astype(np.int64), x[:, 0])

@@ -119,7 +119,25 @@ def test_partition_files_rebalances_on_host_count():
 
 
 def test_init_distributed_single_process_noop(monkeypatch):
-    """Single-process: must not call jax.distributed.initialize at all."""
+    """Single host, no cluster: auto-detection raises and we fall back to
+    single-process quietly (review r3: an early return used to skip
+    auto-detection entirely, breaking SLURM/OpenMPI ranks)."""
+    import jax
+
+    from softspoken_tpu.parallel import init_distributed
+
+    def no_cluster(**kw):
+        raise RuntimeError("no cluster detected")
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setattr(jax.distributed, "initialize", no_cluster)
+    init_distributed()                  # must not raise
+    init_distributed(num_processes=1)   # ditto
+
+
+def test_init_distributed_attempts_cluster_autodetect(monkeypatch):
+    """With no explicit config, jax.distributed's own auto-detection gets
+    its chance (SLURM / OpenMPI / cloud-TPU)."""
     import jax
 
     from softspoken_tpu.parallel import init_distributed
@@ -129,8 +147,7 @@ def test_init_distributed_single_process_noop(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize",
                         lambda **kw: called.append(kw))
     init_distributed()
-    init_distributed(num_processes=1)
-    assert called == []
+    assert called == [{}]
 
 
 def test_init_distributed_passes_explicit_arguments(monkeypatch):
@@ -247,3 +264,21 @@ def test_two_process_distributed_cli_detect(tmp_path):
         seen[pid] = set(df["file_name"])
     assert not seen[0] & seen[1]
     assert seen[0] | seen[1] == {f"rec{i}.wav" for i in range(3)}
+
+
+def test_mesh_detector_restore_unwraps():
+    """MeshDetector.restore() (and the context-manager form) puts the
+    wrapped Detector back on its single-device forwards (review r3: the
+    rerouting used to be irreversible)."""
+    from softspoken_tpu import Config, ckpt
+    from softspoken_tpu.engine import Detector
+
+    det = Detector(Config().with_engine(precision="parity", device_batch=8),
+                   variables=ckpt.fixture_variables(seed=0))
+    orig_fwd, orig_chunk = det._fwd, det._fwd_chunk
+    with MeshDetector(det, make_mesh(("data",))) as w:
+        assert det._fwd is not orig_fwd
+        assert det._fused_mesh is w.mesh
+    assert det._fwd is orig_fwd and det._fwd_chunk is orig_chunk
+    assert det._fused_mesh is None
+    w.restore()  # idempotent

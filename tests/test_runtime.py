@@ -125,3 +125,26 @@ def test_stop_drains_producer_without_deadlock(tmp_path):
         assert not (t.daemon and t.is_alive() and "Thread-" in t.name
                     and getattr(t, "_target", None) is not None
                     and "producer" in repr(getattr(t, "_target", ""))), t
+
+
+def test_producer_crash_cannot_hang_consumer(tmp_path, detector, wavs):
+    """If the prefetch producer dies unexpectedly, the end-of-stream
+    sentinel still arrives (finally) and run() returns instead of blocking
+    forever in q.get() (review r3 finding).  A raising _use_streaming also
+    degrades to the decode path rather than killing the thread."""
+    store = DetectionStore(str(tmp_path / "det.csv"))
+    runner = DetectRunner(detector, store, CFG)
+
+    def boom(path):
+        raise RuntimeError("backend probe exploded")
+
+    runner._use_streaming = boom
+    report = runner.run(wavs)          # completes via the decode fallback
+    assert report.files_done == len(wavs)
+
+    # and a producer body that raises outright still unblocks the consumer
+    runner2 = DetectRunner(detector, DetectionStore(str(tmp_path / "d2.csv")),
+                           CFG)
+    runner2._decode = None             # TypeError inside the producer loop
+    report2 = runner2.run([wavs[0]])   # must return, not hang
+    assert report2.files_done == 0

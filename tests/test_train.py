@@ -412,3 +412,55 @@ def test_resblock_dropout_is_channelwise():
     # p=0.5 over 2x16 maps: both outcomes must occur, at map granularity
     assert zero_maps > 0 and kept_maps > 0
     assert not np.array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_device_augment_order_is_callers():
+    """Nonlinear augmentations don't commute with filtering: the device
+    path must apply them in the caller's sequence order like the host path
+    (review r3: the order was hard-coded)."""
+    import jax
+    import jax.numpy as jnp
+
+    from softspoken_tpu.train.device_data import make_device_augment_fn
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 4096)).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+    a = make_device_augment_fn(("add_harmonic_distortion", "add_reverb"),
+                               sr=22050)(x, key)
+    b = make_device_augment_fn(("add_reverb", "add_harmonic_distortion"),
+                               sr=22050)(x, key)
+    assert not np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    # pure filters commute (frequency-domain products) — fused or not,
+    # the relative order of two filter augs cannot change the output
+    f1 = make_device_augment_fn(("add_reverb", "bandpass_filter"),
+                                sr=22050)(x, key)
+    f2 = make_device_augment_fn(("bandpass_filter", "add_reverb"),
+                                sr=22050)(x, key)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
+
+
+def test_build_batch_augment_params_are_per_clip():
+    """Each clip draws its own augmentation parameters (reference
+    semantics; review r3: one draw covered the whole batch)."""
+    from softspoken_tpu.train.data import build_batch
+
+    rng = np.random.default_rng(0)
+    B, n = 4, 66150
+    t = np.arange(n) / 22050.0
+    speech = np.tile((0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32),
+                     (B, 1))  # identical rows: any row-to-row difference
+    noise = np.tile(rng.uniform(-0.05, 0.05, n).astype(np.float32), (B, 1))
+    base = build_batch(speech.copy(), noise.copy(), np.random.default_rng(1),
+                       snr_db_range=(10.0, 10.0))
+    aug = build_batch(speech.copy(), noise.copy(), np.random.default_rng(1),
+                      augmentations=("reduce_volume",),
+                      snr_db_range=(10.0, 10.0))
+    # identical rows + pinned SNR: any row-to-row difference must come from
+    # per-clip augmentation params.  reduce_volume with one shared gain
+    # keeps all rows identical; independent per-row gains make them differ.
+    a = aug["mel"][..., 0]
+    assert not np.array_equal(a, base["mel"][..., 0])  # augmentation ran
+    row_spread = np.std(a.sum(axis=(1, 2)))
+    assert row_spread > 1e-3, a.sum(axis=(1, 2))
