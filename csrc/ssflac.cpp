@@ -149,9 +149,10 @@ bool decode_residual(BitReader& b, uint32_t blocksize, uint32_t order,
     uint32_t escape = method == 0 ? 0xF : 0x1F;
     uint32_t porder = (uint32_t)b.read(4);
     uint32_t parts = 1u << porder;
-    if (blocksize % parts || blocksize / parts <= 0) {
-        if (parts > blocksize) return false;
-    }
+    // misaligned partitioning is invalid per the spec: reject up front
+    // instead of decoding garbage partitions and failing only on the final
+    // sample count (review r3 — the old condition was a near-no-op)
+    if (parts > blocksize || blocksize % parts) return false;
     uint32_t idx = order;
     for (uint32_t p = 0; p < parts; p++) {
         uint32_t n = blocksize >> porder;
@@ -183,6 +184,10 @@ bool decode_subframe(BitReader& b, uint32_t blocksize, uint32_t bps,
     uint32_t wasted = 0;
     if (b.read(1)) {                                 // wasted bits flag
         wasted = 1 + b.read_unary();
+        // wasted >= bps would wrap the unsigned bps to ~4e9 and feed
+        // negative/oversized shift amounts into the bit reader (UB) —
+        // reject like libFLAC does (review r3 fuzz finding)
+        if (wasted >= bps) return false;
         bps -= wasted;
     }
 
@@ -193,6 +198,10 @@ bool decode_subframe(BitReader& b, uint32_t blocksize, uint32_t bps,
         for (uint32_t i = 0; i < blocksize; i++) out[i] = b.read_signed((int)bps);
     } else if (type >= 8 && type <= 8 + FIXED_ORDER_MAX) {   // FIXED
         uint32_t order = type - 8;
+        // warm-up samples must fit in the block: order > blocksize on a
+        // crafted frame wrote past the end of `out` (review r3 heap-
+        // overflow finding; libFLAC rejects order >= blocksize too)
+        if (order > blocksize) return false;
         for (uint32_t i = 0; i < order; i++) out[i] = b.read_signed((int)bps);
         if (!decode_residual(b, blocksize, order, out.data())) return false;
         switch (order) {
@@ -215,6 +224,7 @@ bool decode_subframe(BitReader& b, uint32_t blocksize, uint32_t bps,
         }
     } else if (type >= 32) {                         // LPC, order = type-31
         uint32_t order = type - 31;
+        if (order > blocksize) return false;         // see FIXED warm-up note
         for (uint32_t i = 0; i < order; i++) out[i] = b.read_signed((int)bps);
         uint32_t prec = (uint32_t)b.read(4) + 1;
         if (prec == 16) return false;                // 0b1111 invalid
@@ -362,6 +372,13 @@ void* ssflac_open(const char* path) {
             d->bps = (((si[12] & 1) << 4) | (si[13] >> 4)) + 1;
             d->total = ((uint64_t)(si[13] & 0x0F) << 32) | ((uint64_t)si[14] << 24) |
                        ((uint64_t)si[15] << 16) | ((uint64_t)si[16] << 8) | si[17];
+            // fixed-blocking streams declare min == max blocksize here; use
+            // it as the authoritative nominal size.  Latching the first
+            // DECODED frame's size instead mis-positions frame numbers when
+            // a seek lands on the short final frame first (review r3)
+            uint32_t minbs = ((uint32_t)si[0] << 8) | si[1];
+            uint32_t maxbs = ((uint32_t)si[2] << 8) | si[3];
+            if (minbs == maxbs && minbs > 0) d->nominal_bs = minbs;
         } else if (type == 3) {                            // SEEKTABLE
             uint32_t n = len / 18;
             std::vector<uint8_t> body(len);

@@ -65,6 +65,11 @@ def _extended80(b: bytes) -> float:
     exp = se & 0x7FFF
     if exp == 0 and mant == 0:
         return 0.0
+    if exp == 0x7FFF or not 16383 - 64 <= exp <= 16383 + 64:
+        # inf/NaN encodings, and exponents far outside any audio rate —
+        # AiffFormatError, not OverflowError from the 2.0** below, so
+        # probe()/read_any() format dispatch keeps working (review r3)
+        raise AiffFormatError(f"unreasonable sampleRate exponent {exp}")
     return sign * mant * 2.0 ** (exp - 16383 - 63)
 
 

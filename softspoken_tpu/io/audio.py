@@ -97,9 +97,12 @@ def read_mono(path: str, start: int = 0, frames: Optional[int] = None) -> Tuple[
 
     if native.native_available():
         try:
-            inf = wavio.info(path)
-            if inf.subtype == "PCM_16":
-                raw, _ = wavio.read_raw(path, start=start, frames=frames)
+            # read_raw parses the header itself — ONE open+parse per call
+            # (a separate wavio.info() probe doubled both on this hot path,
+            # review r3); want_subtype skips the payload for non-PCM16
+            raw, inf = wavio.read_raw(path, start=start, frames=frames,
+                                      want_subtype="PCM_16")
+            if raw is not None:
                 out = native.pcm16_to_mono_f32(raw.view("<i2"), inf.channels)
                 if out is not None:
                     return out, inf.samplerate
@@ -107,7 +110,7 @@ def read_mono(path: str, start: int = 0, frames: Optional[int] = None) -> Tuple[
             pass  # FLAC etc. → read_any below
         except Exception:  # noqa: BLE001 — fall through to the generic path
             pass
-    data, sr = read_any(path, start=start, frames=frames if frames is not None else None)
+    data, sr = read_any(path, start=start, frames=frames)
     return to_mono(np.asarray(data, np.float32)), sr
 
 

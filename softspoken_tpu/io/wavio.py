@@ -80,15 +80,21 @@ def _parse_header(f: BinaryIO) -> WavInfo:
         cid, csize = struct.unpack("<4sI", hdr)
         if cid == b"ds64" and is_rf64:
             body = f.read(csize + (csize & 1))
+            if len(body) < 16:
+                # WavFormatError, not struct.error: probe()/read_any()
+                # dispatch on the format-error type (review r3 fuzz finding)
+                raise WavFormatError("truncated ds64 chunk")
             # riff_size(8) data_size(8) sample_count(8) ...
             rf64_data_size = struct.unpack("<Q", body[8:16])[0]
         elif cid == b"fmt ":
             body = f.read(csize + (csize & 1))
+            if len(body) < 16:
+                raise WavFormatError("truncated fmt chunk")
             fmt_tag, channels, samplerate, _brate, _balign, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
             if fmt_tag == WAVE_FORMAT_EXTENSIBLE:
-                if csize < 40:
+                if csize < 40 or len(body) < 26:
                     raise WavFormatError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
                 # SubFormat GUID: first two bytes are the real format tag
                 fmt_tag = struct.unpack("<H", body[24:26])[0]
@@ -165,15 +171,21 @@ def _decode(raw: np.ndarray, subtype: str) -> np.ndarray:
 
 
 def read_raw(
-    path: str, start: int = 0, frames: Optional[int] = None
-) -> Tuple[np.ndarray, WavInfo]:
+    path: str, start: int = 0, frames: Optional[int] = None,
+    want_subtype: Optional[str] = None,
+) -> Tuple[Optional[np.ndarray], WavInfo]:
     """Read a frame range as raw sample bytes (uint8) + header info.
 
     Lets callers decode with fused fast paths (e.g. the native PCM16→mono
-    kernel) without paying a generic decode first.
+    kernel) without paying a generic decode first.  ``want_subtype`` gates
+    the payload read on the header: a mismatch returns ``(None, info)``
+    after the (cheap) header parse, so fast-path callers don't read bytes
+    they would immediately discard.
     """
     with open(path, "rb") as f:
         inf = _parse_header(f)
+        if want_subtype is not None and inf.subtype != want_subtype:
+            return None, inf
         bpf = inf.channels * (inf.bits_per_sample // 8)
         start = max(0, min(int(start), inf.frames))
         if frames is None:

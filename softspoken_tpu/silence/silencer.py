@@ -144,15 +144,27 @@ class SilenceRunner:
         # (range-reopening would re-decode from the stream start per chunk);
         # the silencer's reads are strictly sequential so this is exact.
         flac_reader = None
+        raw_reader = None
         if inf.subtype.startswith("FLAC"):
             from ..io.flac import FlacReader
 
             flac_reader = FlacReader(src)
             scale = np.float32(1.0 / (1 << (inf.bits_per_sample - 1)))
+        elif isinstance(inf, wavio.WavInfo):
+            # persistent handle + sequential fadvise: reopening/reparsing
+            # the header per chunk resets kernel readahead — the measured
+            # streaming throughput ceiling RawReader exists to fix; the
+            # multi-GB silencer path now uses it too (review r3 finding)
+            raw_reader = wavio.RawReader(src)
 
         def read_seq(pos: int, nread: int):
             if flac_reader is not None:
                 return flac_reader.read_i32(nread).astype(np.float32) * scale, inf.samplerate
+            if raw_reader is not None:
+                raw_reader.will_need(pos + nread, nread)
+                raw = raw_reader.read_raw(pos, nread)
+                return (wavio._decode(raw, inf.subtype)
+                        .reshape(-1, inf.channels), inf.samplerate)
             return read_any(src, start=pos, frames=nread, always_2d=True)
 
         try:
@@ -174,6 +186,8 @@ class SilenceRunner:
         finally:
             if flac_reader is not None:
                 flac_reader.close()
+            if raw_reader is not None:
+                raw_reader.close()
 
 
 def write_status_file(project: Dict, project_output_dir: str) -> str:

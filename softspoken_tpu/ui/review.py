@@ -193,9 +193,15 @@ class ReviewSession:
 
     def stats(self) -> dict:
         n = len(self.df)
-        reviewed = int(self.reviewed_mask().sum())
-        erased = int((pd.to_numeric(self.df.get("erase", 0), errors="coerce") == 1).sum())
-        return {"total": n, "reviewed": reviewed, "erased": erased, "kept": reviewed - erased}
+        rmask = self.reviewed_mask()
+        emask = np.asarray(
+            pd.to_numeric(self.df.get("erase", 0), errors="coerce") == 1)
+        # kept counts rows BOTH reviewed and not erased — `reviewed-erased`
+        # went wrong (even negative) when erase=1 rows lacked a review
+        # timestamp, e.g. hand-edited CSVs (review r3 finding)
+        return {"total": n, "reviewed": int(rmask.sum()),
+                "erased": int(emask.sum()),
+                "kept": int((rmask & ~emask).sum())}
 
     # ------------------------------------------------------------------
     def save(self, persist: bool = True) -> pd.DataFrame:

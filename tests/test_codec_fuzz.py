@@ -179,3 +179,90 @@ def test_garbage_and_empty(tmp_path):
         with open(p, "wb") as f:
             f.write(magic)
         _attempt(p)
+
+
+def _streaminfo(total=1000, sr=22050, ch=1, bps=16, minbs=4096, maxbs=4096):
+    si = bytearray(34)
+    si[0:2] = minbs.to_bytes(2, "big")
+    si[2:4] = maxbs.to_bytes(2, "big")
+    si[10] = (sr >> 12) & 0xFF
+    si[11] = (sr >> 4) & 0xFF
+    si[12] = ((sr & 0xF) << 4) | (((ch - 1) & 0x7) << 1) | (((bps - 1) >> 4) & 1)
+    si[13] = (((bps - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+    si[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(si)
+
+
+def test_flac_lpc_order_exceeding_blocksize_rejected(tmp_path):
+    """Crafted frame: blocksize 1 (bs_code 6, byte 0) + subframe type 63
+    (LPC order 32).  The warm-up loop used to write 31 int64s past the end
+    of the block vector — a heap overflow on untrusted input (review r3).
+    Must now fail the subframe decode cleanly, never crash."""
+    from softspoken_tpu.io import flac
+
+    if not flac.flac_available():
+        pytest.skip("native decoder unavailable")
+    frame = bytes([0xFF, 0xF8, 0x60, 0x00, 0x00, 0x00, 0x00, 0x7E]) + b"\x00" * 96
+    p = str(tmp_path / "lpc_oob.flac")
+    open(p, "wb").write(_streaminfo() + frame)
+    with pytest.raises(flac.FlacError):
+        flac.read(p)
+
+
+def test_flac_wasted_bits_ge_bps_rejected(tmp_path):
+    """Crafted CONSTANT subframe whose wasted-bits unary count >= bps used
+    to wrap the unsigned bps and shift by negative amounts (UB, review r3).
+    Must fail cleanly."""
+    from softspoken_tpu.io import flac
+
+    if not flac.flac_available():
+        pytest.skip("native decoder unavailable")
+    # subframe byte 0x01: type CONSTANT, wasted flag set; then unary
+    # 15 zeros + 1 (in 0x00 0x01) -> wasted = 16 >= bps 16
+    frame = bytes([0xFF, 0xF8, 0x60, 0x00, 0x00, 0x00, 0x00,
+                   0x01, 0x00, 0x01]) + b"\x00" * 32
+    p = str(tmp_path / "wasted.flac")
+    open(p, "wb").write(_streaminfo() + frame)
+    with pytest.raises(flac.FlacError):
+        flac.read(p)
+
+
+def test_truncated_fmt_and_ds64_raise_wavformaterror(tmp_path):
+    """Truncated fmt/ds64 chunks must raise WavFormatError (probe() and
+    read_any() dispatch on it), not struct.error (review r3)."""
+    import struct as _s
+
+    from softspoken_tpu.io import wavio
+
+    # RIFF/WAVE with an 8-byte fmt chunk body
+    p1 = str(tmp_path / "shortfmt.wav")
+    body = b"RIFF" + _s.pack("<I", 4 + 8 + 8) + b"WAVE" + b"fmt " + \
+        _s.pack("<I", 8) + b"\x00" * 8
+    open(p1, "wb").write(body)
+    with pytest.raises(wavio.WavFormatError):
+        wavio.info(p1)
+
+    # RF64 with a truncated ds64 body
+    p2 = str(tmp_path / "shortds64.wav")
+    body = b"RF64" + _s.pack("<I", 0xFFFFFFFF) + b"WAVE" + b"ds64" + \
+        _s.pack("<I", 8) + b"\x00" * 8
+    open(p2, "wb").write(body)
+    with pytest.raises(wavio.WavFormatError):
+        wavio.info(p2)
+
+
+def test_aiff_inf_sample_rate_raises_format_error(tmp_path):
+    """COMM sampleRate with exponent 0x7FFF (inf/NaN) must raise
+    AiffFormatError, not OverflowError (review r3)."""
+    import struct as _s
+
+    from softspoken_tpu.io import aiff
+
+    comm = _s.pack(">hIh", 1, 100, 16) + bytes([0x7F, 0xFF]) + b"\x00" * 8
+    chunks = b"COMM" + _s.pack(">I", len(comm)) + comm
+    body = b"AIFF" + chunks
+    raw = b"FORM" + _s.pack(">I", len(body)) + body
+    p = str(tmp_path / "inf_rate.aiff")
+    open(p, "wb").write(raw)
+    with pytest.raises(aiff.AiffFormatError):
+        aiff.info(p)

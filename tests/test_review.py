@@ -152,3 +152,15 @@ def test_amplitude_to_db_is_librosa_semantics():
     # top_db clamp relative to the max
     db2 = amplitude_to_db(np.array([1.0, 1e-8]))
     np.testing.assert_allclose(db2, [0.0, -80.0], atol=1e-6)
+
+
+def test_stats_kept_counts_reviewed_nonerased(project):
+    """An erase=1 row WITHOUT a review timestamp (hand-edited CSV) must not
+    eat a reviewed-and-kept row's count (review r3: kept was computed as
+    reviewed - erased, which could even go negative)."""
+    cfg, pm, proj, wavdir = project
+    s = ReviewSession(proj, pm.projects_folder, cfg, now_fn=_fixed_now)
+    s.keep()                       # row 0: reviewed, kept
+    s.df.loc[1, "erase"] = 1       # row 1: erased but never reviewed
+    st = s.stats()
+    assert st == {"total": 2, "reviewed": 1, "erased": 1, "kept": 1}
