@@ -222,7 +222,11 @@ def save(path: str, variables: Dict, epoch: int = -1) -> None:
     fresh = f"{path}.new-{os.getpid()}-{time.monotonic_ns()}"
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(fresh, {"variables": variables, "epoch": epoch})
-    old = f"{path}.old-{os.getpid()}"
+    # the backup name is FIXED (no pid) so load_any can find a stranded
+    # backup if the process dies between the two renames below — that crash
+    # window used to leave no checkpoint at `path` and nothing ever looked
+    # for the .old dir (review r3 finding)
+    old = f"{path}.old"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(path):
         os.rename(path, old)
@@ -249,4 +253,15 @@ def load_any(path: str) -> Tuple[Optional[Dict], int]:
         return load(path)
     if os.path.isfile(path) and path.endswith(".pth"):
         return load_pth(path)
+    # crash-recovery: save() renames the previous checkpoint to .old before
+    # installing the new one; a kill between the renames strands it there
+    old = f"{os.path.abspath(path)}.old"
+    if os.path.isdir(old):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "recovering stranded checkpoint backup %s (a save() was "
+            "interrupted mid-swap)", old)
+        os.rename(old, path)
+        return load(path)
     return None, -1

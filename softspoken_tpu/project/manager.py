@@ -81,13 +81,24 @@ class ProjectManager:
 
     # ---- registry ------------------------------------------------------
     def _write_registry(self) -> None:
-        with open(self.projects_file, "w") as f:
+        # atomic write-then-rename: the registry is rewritten on every
+        # grade/open, and an in-place json.dump interrupted mid-write left
+        # a truncated projects.json that failed every later launch
+        # (review r3 finding; same treatment as ckpt.save)
+        tmp = f"{self.projects_file}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(self.projects_data, f)
+        os.replace(tmp, self.projects_file)
 
     def list_projects_by_name(self) -> List[str]:
         return [p["name"] for p in self.projects_data]
 
     def add_project(self, name: str) -> Dict:
+        # the name becomes a directory and file-stem under the outputs
+        # folder: separators / traversal would escape it (review r3)
+        if (not name or name != os.path.basename(name)
+                or name in (".", "..") or "/" in name or "\\" in name):
+            raise ValueError(f"invalid project name {name!r}")
         if name in self.list_projects_by_name():
             raise ValueError(f"project '{name}' already exists")
         os.makedirs(self.project_output_dir(name), exist_ok=True)
@@ -139,6 +150,8 @@ class ProjectManager:
 
     def update_file_list(self, files: List[str]) -> List[str]:
         """Merge, de-duplicate, sort, persist — silencer_ui.py:688-713."""
+        if self.current_project is None:
+            raise RuntimeError("no active project (call set_active_project)")
         path = self.current_project["file_list_file"]
         unique = set(self.get_unprocessed_list())
         unique.update(files)
@@ -148,6 +161,8 @@ class ProjectManager:
         return merged
 
     def remove_from_file_list(self, files: List[str]) -> List[str]:
+        if self.current_project is None:
+            raise RuntimeError("no active project (call set_active_project)")
         path = self.current_project["file_list_file"]
         remaining = [p for p in self.get_unprocessed_list() if p not in set(files)]
         with open(path, "w") as f:

@@ -162,6 +162,10 @@ class DetectRunner:
         while True:
             path, payload = q.get()
             if path is None:
+                # a stop that landed before (or between) items still ends
+                # the run via the producer's early sentinel — report it
+                if self._stop.is_set():
+                    report.stopped = True
                 break
             if self._stop.is_set():
                 report.stopped = True

@@ -81,8 +81,14 @@ if HAVE_QT:
             self.signals = _WorkerSignals()
             self.cfg, self.project, self.files = cfg, project, files
             self._runner = None
+            self._stop_requested = False
 
         def stop(self):
+            # remember a Stop that lands before run() builds the runner
+            # (Detector construction = checkpoint load + jit compile, many
+            # seconds on a remote-TPU host) — it used to be silently lost
+            # (review r3 finding)
+            self._stop_requested = True
             if self._runner is not None:
                 self._runner.stop()
 
@@ -101,6 +107,8 @@ if HAVE_QT:
                 det = Detector(self.cfg)
                 store = DetectionStore(self.project["detections_file"])
                 self._runner = DetectRunner(det, store, self.cfg)
+                if self._stop_requested:
+                    self._runner.stop()
                 report = self._runner.run(
                     self.files,
                     RunCallbacks(
@@ -120,8 +128,10 @@ if HAVE_QT:
             self.signals = _WorkerSignals()
             self.review_csv, self.output_dir = review_csv, output_dir
             self._runner = None
+            self._stop_requested = False
 
         def stop(self):
+            self._stop_requested = True  # see _DetectWorker.stop
             if self._runner is not None:
                 self._runner.stop()
 
@@ -133,6 +143,8 @@ if HAVE_QT:
 
             try:
                 self._runner = SilenceRunner(self.output_dir)
+                if self._stop_requested:
+                    self._runner.stop()
                 report = self._runner.run(
                     pd.read_csv(self.review_csv),
                     on_file_start=lambda f: self.signals.message.emit(f"silencing {f}"),
@@ -613,13 +625,13 @@ if HAVE_QT:
             self.bar = QProgressBar()
             lay.addWidget(self.bar)
             row = QHBoxLayout()
-            start = QPushButton("Choose Output Folder && Start")
-            start.clicked.connect(self.start)
+            self.start_btn = QPushButton("Choose Output Folder && Start")
+            self.start_btn.clicked.connect(self.start)
             stop = QPushButton("Stop")
             stop.clicked.connect(lambda: self.worker and self.worker.stop())
             back = QPushButton("Back")
             back.clicked.connect(self.app.show_workspace)
-            for b in (start, stop, back):
+            for b in (self.start_btn, stop, back):
                 row.addWidget(b)
             lay.addLayout(row)
             lay.addStretch(1)
@@ -642,15 +654,23 @@ if HAVE_QT:
             self.worker = _SilenceWorker(
                 self.app.pm.current_project["review_file"], outdir
             )
+            # surface worker messages (incl. the failure reason) in the
+            # info label — they were emitted but connected nowhere, so
+            # 'see messages' pointed at nothing (review r3 finding)
+            self.worker.signals.message.connect(self.info.setText)
             self.worker.signals.overall_progress.connect(lambda p: self.bar.setValue(int(p)))
             self.worker.signals.finished.connect(self._on_finished)
+            # disable BEFORE dispatch (same double-click guard as
+            # DetectorScreen — two concurrent runners wrote the same
+            # output WAVs, review r3 finding)
+            self.start_btn.setEnabled(False)
             QThreadPool.globalInstance().start(self.worker)
 
         def _on_finished(self, report):
             from ..silence import write_status_file
 
-            if report is None:  # worker errored; message already emitted
-                self.info.setText("silencing failed — see messages")
+            self.start_btn.setEnabled(True)
+            if report is None:  # worker errored; message shown in info
                 return
             pm = self.app.pm
             if not report.stopped:
@@ -790,8 +810,17 @@ def smoke(cfg: Config = DEFAULT_CONFIG, screenshot: Optional[str] = None) -> int
         win.show_workspace()
         for nav in (win.show_detector, win.show_review, win.show_silence):
             nav()
-        if screenshot and win.review.image.pixmap() is not None:
-            win.review.image.pixmap().save(screenshot)
+        if screenshot:
+            # real Qt6 QLabel.pixmap() returns a NULL pixmap (never None)
+            # when rendering failed, and .save() returns False — both must
+            # fail the smoke gate, not print success (review r3 finding)
+            pm = win.review.image.pixmap()
+            ok = (pm is not None
+                  and not (hasattr(pm, "isNull") and pm.isNull())
+                  and bool(pm.save(screenshot)))
+            if not ok:
+                win.close()
+                sys.exit("smoke: review spectrogram failed to render/save")
             print(f"screenshot → {screenshot}")
     win.close()
     print("gui smoke ok: 5 screens constructed, navigation wired")

@@ -135,7 +135,15 @@ def render_review_png(
         if e >= audio_start and s <= view_end and not (s == detection_start and e == detection_end):
             ax.axvspan(s, e, color="blue", alpha=0.3)
 
-    ticks = np.arange(np.floor(audio_start), np.ceil(view_end) + 0.5, 0.5)
+    # 0.5 s grid at review zoom (reference look), but cap the tick count:
+    # a zoomed-out multi-minute view at fixed 0.5 s spacing drew thousands
+    # of axvlines/labels per render on the UI thread (review r3 finding)
+    spacing = 0.5
+    max_ticks = max(8.0, widget_width_px / 40.0)
+    while total_duration / spacing > max_ticks:
+        spacing *= 2.0
+    ticks = np.arange(np.floor(audio_start), np.ceil(view_end) + spacing,
+                      spacing)
     if show_gridlines:
         for t in ticks:
             ax.axvline(x=t, color="b", linestyle=":", alpha=0.3)

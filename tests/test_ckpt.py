@@ -301,3 +301,19 @@ def test_pth_reader_wraps_corrupt_archives(tmp_path):
                           else raw)
     with pytest.raises(pth_reader.UnsupportedPthError):
         pth_reader.load(p2)
+
+
+def test_load_any_recovers_stranded_old_backup(tmp_path):
+    """save() renames the previous checkpoint to .old before installing the
+    new one; a kill between the renames strands it.  load_any must recover
+    the backup instead of silently degrading to random init (review r3)."""
+    import os
+
+    target = str(tmp_path / "model_checkpoint")
+    ckpt.save(target, ckpt.fixture_variables(seed=3), epoch=7)
+    # simulate the crash window: checkpoint moved aside, new one never landed
+    os.rename(target, target + ".old")
+    variables, epoch = ckpt.load_any(target)
+    assert epoch == 7 and variables is not None
+    assert os.path.isdir(target)          # backup reinstated
+    assert not os.path.exists(target + ".old")

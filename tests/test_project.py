@@ -178,3 +178,42 @@ def test_processed_files_includes_zero_detection_files(tmp_path):
     done = again.processed_files()
     assert "/rec/voiced.wav" in done
     assert "/rec/silent.wav" in done
+
+
+def test_invalid_project_names_rejected(tmp_path):
+    """Names become directories/file-stems under the outputs folder —
+    separators and traversal must be rejected (review r3 finding)."""
+    pm = _mgr(tmp_path)
+    for bad in ("../../tmp/x", "a/b", "a\\b", "..", ".", ""):
+        with pytest.raises(ValueError):
+            pm.add_project(bad)
+    pm.add_project("fine-name_1")  # normal names still work
+
+
+def test_file_list_ops_require_active_project(tmp_path):
+    pm = _mgr(tmp_path)
+    with pytest.raises(RuntimeError):
+        pm.update_file_list(["/a.wav"])
+    with pytest.raises(RuntimeError):
+        pm.remove_from_file_list(["/a.wav"])
+
+
+def test_registry_write_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-write must not corrupt projects.json: the dump goes to a
+    temp file first (review r3: an in-place dump left a truncated registry
+    that failed every later launch)."""
+    pm = _mgr(tmp_path)
+    pm.add_project("alpha")
+
+    real_dump = json.dump
+    def exploding_dump(obj, f, **kw):
+        f.write('[{"name": "trunc')   # partial bytes, then crash
+        raise RuntimeError("disk full")
+    monkeypatch.setattr(json, "dump", exploding_dump)
+    with pytest.raises(RuntimeError):
+        pm.add_project("beta")
+    monkeypatch.setattr(json, "dump", real_dump)
+
+    # registry on disk is still the last GOOD state and still parses
+    pm2 = _mgr(tmp_path)
+    assert pm2.list_projects_by_name() == ["alpha"]

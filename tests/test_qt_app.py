@@ -282,3 +282,39 @@ def test_play_segment_clamps_negative_start(app_env, monkeypatch):
     win.review.play_segment()
     assert seen["range"][0] == 0.0
     assert seen["range"][1] == pytest.approx(0.8)
+
+
+def test_silence_screen_double_click_guard_and_messages(app_env, monkeypatch,
+                                                        tmp_path):
+    """start disables its button before dispatch (two concurrent runners
+    used to write the same output WAVs) and worker messages reach the info
+    label (the failure reason was emitted but connected nowhere) —
+    review r3 findings."""
+    win, wav, _ = app_env
+    _make_project(win, wav, monkeypatch)
+    win.show_silence()
+    outdir = str(tmp_path / "sil2")
+    monkeypatch.setattr(QFileDialog, "getExistingDirectory",
+                        staticmethod(lambda *a, **k: outdir))
+    # no review CSV yet: the worker fails and the REASON must be displayed
+    assert not os.path.exists(win.pm.current_project["review_file"])
+    win.silence.start()
+    assert "silencing failed" in win.silence.info.text()
+    assert win.silence.start_btn.isEnabled()  # re-enabled after finish
+
+
+def test_detect_worker_stop_before_runner_is_honored(app_env, monkeypatch):
+    """A Stop click that lands while the Detector is still constructing
+    must not be lost (review r3: stop() was a no-op until run() assigned
+    the runner)."""
+    from softspoken_tpu.ui.qt_app import _DetectWorker
+
+    win, wav, _ = app_env
+    _make_project(win, wav, monkeypatch)
+    w = _DetectWorker(win.cfg, win.pm.current_project, [wav])
+    results = []
+    w.signals.finished.connect(results.append)
+    w.stop()      # BEFORE run() builds the runner
+    w.run()
+    (report,) = results
+    assert report is not None and report.stopped
