@@ -178,15 +178,13 @@ class FusedStreamingEngine:
         if self.W is None:
             internal = jax.lax.dynamic_slice(x, (lo,), (self.buf_len,))
         else:
-            base = self.wmin + self.pad_l
-            a = jax.lax.dynamic_slice(
-                x, (base,), ((self.n_blocks + self.n_copies) * self.down,)
+            from ..io.resample import polyphase_apply
+
+            y = polyphase_apply(
+                x, jnp.asarray(self.W), wmin=self.wmin, pad_l=self.pad_l,
+                n_blocks=self.n_blocks, n_copies=self.n_copies,
+                down=self.down, width=self.width,
             )
-            A = a.reshape(self.n_blocks + self.n_copies, self.down)
-            X = jnp.concatenate(
-                [A[k : k + self.n_blocks] for k in range(self.n_copies)], axis=1
-            )[:, : self.width]
-            y = jnp.matmul(X, jnp.asarray(self.W)).reshape(-1)
             internal = jax.lax.dynamic_slice(y, (lo,), (self.buf_len,))
 
         def body(_, s):

@@ -40,7 +40,27 @@ class AudacityTxtTransform(Transform):
         df = df.copy()
         df["start_time"] = pd.to_numeric(df["start_time"], errors="coerce")
         df["end_time"] = pd.to_numeric(df["end_time"], errors="coerce")
+        if df["start_time"].isna().any() or df["end_time"].isna().any():
+            # surface the corrupt source row: a silent coercion wrote
+            # literal 'nan\tnan' label rows Audacity rejects (review r3)
+            bad = df[df["start_time"].isna() | df["end_time"].isna()]
+            raise ValueError(
+                "audacity export: non-numeric start/end time(s) in rows for "
+                f"{sorted(set(bad['file_name']))[:3]}")
         df = df.sort_values(["file_name", "start_time"])
+
+        # label files are keyed by recording stem; recordings that differ
+        # only in extension (x.wav + x.flac) must not collide on x.txt
+        # (review r3: the later group silently overwrote the earlier one)
+        names = df["file_name"].unique()
+        stems: dict = {}
+        for n in names:
+            stems.setdefault(Path(n).stem, []).append(n)
+        label_name = {
+            n: (f"{Path(n).stem}.txt" if len(group) == 1
+                else f"{n.replace('/', '_')}.txt")
+            for group in stems.values() for n in group
+        }
 
         written = set()
         for wav_name, group in df.groupby("file_name", sort=False):
@@ -48,7 +68,7 @@ class AudacityTxtTransform(Transform):
                 f"{s:.{precision}f}\t{e:.{precision}f}\t{comment}"
                 for s, e in zip(group["start_time"], group["end_time"])
             ]
-            out = out_root / f"{Path(wav_name).stem}.txt"
+            out = out_root / label_name[wav_name]
             out.write_text("\n".join(lines) + "\n")
             written.add(out.name)
         # the output dir is exporter-owned: a recording whose detections

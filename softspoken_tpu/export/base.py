@@ -7,9 +7,8 @@ CSV, str/bytes → written verbatim) or handle their own IO and return None.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
-from typing import Callable, Dict, Optional, Union
+from typing import Dict, Optional, Union
 
 import pandas as pd
 
@@ -44,7 +43,12 @@ class ReviewExportManager:
     def names(self):
         return list(self._registry)
 
-    def export(self, name: str, dst: Union[str, Path], make_dirs: bool = True, **kw) -> Path:
+    def export(self, name: str, dst: Union[str, Path], make_dirs: bool = True,
+               **kw) -> Optional[Path]:
+        """Run one transform.  Returns the path the manager wrote, or None
+        when the transform handled its own IO (returned None) — the old
+        behavior fabricated a ``dst``-derived path that was never created
+        for the three stock exporters (review r3 finding)."""
         if name not in self._registry:
             raise KeyError(f"no transform named '{name}'")
         tf = self._registry[name]
@@ -55,17 +59,19 @@ class ReviewExportManager:
             dst.parent.mkdir(parents=True, exist_ok=True)
 
         result = tf(self.df.copy(), **kw)
+        if result is None:
+            return None
         if isinstance(result, pd.DataFrame):
             result.to_csv(dst, index=False)
         elif isinstance(result, str):
             dst.write_text(result)
         elif isinstance(result, bytes):
             dst.write_bytes(result)
-        elif result is not None:
+        else:
             raise TypeError(f"unsupported transform return type {type(result).__name__}")
         return dst
 
-    def export_all(self, dst_dir: Union[str, Path], **kw) -> Dict[str, Path]:
+    def export_all(self, dst_dir: Union[str, Path], **kw) -> Dict[str, Optional[Path]]:
         return {name: self.export(name, dst_dir, **kw) for name in self._registry}
 
 

@@ -64,7 +64,11 @@ class KaleidoscopeCsvTransform(Transform):
         else:
             folders = list(paths)
         folders = ["" if f == "." else f for f in folders]
-        indir = indir.rstrip(os.sep) or os.sep
+        # trim only a REAL trailing separator: the degraded-empty INDIR
+        # ('' from the ValueError fallback above) must stay empty, not
+        # become the filesystem root (review r3 finding)
+        if indir:
+            indir = indir.rstrip(os.sep) or os.sep
 
         blank = pd.Series([""] * len(df), index=df.index)
         out = pd.DataFrame(

@@ -15,13 +15,17 @@ files under ``<base_dir>/Raven Outputs/<project>/``:
 
 from __future__ import annotations
 
+import logging
 import os
 from pathlib import Path
 from typing import Dict, Union
 
+import numpy as np
 import pandas as pd
 
 from .base import Transform
+
+log = logging.getLogger(__name__)
 
 
 _DURATION_CACHE: Dict[tuple, float] = {}
@@ -91,7 +95,14 @@ class RavenTxtTransform(Transform):
                     df.loc[df["abs_path"] == p, "end_time"], errors="coerce"
                 ).max()
             offsets[p] = running
-            running += float(dur)
+            dur = float(dur)
+            if not np.isfinite(dur):
+                # all end_times non-numeric too: contribute nothing rather
+                # than poisoning every later file's cumulative offset with
+                # NaN (review r3 finding)
+                log.warning("raven export: no duration derivable for %s", p)
+                dur = 0.0
+            running += dur
 
         off = df["abs_path"].map(offsets)
         begin = (off + pd.to_numeric(df["start_time"], errors="coerce")).round(precision)

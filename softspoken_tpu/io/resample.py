@@ -144,6 +144,32 @@ def polyphase_block_geometry(up: int, down: int, out_chunk: int):
     return W, wmin, n_blocks, n_copies, pad_l, in_len
 
 
+def polyphase_apply(x, W_dev, *, wmin: int, pad_l: int, n_blocks: int,
+                    n_copies: int, down: int, width: int):
+    """The traced polyphase block matmul, shared by DeviceChunkResampler and
+    the fused engine (engine/fused.py) so the alignment arithmetic and the
+    precision pin cannot silently diverge (review r3 finding).
+
+    ``x`` is the padded native buffer laid out by polyphase_block_geometry;
+    returns the flat internal-rate samples.  precision=HIGHEST: audio
+    samples need true f32 — a default (single-bf16-pass) matmul adds ~1e-3
+    relative noise to every resampled sample, diverging from the host
+    resampler far beyond float32 round-off (review r3 finding; same pin as
+    jax_resample below).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    base = wmin + pad_l
+    a = jax.lax.dynamic_slice(x, (base,), ((n_blocks + n_copies) * down,))
+    A = a.reshape(n_blocks + n_copies, down)
+    X = jnp.concatenate(
+        [A[k: k + n_blocks] for k in range(n_copies)], axis=1
+    )[:, :width]
+    Y = jnp.matmul(X, W_dev, precision=jax.lax.Precision.HIGHEST)
+    return Y.reshape(-1)
+
+
 class DeviceChunkResampler:
     """Fixed-shape, jit-compiled device resampler for streaming decode.
 
@@ -178,14 +204,10 @@ class DeviceChunkResampler:
 
         def fn(xp):
             # block starts: j·down + wmin + pad_l (pad_l cancels wmin ≤ 0)
-            base = wmin + pad_l
-            a = jax.lax.dynamic_slice(xp, (base,), ((n_blocks + n_copies) * down,))
-            A = a.reshape(n_blocks + n_copies, down)
-            X = jnp.concatenate(
-                [A[k : k + n_blocks] for k in range(n_copies)], axis=1
-            )[:, :width]
-            Y = jnp.matmul(X, W_dev)        # (n_blocks, up), f32 accum
-            return Y.reshape(-1)
+            return polyphase_apply(
+                xp, W_dev, wmin=wmin, pad_l=pad_l, n_blocks=n_blocks,
+                n_copies=n_copies, down=down, width=width,
+            )
 
         self._fn = jax.jit(fn)
         self._buf = np.zeros(self.in_len, np.float32)

@@ -32,7 +32,19 @@ def device_trace(log_dir: Optional[str] = None) -> Iterator[str]:
 
 
 def annotate(name: str):
-    """TraceAnnotation decorator/context for host-side stages."""
+    """Context manager marking a host-side stage in the profiler trace.
+
+    Context-manager ONLY — jax.profiler.TraceAnnotation is not callable,
+    so decorator use would raise TypeError (review r3); decorate functions
+    with :func:`annotate_function` instead.
+    """
     import jax
 
     return jax.profiler.TraceAnnotation(name)
+
+
+def annotate_function(fn, name: str = None):
+    """Decorator form: wraps ``fn`` in a profiler trace annotation."""
+    import jax
+
+    return jax.profiler.annotate_function(fn, name=name)

@@ -117,14 +117,18 @@ def _istft(spec, n, n_fft=1024, hop=256):
     return out[..., :n] if out_len >= n else jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, n - out_len)])
 
 
-def _phase_vocoder(spec, speed_factor, hop=256):
+def _phase_vocoder(spec, speed_factor, hop=256, out_frames=None):
     """Time-stretch an STFT (…, T, F) by `speed_factor` (traced scalar).
 
-    Static output length = input frame count; frames beyond the stretched
-    extent are zeroed (the reference truncates/pads to the clip length
-    anyway — voice_activity.py:629-636).
+    ``out_frames`` sets the static output frame count; frames beyond the
+    stretched extent are zeroed.  For slowdown (speed < 1) it must exceed
+    the input frame count or the stretched tail is dropped — the reference
+    emits ceil(T/speed) frames and only then truncates to the clip length
+    (voice_activity.py:629-636; review r3 finding).
     """
     n_frames = spec.shape[-2]
+    if out_frames is None:
+        out_frames = n_frames
     mag = jnp.abs(spec)
     phase = jnp.angle(spec)
 
@@ -145,7 +149,7 @@ def _phase_vocoder(spec, speed_factor, hop=256):
         return new_acc, frame
 
     init = phase[..., 0, :]
-    _, frames = jax.lax.scan(step, init, jnp.arange(1, n_frames))
+    _, frames = jax.lax.scan(step, init, jnp.arange(1, out_frames))
     # scan stacks on axis 0 → move the time axis back
     frames = jnp.moveaxis(frames, 0, -2)
     first = spec[..., 0:1, :]
@@ -165,7 +169,15 @@ def change_speed(audio, sr=SR, speed_factor=1.0, n_fft=1024, hop=256):
         return jnp.asarray(audio, jnp.float32)
     n = audio.shape[-1]
     spec = _stft(audio, n_fft, hop)
-    stretched = _phase_vocoder(spec, jnp.asarray(speed_factor, jnp.float32), hop)
+    n_frames = spec.shape[-2]
+    # slowdown emits MORE frames than the input; size the static output so
+    # the stretched tail survives up to the clip length (review r3: capping
+    # at n_frames zeroed the last ~40 ms of slowed clips)
+    sf = float(speed_factor)
+    out_frames = (n_frames if sf >= 1.0
+                  else int(np.ceil((n_frames - 1) / sf)) + 1)
+    stretched = _phase_vocoder(spec, jnp.asarray(sf, jnp.float32), hop,
+                               out_frames=out_frames)
     return _istft(stretched, n, n_fft, hop)
 
 
@@ -225,6 +237,12 @@ def add_harmonic_distortion(audio, sr=SR, distortion_level=0.5):
 
 
 def compress_dynamics(audio, sr=SR, compression_ratio=2.0, threshold_level=-20.0):
+    """Note (reference parity): the below-threshold branch keeps the RAW
+    value, so the trailing sign(audio) multiply RECTIFIES quiet negative
+    samples (sign(x)·x = |x|) — a reference bug reproduced deliberately
+    (voice_activity.py compress_dynamics behaves identically; the device
+    trainer pins the same quirk, train/device_data.py).  Do not "fix"
+    either side alone: train/inference parity would silently break."""
     thr = 10.0 ** (threshold_level / 20.0)
     mag = jnp.abs(audio)
     compressed = jnp.where(mag > thr, thr + (mag - thr) / compression_ratio, audio)

@@ -118,6 +118,90 @@ def test_raven_duration_fallback(tmp_path):
     assert table["Begin Time (s)"].tolist() == [1.0, 6.0]
 
 
+def test_audacity_nonnumeric_time_raises(tmp_path, review_df):
+    from softspoken_tpu.export.audacity import AudacityTxtTransform
+
+    bad = review_df.copy()
+    bad["start_time"] = bad["start_time"].astype(object)
+    bad.loc[1, "start_time"] = "oops"
+    with pytest.raises(ValueError, match="non-numeric"):
+        AudacityTxtTransform()(bad, base_dir=tmp_path, project_name="p")
+
+
+def test_audacity_stem_collision_keeps_both(tmp_path):
+    # rec.wav and rec.flac must not both land on rec.txt
+    from softspoken_tpu.export.audacity import AudacityTxtTransform
+
+    df = pd.DataFrame(
+        {
+            "file_name": ["rec.wav", "rec.flac", "solo.wav"],
+            "start_time": [1.0, 2.0, 3.0],
+            "end_time": [1.5, 2.5, 3.5],
+            "user_comment": ["", "", ""],
+        }
+    )
+    AudacityTxtTransform()(df, base_dir=tmp_path, project_name="p")
+    out = tmp_path / "Audacity Outputs" / "p"
+    names = sorted(f.name for f in out.glob("*.txt"))
+    assert names == ["rec.flac.txt", "rec.wav.txt", "solo.txt"]
+    assert (out / "rec.wav.txt").read_text().startswith("1.0")
+    assert (out / "rec.flac.txt").read_text().startswith("2.0")
+
+
+def test_kaleidoscope_degraded_indir_stays_empty(tmp_path):
+    # a relative/absolute file_path mix degrades INDIR to "" — it must not
+    # be rewritten as the filesystem root by the separator trim
+    from softspoken_tpu.export import KaleidoscopeCsvTransform
+
+    df = pd.DataFrame(
+        {
+            "file_path": ["rel/site", "/abs/site"],
+            "file_name": ["a.wav", "b.wav"],
+            "start_time": [0.0, 1.0],
+            "end_time": [1.0, 2.0],
+        }
+    )
+    KaleidoscopeCsvTransform()(df, base_dir=tmp_path, project_name="p")
+    out = pd.read_csv(tmp_path / "Kaleidoscope Outputs" / "p" / "p.csv",
+                      keep_default_na=False)
+    assert (out["INDIR"] == "").all()
+
+
+def test_raven_underivable_duration_does_not_poison_offsets(tmp_path):
+    # first file unreadable AND its end_times non-numeric: its duration is
+    # unknowable; later files' cumulative offsets must stay finite
+    from softspoken_tpu.export import RavenTxtTransform
+
+    df = pd.DataFrame(
+        {
+            "file_path": [str(tmp_path)] * 2,
+            "file_name": ["ghost.wav", "later.wav"],
+            "start_time": [1.0, 2.0],
+            "end_time": ["corrupt", 3.0],
+        }
+    )
+    RavenTxtTransform()(df, base_dir=tmp_path, project_name="p")
+    table = pd.read_csv(tmp_path / "Raven Outputs" / "p" / "p.txt", sep="\t")
+    assert table["Begin Time (s)"].tolist()[1] == 2.0
+    assert np.isfinite(table["End Time (s)"]).tolist() == [False, True]
+
+
+def test_manager_none_return_reports_none(tmp_path):
+    # self-IO transforms return None; the manager must not fabricate a
+    # dst-derived path that was never created
+    class SelfIO(Transform):
+        name = "selfio"
+        extension = ".csv"
+
+        def __call__(self, df, **kw):
+            return None
+
+    mgr = ReviewExportManager(pd.DataFrame({"x": [1]}))
+    mgr.register_transform(SelfIO())
+    assert mgr.export("selfio", tmp_path / "never.csv") is None
+    assert not (tmp_path / "never.csv").exists()
+
+
 def test_manager_dispatch(tmp_path):
     class Upper(Transform):
         name = "upper"

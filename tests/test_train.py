@@ -128,6 +128,17 @@ def test_change_speed_properties():
     assert np.abs(tail).max() < 0.05
 
 
+def test_change_speed_slowdown_keeps_tail():
+    # slowdown emits MORE frames than the input; the static vocoder output
+    # must be sized up or the last ~40 ms of the clip goes silent (r3 fix)
+    x = _tone(500.0)[None]
+    slow = np.asarray(augment.change_speed(jnp.asarray(x), speed_factor=0.8))
+    assert slow.shape == x.shape
+    mid_rms = np.sqrt(np.mean(slow[0, CLIP // 2 : CLIP // 2 + 2048] ** 2))
+    tail_rms = np.sqrt(np.mean(slow[0, -2048:] ** 2))
+    assert tail_rms > 0.5 * mid_rms
+
+
 def test_apply_augmentations_dispatch_and_params():
     rng = jax.random.PRNGKey(0)
     augs = ["reduce_volume", "add_echo"]
