@@ -37,6 +37,15 @@ def make_recording(path: str, seconds: float, sr: int = 32000, seed: int = 0) ->
 
 
 def main() -> None:
+    # Honor JAX_PLATFORMS for smoke runs (e.g. JAX_PLATFORMS=cpu when the
+    # axon tunnel is unreachable): the sitecustomize-registered TPU plugin
+    # ignores the env var, so mirror cli.py and pin via jax.config.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     from softspoken_tpu import Config, ckpt
     from softspoken_tpu.engine import Detector
 
