@@ -109,3 +109,19 @@ def filter_min_length(regions, minimum_detection_len: float = 0.1):
     """Review-stage filter: keep only length > minimum_detection_len
     (settings.py:26, review_detections.py:764-770)."""
     return [(s, e) for (s, e) in regions if (e - s) > minimum_detection_len]
+
+
+def merge_intervals(intervals, gap: float = 0.3) -> List[Tuple[float, float]]:
+    """Sort and merge intervals whose gap is ≤ ``gap`` seconds.
+
+    The shared label-merge convention used by BOTH synthetic label
+    generators (train/synth.py, train/synth2.py) — one implementation so
+    the two eval families cannot silently desynchronize their label
+    semantics (review r3 batch 6)."""
+    merged: List[Tuple[float, float]] = []
+    for s, e in sorted(intervals):
+        if merged and s - merged[-1][1] <= gap:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    return merged

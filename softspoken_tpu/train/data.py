@@ -60,6 +60,12 @@ def load_spoken_word(filenames: Sequence[Tuple[str, int]]) -> np.ndarray:
         wav, _sr = load_audio(file_name)
         if wav is None:
             continue
+        if not 0 <= start_idx < CLIP:
+            # placement entirely outside the clip: skip like the other
+            # loaders degrade on bad input — clip[start:end] would be empty
+            # while wav[:end-start] is not, a broadcast ValueError
+            # (review r3 batch 6)
+            continue
         end = min(start_idx + len(wav), CLIP)
         clip[start_idx:end] = wav[: end - start_idx]
     return clip

@@ -123,7 +123,69 @@ def save_labels(path: str, labeled: Sequence[Tuple[str, Sequence[Interval]]]) ->
                 w.writerow([fname, f"{s:.6f}", f"{e:.6f}"])
 
 
+_AUDIO_EXTS = (".wav", ".flac", ".aif", ".aiff", ".ogg")
+
+
+def _audio_for_stem(directory: str, stem: str) -> Optional[str]:
+    for ext in _AUDIO_EXTS:
+        cand = os.path.join(directory, stem + ext)
+        if os.path.isfile(cand):
+            return cand
+    return None
+
+
+def _load_audacity_txt(path: str) -> List[Interval]:
+    """One Audacity label track: ``start\\tend\\tlabel`` per line, no header
+    (the format export/audacity.py writes — see its module docstring)."""
+    intervals: List[Interval] = []
+    with open(path) as f:
+        for ln, line in enumerate(f, 1):
+            line = line.rstrip("\n")
+            if not line.strip():
+                continue
+            parts = line.split("\t")
+            if len(parts) < 2:
+                raise ValueError(
+                    f"{path}:{ln}: not an Audacity label row (need "
+                    f"start<TAB>end[<TAB>label]): {line!r}")
+            intervals.append((float(parts[0]), float(parts[1])))
+    return sorted(intervals)
+
+
 def load_labels(path: str) -> List[Tuple[str, List[Interval]]]:
+    """Load evaluation labels from any supported container:
+
+      * ``labels.csv`` (file,start_time,end_time rows — make_eval_set)
+      * a single Audacity ``<stem>.txt`` label track (start\\tend\\tlabel,
+        tab-separated, no header) — the matching audio is ``<stem>.wav``
+        (or .flac/.aif/.ogg) next to it
+      * a directory of such ``.txt`` tracks
+    """
+    if os.path.isdir(path):
+        out: List[Tuple[str, List[Interval]]] = []
+        for txt in sorted(os.listdir(path)):
+            if not txt.endswith(".txt"):
+                continue
+            full_txt = os.path.join(path, txt)
+            audio = _audio_for_stem(path, os.path.splitext(txt)[0])
+            if audio is None:
+                raise FileNotFoundError(
+                    f"no audio file next to label track {full_txt} "
+                    f"(looked for {os.path.splitext(txt)[0]}{_AUDIO_EXTS})")
+            out.append((audio, _load_audacity_txt(full_txt)))
+        if not out:
+            raise FileNotFoundError(f"no .txt label tracks in {path}")
+        return out
+    if path.endswith(".txt"):
+        directory = os.path.dirname(os.path.abspath(path))
+        stem = os.path.splitext(os.path.basename(path))[0]
+        audio = _audio_for_stem(directory, stem)
+        if audio is None:
+            raise FileNotFoundError(
+                f"no audio file next to label track {path} "
+                f"(looked for {stem}{_AUDIO_EXTS})")
+        return [(audio, _load_audacity_txt(path))]
+
     by_file: Dict[str, List[Interval]] = {}
     order: List[str] = []
     with open(path, newline="") as f:
@@ -207,10 +269,15 @@ def evaluate_detector(
         # clamp into [0, dur] FIRST so the min-length filter judges the
         # audible span, not a pad-straddling one (review r3 finding); the
         # duration comes from the detection result itself — same clock the
-        # predictions were made on, and no second header probe per file
-        pred = [(max(0.0, s), e) for s, e in res.intervals if e > 0]
-        pred = R.filter_min_length(pred, min_len)
+        # predictions were made on, and no second header probe per file.
+        # Both edges: a right-pad-only prediction (s >= dur) must drop the
+        # same way a left-pad-only one (e <= 0) does (review r3 batch 6).
         dur = res.audio_seconds
+        pred = [
+            (max(0.0, s), min(dur, e))
+            for s, e in res.intervals if e > 0 and s < dur
+        ]
+        pred = R.filter_min_length(pred, min_len)
         fm = frame_metrics(pred, truth, dur)
         em = event_metrics(pred, truth, iou)
         _accumulate(frame_total, fm)

@@ -49,7 +49,11 @@ class ClipSampler:
         n = self._lengths[f]
         start = int(self.rng.integers(max(1, n - D.CLIP + 1)))
         if self.tile_short and n < D.CLIP:
-            clip = D.load_environmental_noise(f, 0)
+            # random tiling phase: start=0 would make every draw of a
+            # sub-3s file the identical clip (review r3 batch 6); the
+            # reference rotates start_idx the same way (voice_activity.py
+            # start_idx into the tiled read)
+            clip = D.load_environmental_noise(f, int(self.rng.integers(max(1, n))))
             if clip is not None:
                 return clip
         wav, _ = load_audio(f, start=start)
@@ -263,7 +267,11 @@ class _DaemonJob:
         threading.Thread(target=run, daemon=True).start()
 
     def done(self) -> bool:
-        return self._done.is_set() and self.result is not None
+        # completion is the event alone: gating on `result is not None`
+        # would leave a job whose fn legitimately returned None neither
+        # done() nor failed(), stalling pool refresh forever with no log
+        # (review r3 batch 6)
+        return self._done.is_set() and self.error is None
 
     def failed(self) -> bool:
         return self._done.is_set() and self.error is not None

@@ -52,7 +52,12 @@ def create_train_state(
     if resume:
         from .. import ckpt as ckpt_mod
 
-        variables, epoch = ckpt_mod.load(resume)
+        # load_any, not load: it recovers a save() interrupted mid-swap
+        # (stranded <ckpt>.old) and accepts a converted .pth — both are
+        # exactly the resume-after-crash scenarios (review r3 batch 6)
+        variables, epoch = ckpt_mod.load_any(resume)
+        if variables is None:
+            raise FileNotFoundError(f"resume checkpoint not found: {resume}")
         step0 = max(0, int(epoch or 0))  # epoch=-1 sentinel (converted .pth)
     tx = optax.adamw(learning_rate, weight_decay=weight_decay)
     state = TrainState(

@@ -374,13 +374,9 @@ def synth_field_recording(
             intervals.append(((at + s) / SR, (at + e) / SR))
 
     # merge label fragments closer than 0.3 s (sub-syllable gaps)
-    intervals.sort()
-    merged: List[Tuple[float, float]] = []
-    for s, e in intervals:
-        if merged and s - merged[-1][1] <= 0.3:
-            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
-        else:
-            merged.append((s, e))
+    from ..engine.regions import merge_intervals
+
+    merged = merge_intervals(intervals, gap=0.3)
 
     peak = np.abs(audio22).max()
     if peak > 0.99:

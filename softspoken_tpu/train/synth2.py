@@ -379,13 +379,9 @@ def field_recording2(
             intervals.append(((at + s) / SR, (at + e) / SR))
 
     # merge plan fragments the same way labels are conventionally merged
-    intervals.sort()
-    merged: List[Tuple[float, float]] = []
-    for s, e in intervals:
-        if merged and s - merged[-1][1] <= 0.3:
-            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
-        else:
-            merged.append((s, e))
+    from ..engine.regions import merge_intervals
+
+    merged = merge_intervals(intervals, gap=0.3)
 
     # RMS-target leveling with a hard true-peak ceiling
     rms = float(np.sqrt(np.mean(audio ** 2) + 1e-12))

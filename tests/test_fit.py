@@ -89,3 +89,55 @@ def test_fit_resume_warm_starts(tmp_path, corpora):
         augmentations=[], save_every=2, log_every=2, resume=out)
     _, epoch2 = ckpt.load(out)
     assert epoch2 == 4
+
+
+def test_clip_sampler_short_file_tiling_varies(tmp_path, corpora):
+    """Sub-3s noise files must be tiled from a random phase, not always
+    offset 0 — start=0 made every draw the identical clip (review r3
+    batch 6)."""
+    import numpy as np
+
+    from softspoken_tpu.io import wavio
+    from softspoken_tpu.train.fit import ClipSampler
+
+    sr = 22050
+    short = tmp_path / "short.wav"
+    wavio.write(str(short), np.arange(sr, dtype=np.float32) / sr, sr,
+                subtype="FLOAT")
+    sampler = ClipSampler([str(short)], np.random.default_rng(0),
+                          tile_short=True)
+    clips = [sampler.sample() for _ in range(4)]
+    assert any(not np.array_equal(clips[0], c) for c in clips[1:])
+
+
+def test_daemon_job_none_result_is_done():
+    """A job whose fn returns None must still count as done (review r3
+    batch 6: pool refresh stalled forever otherwise)."""
+    import time
+
+    from softspoken_tpu.train.fit import _DaemonJob
+
+    job = _DaemonJob(lambda: None)
+    for _ in range(100):
+        if job.done() or job.failed():
+            break
+        time.sleep(0.01)
+    assert job.done() and not job.failed()
+
+
+def test_load_spoken_word_out_of_clip_offset(tmp_path):
+    """start_idx at/past CLIP must be skipped, not crash with a broadcast
+    ValueError (review r3 batch 6)."""
+    import numpy as np
+
+    from softspoken_tpu.io import wavio
+    from softspoken_tpu.train import data as D
+
+    sr = 22050
+    w = tmp_path / "w.wav"
+    wavio.write(str(w), np.ones(10000, np.float32), sr, subtype="FLOAT")
+    clip = D.load_spoken_word([(str(w), D.CLIP + 4000)])
+    assert clip.shape == (D.CLIP,) and float(np.abs(clip).max()) == 0.0
+    clip2 = D.load_spoken_word([(str(w), D.CLIP - 100)])
+    assert float(np.abs(clip2[: D.CLIP - 100]).max()) == 0.0
+    assert float(np.abs(clip2[D.CLIP - 100:]).max()) > 0.0
