@@ -124,12 +124,14 @@ def frame_index_table(frames: int = FRAMES) -> np.ndarray:
     return idx
 
 
-def gather_frames(waveform: jnp.ndarray, starts: jnp.ndarray, frames: int = FRAMES):
+def gather_frames(waveform: jnp.ndarray, starts: jnp.ndarray):
     """Extract STFT frames for many windows — no gather on the hot path.
 
     waveform: (N,) float — zero-padded chunk, every window fully in-bounds
     starts:   (B,) int32 — window start sample offsets into ``waveform``
-    returns:  (B, frames, WIN_LENGTH) float32
+    returns:  (B, 256, WIN_LENGTH) float32 — the layout is specialized for
+    the model's fixed 256-frame window (a configurable frame count would
+    only ever assert; review r3 batch 7 removed the dead parameter)
 
     Each window is one contiguous dynamic_slice (a DMA, not a gather).
     Frames 1..F-1 at 50% overlap are two interleaved views of a
@@ -138,16 +140,26 @@ def gather_frames(waveform: jnp.ndarray, starts: jnp.ndarray, frames: int = FRAM
     was ~2-3× slower on TPU.  Frame 0 (the only frame touching torch's
     per-window reflect pad) is an explicit flip+concat.
     """
-    assert frames == FRAMES, "frame layout is specialized for the 256-frame window"
-
     def one(start):
         w = jax.lax.dynamic_slice(waveform, (start,), (WINDOW_SAMPLES,))
-        b = w[: (FRAMES + 1) * HOP_LENGTH].reshape(FRAMES + 1, HOP_LENGTH)
-        mid = jnp.concatenate([b[: FRAMES - 1], b[1:FRAMES]], axis=1)  # (255, 512)
-        f0 = jnp.concatenate([w[1 : HOP_LENGTH + 1][::-1], w[:HOP_LENGTH]])[None, :]
-        return jnp.concatenate([f0, mid], axis=0)
+        return frames_from_window(w)
 
     return jax.vmap(one)(starts.astype(jnp.int32))
+
+
+def frames_from_window(w: jnp.ndarray) -> jnp.ndarray:
+    """One 66150-sample window → (256, 512) STFT frames.
+
+    The single home of the frame layout (50%-overlap interleaved views +
+    frame-0 reflect), shared by gather_frames and log_mel_clips so the
+    reflect indexing cannot drift between the chunk and the training
+    frontends (review r3 batch 7; pallas_frame_mel.py re-derives the same
+    layout in-kernel and parity-tests against this).
+    """
+    b = w[: (FRAMES + 1) * HOP_LENGTH].reshape(FRAMES + 1, HOP_LENGTH)
+    mid = jnp.concatenate([b[: FRAMES - 1], b[1:FRAMES]], axis=1)  # (255, 512)
+    f0 = jnp.concatenate([w[1 : HOP_LENGTH + 1][::-1], w[:HOP_LENGTH]])[None, :]
+    return jnp.concatenate([f0, mid], axis=0)
 
 
 def log_mel_from_frames(frames: jnp.ndarray, precision=None) -> jnp.ndarray:
@@ -165,15 +177,14 @@ def log_mel_from_frames(frames: jnp.ndarray, precision=None) -> jnp.ndarray:
 def log_mel_windows(
     waveform: jnp.ndarray,
     starts: jnp.ndarray,
-    frames: int = FRAMES,
     precision=None,
 ) -> jnp.ndarray:
     """Fused gather + DFT + mel + compression for a batch of windows.
 
-    Returns (B, n_mels, frames) float32 — matches the reference model's
+    Returns (B, n_mels, 256) float32 — matches the reference model's
     internal ``mel_spec`` right before the U-Net (pytorch_neural_nets.py:150).
     """
-    f = gather_frames(waveform.astype(jnp.float32), starts, frames)
+    f = gather_frames(waveform.astype(jnp.float32), starts)
     return log_mel_from_frames(f, precision=precision)
 
 
@@ -189,13 +200,14 @@ def log_mel_clips(clips: jnp.ndarray, precision=None) -> jnp.ndarray:
     Same frame layout as gather_frames but each clip IS its window, so no
     dynamic_slice is needed — pure reshape/concat views that XLA fuses.
     Used by the on-device training batch synthesizer (train/device_data.py).
+
+    Precision note (train/serve consistency): callers on the training path
+    pass precision=None (TPU default = one-pass bf16 matmuls) DELIBERATELY —
+    it matches the fast-mode inference frontend (config mel_precision
+    "auto"), so features/targets seen in training are the features seen in
+    production serving.  Parity-mode inference (HIGHEST) differs from both
+    by construction; the 24-condition hardware grid bounds the F1 effect at
+    ±0.002 (docs/PROFILE_r03.md).  Pass an explicit precision to pin.
     """
-
-    def one(w):
-        b = w[: (FRAMES + 1) * HOP_LENGTH].reshape(FRAMES + 1, HOP_LENGTH)
-        mid = jnp.concatenate([b[: FRAMES - 1], b[1:FRAMES]], axis=1)
-        f0 = jnp.concatenate([w[1 : HOP_LENGTH + 1][::-1], w[:HOP_LENGTH]])[None, :]
-        return jnp.concatenate([f0, mid], axis=0)
-
-    f = jax.vmap(one)(clips.astype(jnp.float32))
+    f = jax.vmap(frames_from_window)(clips.astype(jnp.float32))
     return log_mel_from_frames(f, precision=precision)

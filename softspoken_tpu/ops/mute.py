@@ -32,6 +32,11 @@ def interval_samples(
     arr = np.asarray(intervals, np.float64)
     starts = np.rint(arr[:, 0] * sr).astype(np.int64).clip(0, n)
     ends = np.rint(arr[:, 1] * sr).astype(np.int64).clip(0, n)
+    # a degenerate end<start interval must no-op (as the reference's
+    # audio[st:et]=0 does) — unclamped it would subtract coverage BEFORE
+    # its start, cancelling a valid overlapping interval's mute
+    # (review r3 batch 7)
+    ends = np.maximum(ends, starts)
     return starts, ends
 
 
@@ -77,6 +82,10 @@ def apply_mute(
     global intervals chunk by chunk with results identical to a whole-file
     pass (ramps that straddle a chunk border are split consistently because
     edge positions are global).
+
+    Ownership: when no interval touches the chunk the INPUT ARRAY is
+    returned aliased (no copy) — treat the result as read-only, or copy
+    before mutating in place.
     """
     n = audio.shape[-1]
     if total_samples is None:
@@ -106,9 +115,13 @@ def jax_apply_mute(audio, starts, ends, fade_samples: int = 0):
     import jax.numpy as jnp
 
     n = audio.shape[-1]
+    starts = jnp.clip(starts, 0, n)
+    # same degenerate-interval guard as interval_samples: end < start must
+    # no-op, not cancel another interval's coverage (review r3 batch 7)
+    ends = jnp.maximum(jnp.clip(ends, 0, n), starts)
     cover = jnp.zeros(n + 1, jnp.int32)
-    cover = cover.at[jnp.clip(starts, 0, n)].add(1)
-    cover = cover.at[jnp.clip(ends, 0, n)].add(-1)
+    cover = cover.at[starts].add(1)
+    cover = cover.at[ends].add(-1)
     muted = jnp.cumsum(cover[:-1]) > 0
     if fade_samples == 0:
         return audio * (1.0 - muted.astype(audio.dtype))

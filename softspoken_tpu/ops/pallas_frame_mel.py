@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import mel as melops
 
 LANES = 128
-W_ROWS = 518          # rows DMA'd per window: ceil((66150 + 127)/128) + 1
+W_ROWS = 518          # rows DMA'd per window: ceil(66150/128) + 1 carry row
 FRAMES_MID = 255      # frames 1..255 computed in-kernel
 # The mel filterbank's support ends at bin 743 (f_max = 8000 Hz of a 22050 Hz
 # / 2048-pt spectrum, pytorch_neural_nets.py:98); every DFT bin >= 744 has

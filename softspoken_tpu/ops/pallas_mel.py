@@ -11,7 +11,7 @@ chain in VMEM per tile:
     out   = sqrt(log10(mel+1))                         VPU
 
 Numerics note: torchaudio's spectrogram has 1025 bins, but the mel
-filterbank is zero above ~8.6 kHz (f_max=8000 ⇒ last nonzero DFT bin 744),
+filterbank is zero above ~8.6 kHz (f_max=8000 ⇒ last nonzero DFT bin 743),
 so bins 1024 (Nyquist) contributes nothing — the DFT here computes exactly
 1024 bins, which both drops dead work and lane-aligns every matmul for the
 MXU.  Output is bit-comparable to the XLA path up to f32 reduction order.

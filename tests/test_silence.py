@@ -194,3 +194,29 @@ def test_malformed_review_row_skips_file_not_run(tmp_path):
     assert report.files_done == 1
     assert report.files_failed == 1
     assert any("bad.wav" in k for k in report.errors)
+
+
+def test_apply_mute_degenerate_interval_noops():
+    """An end<start interval must no-op, not cancel the coverage of a valid
+    overlapping interval (review r3 batch 7)."""
+    import numpy as np
+
+    from softspoken_tpu.ops.mute import apply_mute
+
+    audio = np.ones(30, np.float32)
+    out = apply_mute(audio, [(10.0, 20.0), (15.0, 5.0)], sr=1)
+    assert float(np.abs(out[10:20]).max()) == 0.0
+    assert float(out[:10].min()) == 1.0 and float(out[20:].min()) == 1.0
+
+
+def test_jax_apply_mute_degenerate_interval_noops():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from softspoken_tpu.ops.mute import jax_apply_mute
+
+    audio = jnp.ones((1, 30), jnp.float32)
+    out = np.asarray(jax_apply_mute(
+        audio, jnp.asarray([10, 15], jnp.int32), jnp.asarray([20, 5], jnp.int32)))
+    assert float(np.abs(out[0, 10:20]).max()) == 0.0
+    assert float(out[0, :10].min()) == 1.0 and float(out[0, 20:].min()) == 1.0
