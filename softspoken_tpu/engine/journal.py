@@ -40,6 +40,16 @@ class ResumeState:
 
 def variables_digest(variables: Dict) -> str:
     """Stable sha256 over the parameter pytree (leaves in sorted key order)."""
+    try:
+        import jax
+
+        # ONE batched transfer for the whole tree: np.asarray per leaf
+        # inside the walk would pay a host↔device roundtrip per tensor —
+        # ~100 serial tunnel roundtrips on the remote backend
+        # (review r3 batch 8; same lesson as ckpt/convert's device_put)
+        variables = jax.device_get(variables)
+    except Exception:  # noqa: BLE001 — plain numpy trees digest fine as-is
+        pass
     h = hashlib.sha256()
 
     def walk(node, prefix: str) -> None:
@@ -112,14 +122,45 @@ class ChunkJournal:
             carry_sum=np.asarray(carry_sum, np.float32),
             carry_cnt=np.asarray(carry_cnt, np.float32),
         )
+        self._sweep_orphan_tmps()
         tmp = f"{self.path}.tmp{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(buf.getvalue())
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.path)
+        # fsync the directory so the rename itself survives power loss —
+        # the file-level fsync alone only protects the tmp's CONTENTS
+        # (review r3 batch 8)
+        try:
+            dfd = os.open(os.path.dirname(self.path) or ".", os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass  # e.g. platforms where directories can't be fsynced
+
+    def _sweep_orphan_tmps(self) -> None:
+        """Remove tmp files stranded by a crash between write and replace.
+
+        Each SIGKILL mid-save leaves one '<path>.tmp<pid>' behind — the
+        exact scenario the journal exists for — and nothing else ever
+        deletes them (review r3 batch 8).  Only OTHER pids' tmps are swept:
+        ours is about to be created/replaced.
+        """
+        import glob
+
+        for stale in glob.glob(f"{self.path}.tmp*"):
+            if stale == f"{self.path}.tmp{os.getpid()}":
+                continue
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
 
     def clear(self) -> None:
+        self._sweep_orphan_tmps()
         try:
             os.remove(self.path)
         except OSError:

@@ -29,7 +29,16 @@ def init_distributed(
     Arguments default to the standard JAX_* / cloud-TPU environment
     discovery; call once before any jax computation on each host.
     """
-    if num_processes in (None, 1) and "JAX_COORDINATOR_ADDRESS" not in os.environ \
+    if num_processes == 1:
+        # EXPLICIT single-process request: skip cluster auto-detection
+        # entirely — inside a SLURM/MPI allocation, initialize() would
+        # detect the cluster and block waiting for the other ranks (or
+        # adopt the SLURM world size, silently dropping most of the file
+        # partition on this host) despite the caller pinning 1
+        # (review r3 batch 8)
+        log.debug("explicit num_processes=1; jax.distributed not initialized")
+        return
+    if num_processes is None and "JAX_COORDINATOR_ADDRESS" not in os.environ \
             and coordinator_address is None:
         # No explicit configuration: defer to jax.distributed's own cluster
         # auto-detection (SLURM / OpenMPI / cloud-TPU metadata).  On a plain

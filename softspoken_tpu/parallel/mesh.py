@@ -69,13 +69,30 @@ class MeshDetector:
     of the sharding, and the grid average happens after the gather."""
 
     def __init__(self, detector, mesh: Optional[Mesh] = None):
+        if getattr(detector, "_fused_mesh", None) is not None:
+            # double-wrap would snapshot the FIRST wrapper's sharded fns as
+            # _orig, so a non-LIFO restore() leaves the shared Detector
+            # mesh-bound with _fused_mesh=None — exactly the silent state
+            # restore() exists to prevent (review r3 batch 8)
+            raise RuntimeError(
+                "detector is already mesh-bound (wrapped by a MeshDetector "
+                "that has not been restore()d); nest wrappers LIFO or "
+                "restore the existing one first")
         self.det = detector
         self.mesh = mesh if mesh is not None else make_mesh()
-        n = int(np.prod(self.mesh.devices.shape))
+        # the window batch is sharded ONLY over the 'data' axis (other axes
+        # replicate it), so that axis size — not the total mesh size — is
+        # the divisibility requirement (review r3 batch 8)
+        axis_sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        if "data" not in axis_sizes:
+            raise ValueError(
+                f"mesh has no 'data' axis (axes: {self.mesh.axis_names}); "
+                "shard_windows_forward shards windows over 'data'")
+        n = int(axis_sizes["data"])
         if detector.cfg.engine.device_batch % n:
             raise ValueError(
                 f"device_batch ({detector.cfg.engine.device_batch}) must be a "
-                f"multiple of the mesh size ({n})"
+                f"multiple of the mesh 'data' axis size ({n})"
             )
         fwd, fwd_chunk = shard_windows_forward(detector, self.mesh)
         # route the detector's chunk executor through the sharded forwards

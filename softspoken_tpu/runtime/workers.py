@@ -115,8 +115,17 @@ class DetectRunner:
     ) -> RunReport:
         cb = callbacks or RunCallbacks()
         report = RunReport()
-        files = list(files)
+        # dedupe while preserving order: a path listed twice would double-
+        # append rows (bypassing skip_processed_files, whose snapshot
+        # predates the run) and stall overall_progress short of 100%
+        # because errors are keyed by path (review r3 batch 8)
+        files = list(dict.fromkeys(files))
         total = len(files)
+        # per-chip throughput must know the mesh width when the detector is
+        # mesh-bound (parallel/mesh.py sets _fused_mesh); otherwise the
+        # "per_chip" number silently equals the aggregate (review r3 batch 8)
+        mesh = getattr(self.detector, "_fused_mesh", None)
+        self.meter.n_chips = int(mesh.size) if mesh is not None else 1
         self.meter.reset()
 
         skip_done = self.cfg.engine.skip_processed_files
@@ -159,6 +168,37 @@ class DetectRunner:
         t = threading.Thread(target=producer, daemon=True)
         t.start()
 
+        # chunk-granular resume: journal sidecars live next to the
+        # detections CSV; a killed run restarts mid-file (SURVEY §5)
+        journal_dir = (
+            os.path.join(
+                os.path.dirname(os.path.abspath(self.store.path)),
+                ".chunk_progress",
+            )
+            if self.cfg.engine.chunk_checkpoint_every > 0
+            else None
+        )
+
+        try:
+            self._consume(q, t, cb, report, total, journal_dir)
+        finally:
+            # symmetric to the producer's finally-sentinel: if the CONSUMER
+            # side dies (store save on a full disk, a user callback raising),
+            # the producer must not stay blocked in q.put with a decoded
+            # file pinned for process lifetime, and 'finished' must still
+            # fire so a GUI waiting on it cannot hang (review r3 batch 8)
+            self._stop.set()
+            while t.is_alive():
+                try:
+                    q.get(timeout=0.1)
+                except Empty:
+                    pass
+            report.throughput = self.meter.summary()
+            report.timers = self.timers.summary()
+            cb.emit("finished")
+        return report
+
+    def _consume(self, q, t, cb, report, total, journal_dir) -> None:
         while True:
             path, payload = q.get()
             if path is None:
@@ -169,15 +209,11 @@ class DetectRunner:
                 break
             if self._stop.is_set():
                 report.stopped = True
-                # unblock the producer: it may be waiting in q.put with a
-                # decoded file pinned in memory. Keep draining until the
-                # daemon thread exits (it re-checks _stop each loop and
-                # finishes with the sentinel), so nothing stays blocked.
-                while t.is_alive():
-                    try:
-                        q.get(timeout=0.1)
-                    except Empty:
-                        pass
+                # the run() finally drains the queue until the producer
+                # exits, unblocking a q.put holding a decoded file. Note:
+                # an in-flight _decode cannot be interrupted, so stop() may
+                # take up to one large-file decode to return; drained
+                # prefetched items were never processed and do not count.
                 break
             if isinstance(payload, str) and payload == "skip":
                 report.files_skipped += 1
@@ -192,17 +228,6 @@ class DetectRunner:
 
             cb.emit("file_started", path)
             progress = lambda frac: cb.emit("file_progress", frac * 100.0)  # noqa: E731
-
-            # chunk-granular resume: journal sidecars live next to the
-            # detections CSV; a killed run restarts mid-file (SURVEY §5)
-            journal_dir = (
-                os.path.join(
-                    os.path.dirname(os.path.abspath(self.store.path)),
-                    ".chunk_progress",
-                )
-                if self.cfg.engine.chunk_checkpoint_every > 0
-                else None
-            )
 
             def run_detection():
                 with self.timers.time("detect"):
@@ -240,11 +265,6 @@ class DetectRunner:
                 f"{self.meter.audio_sec_per_wall_sec:.1f} audio-sec/sec",
             )
             self._advance_overall(cb, report, total)
-
-        report.throughput = self.meter.summary()
-        report.timers = self.timers.summary()
-        cb.emit("finished")
-        return report
 
     def _advance_overall(self, cb: RunCallbacks, report: RunReport, total: int) -> None:
         # progress advances for every file leaving the queue (done, skipped,

@@ -184,3 +184,23 @@ def test_numerics_change_invalidates_journal(tmp_path):
                        variables=ckpt.fixture_variables(seed=0))
         h = _make_journal(det, wav, jd).header
         assert h != h0, f"header must change under {change}"
+
+
+def test_orphan_tmp_files_are_swept(tmp_path):
+    """Crash-stranded '<path>.tmp<pid>' files are removed on the next save
+    or clear (review r3 batch 8)."""
+    import numpy as np
+
+    from softspoken_tpu.engine.journal import ChunkJournal
+
+    p = str(tmp_path / "j.chunks.npz")
+    (tmp_path / "j.chunks.npz.tmp99999").write_bytes(b"stranded")
+    j = ChunkJournal(p, {"k": 1})
+    j.save([np.ones(4, np.float32)], np.zeros(2, np.float32),
+           np.zeros(2, np.float32))
+    left = [f for f in os.listdir(tmp_path) if ".tmp" in f]
+    assert left == []
+    (tmp_path / "j.chunks.npz.tmp12345").write_bytes(b"stranded")
+    j.clear()
+    left = [f for f in os.listdir(tmp_path) if ".tmp" in f]
+    assert left == [] and not os.path.exists(p)

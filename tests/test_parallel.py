@@ -282,3 +282,41 @@ def test_mesh_detector_restore_unwraps():
     assert det._fwd is orig_fwd and det._fwd_chunk is orig_chunk
     assert det._fused_mesh is None
     w.restore()  # idempotent
+
+
+def test_init_distributed_explicit_single_skips_autodetect(monkeypatch):
+    """num_processes=1 is an explicit request: inside a SLURM allocation,
+    auto-detection would block on the other ranks (review r3 batch 8)."""
+    import jax
+
+    from softspoken_tpu.parallel import init_distributed
+
+    def slurm_cluster(**kw):
+        raise AssertionError("initialize() must not be called")
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setattr(jax.distributed, "initialize", slurm_cluster)
+    init_distributed(num_processes=1)   # must not touch initialize()
+
+
+def test_mesh_detector_data_axis_divisibility():
+    """device_batch divides the DATA axis, not the total mesh size: a
+    (4,2) data×seq mesh with device_batch=4 is valid (review r3 batch 8)."""
+    det = Detector(
+        Config().with_engine(precision="parity", device_batch=4,
+                             chunk_seconds=12.0),
+        variables=ckpt.fixture_variables(seed=0),
+    )
+    m = make_mesh(("data", "seq"), shape=(4, 2))
+    with MeshDetector(det, m):
+        pass  # constructing is the assertion (total size 8 would reject)
+
+
+def test_mesh_detector_refuses_double_wrap():
+    det = Detector(CFG, variables=ckpt.fixture_variables(seed=0))
+    with MeshDetector(det):
+        with pytest.raises(RuntimeError, match="already mesh-bound"):
+            MeshDetector(det)
+    # after restore, wrapping again is fine
+    with MeshDetector(det):
+        pass

@@ -148,3 +148,38 @@ def test_producer_crash_cannot_hang_consumer(tmp_path, detector, wavs):
     runner2._decode = None             # TypeError inside the producer loop
     report2 = runner2.run([wavs[0]])   # must return, not hang
     assert report2.files_done == 0
+
+
+def test_duplicate_paths_processed_once(tmp_path, detector, wavs):
+    """A path listed twice must be processed once: the second pass would
+    double-append rows and stall overall progress (review r3 batch 8)."""
+    store = DetectionStore(str(tmp_path / "det.csv"))
+    overall = []
+    cb = RunCallbacks(overall_progress=overall.append)
+    runner = DetectRunner(detector, store, CFG)
+    report = runner.run([wavs[0], wavs[0], wavs[1]], cb)
+    assert report.files_done == 2
+    assert overall[-1] == 100.0
+    n_rows_first = len(store.df)
+    # re-run with duplicates again: skip-processed keeps it idempotent
+    report2 = DetectRunner(detector, store, CFG).run([wavs[0], wavs[0]], cb)
+    assert report2.files_skipped == 1 and len(store.df) == n_rows_first
+
+
+def test_consumer_crash_unblocks_producer_and_finishes(tmp_path, detector, wavs):
+    """If the CONSUMER side dies (e.g. store save on a full disk), the
+    producer must not stay blocked in q.put and 'finished' must still fire
+    (review r3 batch 8)."""
+    import threading
+
+    store = DetectionStore(str(tmp_path / "det.csv"))
+    store.save = lambda: (_ for _ in ()).throw(OSError("disk full"))
+    finished = []
+    cb = RunCallbacks(finished=lambda: finished.append(True))
+    runner = DetectRunner(detector, store, CFG)
+    with pytest.raises(OSError):
+        runner.run(wavs, cb)
+    assert finished == [True]
+    # the daemon producer exited rather than leaking blocked in q.put
+    for t in threading.enumerate():
+        assert not (t.daemon and t.is_alive() and "producer" in repr(t).lower())
