@@ -21,11 +21,14 @@ TPU-first design decisions:
     chunks share a window-length halo so every window sees real audio;
     results are independent of the chunking — SURVEY.md §5).
   * BatchNorm folded into conv weights at load (models.fold).
-  * "parity" precision: float32 + HIGHEST matmuls; "fast": bfloat16 convs
-    with float32 accumulation. The mel frontend's matmuls run at HIGHEST
-    in BOTH modes (measured ~12% of device time): the log compression
-    feeding a raw-logit 0.1 threshold is precision-sensitive, and bf16 DFT
-    products (8-bit mantissa) can flip borderline bins.
+  * "parity" precision: float32 + HIGHEST matmuls, including the mel
+    frontend — the log compression feeding a raw-logit 0.1 threshold is
+    precision-sensitive, and bf16 DFT products (8-bit mantissa) can flip
+    borderline bins.  "fast": bfloat16 convs with float32 accumulation,
+    and mel_precision "auto" resolves to DEFAULT (1-pass bf16) mel
+    matmuls — gated on the 24-condition hardware quality grid (max |ΔF1|
+    0.0016 frame vs "high"; docs/QUALITY_r03.json mel_default_gate).  Set
+    mel_precision explicitly to pin either mode.
 """
 
 from __future__ import annotations

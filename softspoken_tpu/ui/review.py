@@ -151,12 +151,17 @@ class ReviewSession:
         Returns the inserted row position, or None if end ≤ start."""
         if end_time <= start_time:
             return None
-        insert_at = len(self.df)
-        for r in range(len(self.df)):
-            rn, rs = self.df.iloc[r]["file_name"], float(self.df.iloc[r]["start_time"])
-            if (rn > file_name) or (rn == file_name and rs > start_time):
-                insert_at = r
-                break
+        # vectorized first-row-after lookup: the per-row .iloc scan paid two
+        # Series materializations per row — a visible stall on 10k+-row
+        # review CSVs for every single add (review r3 batch 9)
+        if len(self.df):
+            names = self.df["file_name"].to_numpy()
+            starts = pd.to_numeric(self.df["start_time"], errors="coerce").to_numpy()
+            after = (names > file_name) | ((names == file_name) & (starts > start_time))
+            hits = np.flatnonzero(after)
+            insert_at = int(hits[0]) if len(hits) else len(self.df)
+        else:
+            insert_at = 0
         row = {
             "ID": np.nan,
             "file_path": file_path,
@@ -189,7 +194,10 @@ class ReviewSession:
         rd = self.df.get("review_datetime")
         if rd is None:
             return np.zeros(len(self.df), bool)
-        return np.asarray([bool(str(v).strip()) for v in rd])
+        # dtype pinned: an empty list infers float64 and `rmask & ~emask`
+        # in stats() then crashes with a bitwise_and TypeError on an empty
+        # session (review r3 batch 9)
+        return np.asarray([bool(str(v).strip()) for v in rd], dtype=bool)
 
     def stats(self) -> dict:
         n = len(self.df)

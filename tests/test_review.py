@@ -164,3 +164,31 @@ def test_stats_kept_counts_reviewed_nonerased(project):
     s.df.loc[1, "erase"] = 1       # row 1: erased but never reviewed
     st = s.stats()
     assert st == {"total": 2, "reviewed": 1, "erased": 1, "kept": 1}
+
+
+def test_empty_session_stats(project):
+    """stats()/reviewed_mask() on an empty review CSV must return zeros,
+    not crash on a float64 empty mask (review r3 batch 9)."""
+    cfg, pm, proj, wavdir = project
+    pd.DataFrame(columns=["ID", "file_path", "file_name", "start_time",
+                          "end_time", "erase", "user_comment",
+                          "review_datetime"]).to_csv(
+        proj["detections_file"], index=False)
+    sess = ReviewSession(proj, cfg.paths.project_dir, cfg)
+    assert sess.stats() == {"total": 0, "reviewed": 0, "erased": 0, "kept": 0}
+
+
+def test_add_keeps_sorted_position(project):
+    """The vectorized insert lookup must match the old linear scan
+    semantics: first row strictly after (file_name, start_time)."""
+    cfg, pm, proj, wavdir = project
+    sess = ReviewSession(proj, cfg.paths.project_dir, cfg)
+    # fixture rows load sorted + min-length-filtered: a.wav 0.5, b.wav 1.0
+    at = sess.add(wavdir, "a.wav", 1.0, 1.8, persist=False)
+    assert at == 1
+    assert list(zip(sess.df["file_name"], sess.df["start_time"])) == [
+        ("a.wav", 0.5), ("a.wav", 1.0), ("b.wav", 1.0)]
+    at2 = sess.add(wavdir, "c.wav", 0.1, 0.2, persist=False)
+    assert at2 == len(sess.df) - 1
+    at3 = sess.add(wavdir, "a.wav", 0.0, 0.3, persist=False)
+    assert at3 == 0
