@@ -34,7 +34,12 @@ void ss_resample_f32(const float* x, int64_t n, float* y, int64_t n_out,
             // j bounds: 0 <= r + j*up < n_taps  and  0 <= k0 - j < n
             int64_t j_lo = k0 - (n - 1);           // k <= n-1
             if (j_lo < 0) j_lo = 0;
-            int64_t j_hi_taps = (n_taps - 1 - r) / up;   // i <= n_taps-1
+            // phases beyond the tap array (possible when up > n_taps)
+            // contribute nothing; C++ division truncates toward zero, so
+            // a negative numerator would yield 0 instead of -1 and the
+            // j=0 iteration would read taps[r] past the end — heap OOB
+            // (review r3 batch 10)
+            int64_t j_hi_taps = (r <= n_taps - 1) ? (n_taps - 1 - r) / up : -1;
             int64_t j_hi = j_hi_taps < k0 ? j_hi_taps : k0;  // k >= 0
             double acc = 0.0;
             const double* tp = taps + r;

@@ -232,6 +232,12 @@ def save(path: str, variables: Dict, epoch: int = -1) -> None:
         os.rename(path, old)
     os.rename(fresh, path)
     shutil.rmtree(old, ignore_errors=True)
+    # sweep .new-* stranded by OTHER (crashed) runs — each kill mid-swap
+    # leaks a full-size checkpoint dir otherwise (review r3 batch 10)
+    import glob
+
+    for stale in glob.glob(f"{path}.new-*"):
+        shutil.rmtree(stale, ignore_errors=True)
 
 
 def load(path: str) -> Tuple[Dict, int]:
@@ -253,13 +259,37 @@ def load_any(path: str) -> Tuple[Optional[Dict], int]:
         return load(path)
     if os.path.isfile(path) and path.endswith(".pth"):
         return load_pth(path)
-    # crash-recovery: save() renames the previous checkpoint to .old before
-    # installing the new one; a kill between the renames strands it there
-    old = f"{os.path.abspath(path)}.old"
-    if os.path.isdir(old):
-        import logging
+    # crash-recovery, NEWEST work first: a kill between save()'s two
+    # renames strands the fully-committed new checkpoint in '<path>.new-*'
+    # — recovering only .old would silently warm-start from STALE weights
+    # and leak the .new dir forever (review r3 batch 10)
+    import glob
+    import logging
+    import shutil
 
-        logging.getLogger(__name__).warning(
+    log_ = logging.getLogger(__name__)
+    abspath = os.path.abspath(path)
+    news = sorted(glob.glob(f"{abspath}.new-*"),
+                  key=lambda p: p.rsplit("-", 1)[-1])
+    for fresh in reversed(news):  # newest monotonic_ns first
+        try:
+            os.rename(fresh, path)
+            out = load(path)
+        except Exception as e:  # noqa: BLE001 — incomplete orbax write
+            log_.warning("discarding unreadable stranded save %s (%s)",
+                         fresh, e)
+            shutil.rmtree(path if os.path.isdir(path) else fresh,
+                          ignore_errors=True)
+            continue
+        log_.warning("recovered stranded checkpoint save %s (a save() was "
+                     "interrupted mid-swap)", fresh)
+        for stale in news:
+            shutil.rmtree(stale, ignore_errors=True)
+        shutil.rmtree(f"{abspath}.old", ignore_errors=True)
+        return out
+    old = f"{abspath}.old"
+    if os.path.isdir(old):
+        log_.warning(
             "recovering stranded checkpoint backup %s (a save() was "
             "interrupted mid-swap)", old)
         os.rename(old, path)

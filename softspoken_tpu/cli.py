@@ -65,7 +65,18 @@ def _active_project(pm, name: Optional[str]):
 def cmd_project(args) -> None:
     cfg = _load_config(args)
     pm = _manager(cfg)
+    # the optional positional `name` precedes `files`: argparse binds the
+    # FIRST audio file as the project name when the user means the default
+    # project.  If `name` is an existing path and not an existing project,
+    # treat it as a file (review r3 batch 10).
+    if args.action in ("add-files", "remove-files") and args.name:
+        known = {p["name"] for p in pm.projects_data}
+        if args.name not in known and os.path.exists(args.name):
+            args.files = [args.name] + list(args.files)
+            args.name = None
     if args.action == "new":
+        if not args.name:
+            raise SystemExit("error: `project new` requires a project name")
         pm.add_project(args.name)
         print(f"created project '{args.name}' under {pm.project_output_dir(args.name)}")
     elif args.action == "list":
@@ -83,6 +94,11 @@ def cmd_project(args) -> None:
         _active_project(pm, args.name)
         remaining = pm.remove_from_file_list([os.path.abspath(f) for f in args.files])
         print(f"{len(remaining)} file(s) remain")
+    elif args.action == "merge-detections":
+        from .parallel import merge_partition_stores
+
+        proj = _active_project(pm, args.name)
+        print(json.dumps(merge_partition_stores(proj["detections_file"])))
 
 
 # ---------------------------------------------------------------------------
@@ -176,7 +192,14 @@ def cmd_review(args) -> None:
         df = session.df
         for i in range(len(df)):
             r = df.iloc[i]
-            mark = "E" if int(r.get("erase", 0) or 0) == 1 else (
+            # float-formatted strings ('1.0') from Excel/pandas round
+            # trips crash int(); coerce leniently like stats() does
+            # (review r3 batch 10)
+            try:
+                erased = float(r.get("erase", 0) or 0) == 1.0
+            except (TypeError, ValueError):
+                erased = False
+            mark = "E" if erased else (
                 "K" if str(r.get("review_datetime", "")).strip() else "."
             )
             print(
@@ -267,13 +290,16 @@ def _grade_loop(session, args) -> None:
             session.prev()
         elif cmd == "p":
             seg = (max(0.0, float(row["start_time"])), float(row["end_time"]))
-            if not play_segment(full, seg):
-                out = export_segment_wav(full, seg)
+            # session.cfg carries the CLI --config; the defaults here would
+            # silently diverge from `review render/segment` output for the
+            # same row (review r3 batch 10)
+            if not play_segment(full, seg, config=session.cfg):
+                out = export_segment_wav(full, seg, config=session.cfg)
                 print(f"  (no audio device; segment written to {out})")
         elif cmd == "r":
             png = render_review_png(
                 full, float(row["start_time"]), float(row["end_time"]),
-                zoom_level=args.zoom,
+                zoom_level=args.zoom, config=session.cfg,
             )
             out = f"detection_{int(row['ID'])}.png"
             with open(out, "wb") as f:
@@ -421,7 +447,13 @@ def cmd_gui(args) -> None:
 
 
 def cmd_bench(args) -> None:
-    os.environ.setdefault("BENCH_SECONDS", str(args.seconds))
+    # an EXPLICIT --seconds wins over ambient BENCH_SECONDS; with no flag,
+    # the env var (bench.py's own contract) still applies
+    # (review r3 batch 10: setdefault silently discarded the flag)
+    if args.seconds is not None:
+        os.environ["BENCH_SECONDS"] = str(args.seconds)
+    else:
+        os.environ.setdefault("BENCH_SECONDS", "1800")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, root)
     import bench
@@ -436,10 +468,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", help="JSON config file overriding defaults")
     p.add_argument("--project-dir", help="projects root (default ./projects)")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--log-json", action="store_true",
+                   help="emit machine-parseable JSON-lines logs on stderr")
     sub = p.add_subparsers(dest="command", required=True)
 
     pp = sub.add_parser("project", help="manage projects")
-    pp.add_argument("action", choices=["new", "list", "status", "add-files", "remove-files"])
+    pp.add_argument("action", choices=["new", "list", "status", "add-files",
+                                       "remove-files", "merge-detections"])
     pp.add_argument("name", nargs="?", help="project name")
     pp.add_argument("files", nargs="*", help="audio files (add/remove-files)")
     pp.set_defaults(func=cmd_project)
@@ -504,7 +539,9 @@ def build_parser() -> argparse.ArgumentParser:
     pc.set_defaults(func=cmd_convert_ckpt)
 
     pb = sub.add_parser("bench", help="throughput benchmark")
-    pb.add_argument("--seconds", type=float, default=1800.0)
+    pb.add_argument("--seconds", type=float, default=None,
+                    help="benchmark recording length (default 1800; an "
+                         "explicit value overrides BENCH_SECONDS)")
     pb.set_defaults(func=cmd_bench)
 
     pg = sub.add_parser("gui", help="Qt desktop app (PySide6, or headless shim)")
@@ -573,7 +610,13 @@ def main(argv: Optional[List[str]] = None) -> None:
 
         jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
-    logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO)
+    # the package's uniform formatter (+ optional JSON-lines ingestion
+    # mode) — a bare basicConfig left utils.setup_logging unreachable from
+    # the CLI (review r3 batch 10)
+    from .utils import setup_logging
+
+    setup_logging(level=logging.DEBUG if args.verbose else logging.INFO,
+                  json_lines=args.log_json)
     args.func(args)
 
 

@@ -1,4 +1,4 @@
-from .distributed import init_distributed, partition_files
+from .distributed import init_distributed, merge_partition_stores, partition_files
 from .mesh import MeshDetector, make_mesh, shard_windows_forward
 
 __all__ = [
@@ -7,4 +7,5 @@ __all__ = [
     "shard_windows_forward",
     "init_distributed",
     "partition_files",
+    "merge_partition_stores",
 ]

@@ -73,3 +73,60 @@ def partition_files(files: Sequence[str], process_id: Optional[int] = None,
     n = jax.process_count() if num_processes is None else num_processes
     ordered = sorted(files)
     return ordered[pid::n]
+
+
+def merge_partition_stores(store_path: str, remove: bool = True) -> dict:
+    """Gather per-process ``<base>.pN<ext>`` detection stores into the main
+    store at ``store_path``.
+
+    ``detect --distributed`` writes one store per process (race-free by
+    construction); review/silence/status read only the MAIN store, so this
+    is the required gather step — run it once after all ranks finish
+    (review r3 batch 10: the partitions were previously unreachable from
+    any downstream stage).  File-granular and idempotent: a partition's
+    file is skipped if the main store already processed it (each file is
+    detected by exactly one rank, so file-level merge is exact).  Partition
+    CSVs and their ``.processed`` sidecars are deleted after a successful
+    merge unless ``remove=False``.
+    """
+    import glob
+    import re
+
+    from ..project.store import DetectionStore
+
+    base, ext = os.path.splitext(store_path)
+    parts = sorted(
+        (p for p in glob.glob(f"{base}.p*{ext}")
+         if re.fullmatch(re.escape(base) + r"\.p\d+" + re.escape(ext), p)),
+        key=lambda p: int(re.search(r"\.p(\d+)" + re.escape(ext) + "$", p).group(1)),
+    )
+    main = DetectionStore(store_path)
+    done = main.processed_files()
+    merged_rows = 0
+    merged_files = 0
+    for part_path in parts:
+        part = DetectionStore(part_path)
+        by_file: dict = {}
+        for _, r in part.df.iterrows():
+            full = os.path.join(str(r["file_path"]), str(r["file_name"]))
+            by_file.setdefault(full, []).append(
+                (float(r["start_time"]), float(r["end_time"])))
+        for full in part.processed_files():
+            if full in done:
+                continue
+            merged_rows += main.append_intervals(full, by_file.get(full, []))
+            main.mark_processed(full)
+            done.add(full)
+            merged_files += 1
+    main.save()
+    if remove:
+        for part_path in parts:
+            for p in (part_path, part_path + ".processed"):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+    log.info("merged %d partition store(s): %d file(s), %d row(s) into %s",
+             len(parts), merged_files, merged_rows, store_path)
+    return {"partitions": len(parts), "files": merged_files,
+            "rows": merged_rows, "store": store_path}

@@ -317,3 +317,30 @@ def test_load_any_recovers_stranded_old_backup(tmp_path):
     assert epoch == 7 and variables is not None
     assert os.path.isdir(target)          # backup reinstated
     assert not os.path.exists(target + ".old")
+
+
+def test_load_any_recovers_stranded_new_save(tmp_path):
+    """A kill between save()'s two renames strands the fully-committed new
+    checkpoint in '<path>.new-*'; load_any must recover THAT (the newest
+    work), not the stale .old (review r3 batch 10)."""
+    import os
+
+    from softspoken_tpu import ckpt
+
+    path = str(tmp_path / "model_checkpoint")
+    v_old = ckpt.fixture_variables(seed=0)
+    ckpt.save(path, v_old, epoch=10)
+    os.rename(path, f"{path}.old")
+    v_new = ckpt.fixture_variables(seed=1)
+    ckpt.save(path, v_new, epoch=20)
+    # simulate the crash window: new save committed as .new-*, previous
+    # checkpoint already renamed to .old, nothing at `path`
+    os.rename(path, f"{path}.new-123-456789")
+
+    variables, epoch = ckpt.load_any(path)
+    assert epoch == 20  # the NEW checkpoint won
+    assert os.path.isdir(path)
+    import glob
+
+    assert glob.glob(f"{path}.new-*") == []   # strays swept
+    assert not os.path.isdir(f"{path}.old")

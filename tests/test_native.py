@@ -40,3 +40,25 @@ def test_native_pcm16_to_mono():
     got = native.pcm16_to_mono_f32(raw, channels=2)
     want = (raw.reshape(-1, 2).astype(np.float64) / 32768.0).mean(axis=1)
     np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-6)
+
+
+def test_native_resample_short_taps_no_oob():
+    """up > n_taps must not read past the taps array: phases beyond the
+    last tap contribute zero, matching scipy (review r3 batch 10)."""
+    import numpy as np
+
+    from softspoken_tpu.io.native import resample_f32
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(50).astype(np.float32)
+    taps = np.asarray([0.25, 0.5, 0.25], np.float64)  # n_taps=3 << up
+    y = resample_f32(x, 16, 5, taps)
+    if y is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    from scipy.signal import resample_poly
+
+    ref = resample_poly(x.astype(np.float64), 16, 5, window=taps)
+    n = min(len(y), len(ref))
+    assert np.allclose(y[:n], ref[:n], atol=1e-5)

@@ -320,3 +320,36 @@ def test_mesh_detector_refuses_double_wrap():
     # after restore, wrapping again is fine
     with MeshDetector(det):
         pass
+
+
+def test_merge_partition_stores(tmp_path):
+    """detect --distributed writes per-process stores; the merge gathers
+    them into the main store downstream stages read (review r3 batch 10)."""
+    from softspoken_tpu.parallel import merge_partition_stores
+    from softspoken_tpu.project.store import DetectionStore
+
+    main_path = str(tmp_path / "det.csv")
+    # rank stores: p0 detected a.wav (2 rows) + processed quiet b.wav;
+    # p1 detected c.wav (1 row)
+    p0 = DetectionStore(str(tmp_path / "det.p0.csv"))
+    p0.append_intervals("/x/a.wav", [(1.0, 2.0), (3.0, 4.0)])
+    p0.mark_processed("/x/a.wav")
+    p0.mark_processed("/x/b.wav")
+    p0.save()
+    p1 = DetectionStore(str(tmp_path / "det.p1.csv"))
+    p1.append_intervals("/x/c.wav", [(0.5, 0.9)])
+    p1.mark_processed("/x/c.wav")
+    p1.save()
+
+    out = merge_partition_stores(main_path)
+    assert out["partitions"] == 2 and out["files"] == 3 and out["rows"] == 3
+
+    main = DetectionStore(main_path)
+    assert len(main.df) == 3
+    assert main.processed_files() == {"/x/a.wav", "/x/b.wav", "/x/c.wav"}
+    assert list(main.df["ID"]) == [1, 2, 3]  # IDs rebased sequentially
+    # partitions consumed
+    assert not os.path.exists(str(tmp_path / "det.p0.csv"))
+    # idempotent re-run
+    out2 = merge_partition_stores(main_path)
+    assert out2["partitions"] == 0 and len(DetectionStore(main_path).df) == 3
