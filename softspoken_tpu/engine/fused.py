@@ -61,12 +61,10 @@ def grid_tile_period(step_seconds: float, max_p: int = 8,
     Verified over ``n_check`` windows (4M ≈ 29 days of audio at 0.6 s step);
     the run path re-verifies against the actual bins it uses.
     """
-    from . import regions as _R
-
     i = np.arange(n_check, dtype=np.int64)
-    bins = _R.window_bin_offset(i, step_seconds)
+    bins = R.window_bin_offset(i, step_seconds)
     for p in range(1, max_p + 1):
-        G = int(np.rint(p * step_seconds / _R.TIME_RESOLUTION))
+        G = int(np.rint(p * step_seconds / R.TIME_RESOLUTION))
         if G == 256 and bool(np.all(bins[p:] == bins[:-p] + G)):
             return p
     return None
@@ -105,7 +103,16 @@ class FusedStreamingEngine:
         # model's sharp logits corrupt chunk-boundary scores without it.
         step, dt = cfg.engine.step_seconds, R.TIME_RESOLUTION
         scatter_extent = int(round((self.chunk_w - 1) * step / dt)) + 256 + 2
-        fin_upper = int(round(self.chunk_w * step / dt)) + 2
+        # fin's true upper bound includes the FINAL chunk's finalization
+        # through `covered` (= last window bin + 256), not just the next
+        # chunk's base: with defaults the final fin is 13312 while
+        # round(chunk_w·step/dt) is only 13107, so the carry slice start
+        # was clamped for >=252-window tail chunks — latent only because
+        # the post-final carry is currently discarded (review r3 batch 11)
+        fin_upper = max(
+            int(round(self.chunk_w * step / dt)),
+            int(round((self.chunk_w - 1) * step / dt)) + 256,
+        ) + 2
         self.glen = max(scatter_extent, fin_upper + CARRY)
         # disjoint-group grid update (see grid_tile_period); None → general
         # scatter fallback for non-tiling step sizes
@@ -232,7 +239,6 @@ class FusedStreamingEngine:
         inputs device-resident (no host IO, no uploads, no downloads except
         one final sync).  Isolates compute capability from the host link;
         bench.py reports it alongside the e2e number."""
-        import time
 
         cfg = self.cfg
         step = cfg.engine.step_seconds

@@ -98,7 +98,10 @@ def _parse_header(f: BinaryIO) -> WavInfo:
                     raise WavFormatError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
                 # SubFormat GUID: first two bytes are the real format tag
                 fmt_tag = struct.unpack("<H", body[24:26])[0]
-        elif cid == b"data":
+        elif cid == b"data" and data_offset is None:
+            # first-wins: a malformed/concatenated WAV with a SECOND data
+            # chunk must not redirect the payload — spec-conforming readers
+            # (libsndfile) decode the first (review r3 batch 11)
             data_offset = f.tell()
             data_bytes = csize
             if is_rf64 and csize == 0xFFFFFFFF and rf64_data_size is not None:
@@ -209,15 +212,9 @@ def read(
     ``start``/``frames`` select a frame range; reads are clamped at EOF
     (mirrors the clamp in ``voice_activity.py:107-110``).
     """
-    with open(path, "rb") as f:
-        inf = _parse_header(f)
-        bpf = inf.channels * (inf.bits_per_sample // 8)
-        start = max(0, min(int(start), inf.frames))
-        if frames is None:
-            frames = inf.frames - start
-        frames = max(0, min(int(frames), inf.frames - start))
-        f.seek(inf.data_offset + start * bpf)
-        raw = np.frombuffer(f.read(frames * bpf), dtype=np.uint8)
+    # one home for the clamp/seek/frombuffer body (read_raw) — the r3
+    # fuzz-hardening clamps must not fork across copies (review r3 batch 11)
+    raw, inf = read_raw(path, start=start, frames=frames)
     data = _decode(raw, inf.subtype).reshape(-1, inf.channels)
     if inf.channels == 1 and not always_2d:
         data = data[:, 0]

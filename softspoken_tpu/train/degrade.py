@@ -28,7 +28,11 @@ DEGRADATIONS = ("rolloff4k", "clip", "mulaw", "hum", "dropout")
 
 
 def rolloff4k(audio: np.ndarray, sr: int, rng: np.random.Generator) -> np.ndarray:
-    sos = signal.butter(2, 4000.0, btype="low", fs=sr, output="sos")
+    # clamp the cutoff below Nyquist: at sr <= 8000 (telephone-band eval)
+    # a 4 kHz Butterworth raises ValueError; a 0.45·sr rolloff is the
+    # closest realizable mic-rolloff analogue there (review r3 batch 11)
+    cutoff = min(4000.0, 0.45 * sr)
+    sos = signal.butter(2, cutoff, btype="low", fs=sr, output="sos")
     return signal.sosfilt(sos, audio).astype(np.float32)
 
 

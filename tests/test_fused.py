@@ -255,3 +255,17 @@ def test_fused_respects_pad_seconds_override(tmp_path):
     assert fused.num_windows == host.num_windows
     np.testing.assert_allclose(fused.avg_values, host.avg_values, atol=2e-3)
     assert fused.intervals == host.intervals
+
+
+def test_grid_covers_final_chunk_carry_slice():
+    """glen must bound fin+CARRY for the FINAL chunk too (fin finalizes
+    through last-window-bin+256); a clamped carry slice start silently
+    reads the wrong bins (review r3 batch 11)."""
+    from softspoken_tpu.engine import regions as R
+    from softspoken_tpu.engine.fused import CARRY, FusedStreamingEngine
+
+    det = Detector(CFG, variables=ckpt.fixture_variables(seed=0))
+    eng = FusedStreamingEngine(det, 32000, "i16")
+    step = CFG.engine.step_seconds
+    final_fin = int(round((eng.chunk_w - 1) * step / R.TIME_RESOLUTION)) + 256
+    assert final_fin + CARRY <= eng.glen

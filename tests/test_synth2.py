@@ -87,3 +87,16 @@ def test_degrade_mulaw_is_the_shipped_wire_codec():
     i16 = np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int16)
     np.testing.assert_array_equal(
         y, wire.decode_host(wire.encode_lut()[i16.view(np.uint16)]))
+
+
+def test_degrade_rolloff_low_sample_rate():
+    """rolloff4k must clamp its cutoff below Nyquist instead of raising at
+    telephone-band sample rates (review r3 batch 11)."""
+    import numpy as np
+
+    from softspoken_tpu.train import degrade
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal(8000).astype(np.float32)
+    out = degrade.rolloff4k(audio, 8000, rng)
+    assert out.shape == audio.shape and np.isfinite(out).all()

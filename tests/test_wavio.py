@@ -219,3 +219,29 @@ def test_odd_payload_riff_size_counts_pad_byte(tmp_path):
     assert declared == len(raw) - 8
     y, sr = wavio.read(p)
     assert len(y) == 333 and sr == 8000
+
+
+def test_second_data_chunk_is_ignored(tmp_path):
+    """First data chunk wins: a concatenated/malformed WAV with a second
+    data chunk must not redirect the payload (review r3 batch 11)."""
+    import struct
+
+    import numpy as np
+
+    from softspoken_tpu.io import wavio
+
+    good = np.linspace(-0.5, 0.5, 100).astype(np.float32)
+    p = str(tmp_path / "twodata.wav")
+    wavio.write(p, good, 8000, subtype="PCM_16")
+    # append a second data chunk full of garbage and patch the RIFF size
+    garbage = (np.zeros(100, np.int16) + 12345).tobytes()
+    with open(p, "r+b") as f:
+        f.seek(0, 2)
+        f.write(b"data" + struct.pack("<I", len(garbage)) + garbage)
+        total = f.tell()
+        f.seek(4)
+        f.write(struct.pack("<I", total - 8))
+    got, sr = wavio.read(p)
+    ref = np.round(good * 32767.0) / 32768.0
+    assert sr == 8000 and len(got) == 100
+    assert np.allclose(got, ref, atol=2.0 / 32768.0)
