@@ -82,7 +82,10 @@ def _parse(f) -> AiffInfo:
     channels = frames = bits = 0
     rate = 0.0
     comp = b"NONE"
-    data_offset = data_bytes = 0
+    # None = no SSND seen; 0 is a VALID empty SSND payload — conflating the
+    # two decoded header/trailing bytes as PCM (review r3 batch 12)
+    data_offset: int | None = None
+    data_bytes = 0
     while True:
         ck = f.read(8)
         if len(ck) < 8:
@@ -121,7 +124,14 @@ def _parse(f) -> AiffInfo:
     if little and subtype != "PCM_16":
         raise AiffFormatError("sowt is only defined for 16-bit PCM")
     bpf = channels * (bits // 8)
-    if data_offset:
+    if data_offset is None:
+        if frames > 0:
+            # COMM promises audio but the file has no SSND (crash-truncated
+            # before it, or metadata-only): without this, read() would seek
+            # to offset 0 and decode the FORM/COMM header bytes as samples
+            raise AiffFormatError("missing SSND chunk (frames > 0)")
+        data_offset = 0
+    elif data_offset is not None:
         # clamp against the PHYSICAL file size too (mirrors wavio's
         # _parse_header clamp): a crash-truncated file whose SSND size
         # overstates the payload would otherwise short-read and fail the
@@ -133,8 +143,11 @@ def _parse(f) -> AiffInfo:
             f.seek(0, 2)
             phys = f.tell() - data_offset
             f.seek(pos)
-        data_bytes = max(0, min(data_bytes, phys)) if data_bytes else max(0, phys)
-    if data_bytes and frames * bpf > data_bytes:
+        # data_bytes < 0 (malformed offset past the chunk) means unknown:
+        # fall back to the physical extent; an exact 0 is an EMPTY payload
+        # and must stay 0, not swallow trailing chunks (review r3 batch 12)
+        data_bytes = max(0, min(data_bytes, phys)) if data_bytes >= 0 else max(0, phys)
+    if frames * bpf > data_bytes:
         frames = data_bytes // bpf  # tolerate truncated files like wavio
     return AiffInfo(
         samplerate=int(round(rate)), channels=channels, frames=frames,

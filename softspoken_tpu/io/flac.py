@@ -21,6 +21,9 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+# counted lengths of unknown-length FLACs, keyed (abspath, size, mtime_ns)
+_UNKNOWN_LEN_CACHE: dict = {}
+
 log = logging.getLogger(__name__)
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
@@ -125,7 +128,20 @@ class FlacReader:
             # FLAC spec (streaming encoders emit it); treating it as a
             # real zero silently decoded such files as empty (review r3).
             # One bounded counting pass establishes the true length, then
-            # the handle is reopened at frame 0.
+            # the handle is reopened at frame 0.  The count is cached per
+            # (path, size, mtime): probe()/info() sit on hot UI paths
+            # (every spectrogram render), and re-decoding a multi-minute
+            # file per zoom step is pure waste (review r3 batch 12).
+            try:
+                st = os.stat(path)
+                cache_key = (os.path.abspath(path), st.st_size,
+                             st.st_mtime_ns)
+            except OSError:
+                cache_key = None
+            cached = _UNKNOWN_LEN_CACHE.get(cache_key) if cache_key else None
+            if cached is not None:
+                total.value = cached
+        if total.value == 0:
             n = 0
             scratch = np.empty(self._READ_BLOCK * ch.value, np.int32)
             ptr = scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
@@ -144,16 +160,30 @@ class FlacReader:
             if not self._h:
                 raise FlacError(f"not a decodable FLAC file: {path}")
             total.value = n
+            if cache_key:
+                if len(_UNKNOWN_LEN_CACHE) > 256:
+                    _UNKNOWN_LEN_CACHE.clear()
+                _UNKNOWN_LEN_CACHE[cache_key] = n
         self.info = FlacInfo(
             samplerate=sr.value, channels=ch.value, frames=total.value,
             subtype=f"FLAC_{bits.value}", bits_per_sample=bits.value,
         )
         self._pos = 0
+        self._eof_pin = False
 
     def seek(self, frame: int) -> None:
         frame = max(0, min(int(frame), self.info.frames))
         if frame == self._pos:
             return
+        if frame >= self.info.frames:
+            # EOF seek: the native seek looks for a block CONTAINING the
+            # target, which cannot exist at exactly total_samples — it
+            # would fail where the contract ('reads clamp at EOF') promises
+            # an empty read (review r3 batch 12)
+            self._pos = self.info.frames
+            self._eof_pin = True
+            return
+        self._eof_pin = False
         if self._lib.ssflac_seek(self._h, frame) != 0:
             raise FlacError(f"seek to frame {frame} failed: "
                             f"{self._lib.ssflac_error(self._h).decode()}")
@@ -168,6 +198,11 @@ class FlacReader:
         """Next ``frames`` interleaved int32 samples at native bit depth;
         shorter at EOF."""
         ch = self.info.channels
+        if getattr(self, "_eof_pin", False):
+            # seek() pinned the logical position at EOF without moving the
+            # native handle; decoding from its real position would return
+            # mid-file samples labeled as EOF data (review r3 batch 12)
+            return np.zeros((0, ch), np.int32)
         parts = []
         remaining = int(frames)
         while remaining > 0:

@@ -88,14 +88,27 @@ _STREAM_BYTES = 2048         # ogg_stream_state ~ 408
 
 _libs = None
 _tried = False
+_load_lock = __import__("threading").Lock()
 
 
 def _load():
     global _libs, _tried
     if _tried:
         return _libs
-    _tried = True
+    with _load_lock:
+        # double-checked: without the lock a concurrent caller observed
+        # _tried=True while _libs was still mid-load and wrongly reported
+        # 'libvorbis not found' for a decodable file (review r3 batch 12;
+        # flac._get_lib guards the identical pattern)
+        if _tried:
+            return _libs
+        return _load_locked()
+
+
+def _load_locked():
+    global _libs, _tried
     if os.environ.get("SOFTSPOKEN_DISABLE_VORBIS"):
+        _tried = True
         return None
     try:
         mode = ctypes.RTLD_GLOBAL
@@ -105,6 +118,7 @@ def _load():
         venc = ctypes.CDLL("libvorbisenc.so.2", mode=mode)
     except OSError as e:
         log.info("libvorbis unavailable (%s); OGG support disabled", e)
+        _tried = True
         return None
 
     vfile.ov_fopen.argtypes = [c_char_p, c_void_p]
@@ -163,6 +177,7 @@ def _load():
     ogg.ogg_stream_clear.argtypes = [c_void_p]
 
     _libs = (ogg, vorbis, vfile, venc)
+    _tried = True  # publish only after _libs is fully built
     return _libs
 
 

@@ -91,7 +91,10 @@ class ProjectManager:
         os.replace(tmp, self.projects_file)
 
     def list_projects_by_name(self) -> List[str]:
-        return [p["name"] for p in self.projects_data]
+        # tolerate nameless registry entries the loader itself accepts
+        # (_migrate_paths skips them) — p["name"] raised KeyError and broke
+        # every project flow for such a registry (review r3 batch 12)
+        return [p["name"] for p in self.projects_data if p.get("name")]
 
     def add_project(self, name: str) -> Dict:
         # the name becomes a directory and file-stem under the outputs
@@ -156,8 +159,7 @@ class ProjectManager:
         unique = set(self.get_unprocessed_list())
         unique.update(files)
         merged = sorted(unique)
-        with open(path, "w") as f:
-            f.writelines(name + "\n" for name in merged)
+        self._write_file_list(path, merged)
         return merged
 
     def remove_from_file_list(self, files: List[str]) -> List[str]:
@@ -165,9 +167,18 @@ class ProjectManager:
             raise RuntimeError("no active project (call set_active_project)")
         path = self.current_project["file_list_file"]
         remaining = [p for p in self.get_unprocessed_list() if p not in set(files)]
-        with open(path, "w") as f:
-            f.writelines(name + "\n" for name in remaining)
+        self._write_file_list(path, remaining)
         return remaining
+
+    @staticmethod
+    def _write_file_list(path: str, names: List[str]) -> None:
+        # atomic like _write_registry: a crash between truncate and write
+        # would otherwise permanently lose the project's entire registered
+        # file list (review r3 batch 12)
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.writelines(name + "\n" for name in names)
+        os.replace(tmp, path)
 
     # ---- step status (silencer_ui.py:353-400) --------------------------
     def step_status(self) -> Dict[str, str]:

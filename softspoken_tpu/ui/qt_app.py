@@ -641,8 +641,18 @@ if HAVE_QT:
 
             path = self.app.pm.current_project["review_file"]
             if os.path.exists(path):
-                df = pd.read_csv(path)
-                n = int((pd.to_numeric(df["erase"], errors="coerce") == 1).sum())
+                # a zero-byte CSV (interrupted review save — step_status
+                # calls that state 'In Progress') or a hand-edited one
+                # without 'erase' must degrade to guidance, not crash the
+                # navigation slot (review r3 batch 12)
+                try:
+                    df = pd.read_csv(path)
+                    n = int((pd.to_numeric(df.get("erase"), errors="coerce")
+                             == 1).sum())
+                except Exception:  # noqa: BLE001 — empty/corrupt CSV
+                    self.info.setText(
+                        "review file unreadable — re-run Review")
+                    return
                 self.info.setText(f"{n} detection(s) flagged for erasure")
             else:
                 self.info.setText("no review file yet — run Review first")

@@ -184,3 +184,42 @@ def test_truncated_ssnd_clamps_to_physical_size(tmp_path):
     np.testing.assert_allclose(
         data[: inf.frames], audio[: inf.frames].astype(np.float32) / 32768.0,
         atol=1e-6)
+
+
+def test_missing_ssnd_with_frames_raises(tmp_path):
+    """COMM promising audio with no SSND chunk must raise AiffFormatError,
+    not decode the header bytes as PCM (review r3 batch 12)."""
+    import struct
+
+    import pytest
+
+    from softspoken_tpu.io import aiff
+
+    comm = struct.pack(">hIh", 1, 100, 16) + b"\x40\x0c\xac\x44\x00\x00\x00\x00\x00\x00"
+    body = b"COMM" + struct.pack(">I", len(comm)) + comm
+    data = b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFF" + body
+    p = tmp_path / "nossnd.aiff"
+    p.write_bytes(data)
+    with pytest.raises(aiff.AiffFormatError, match="SSND"):
+        aiff.info(str(p))
+
+
+def test_empty_ssnd_reports_zero_frames(tmp_path):
+    """An empty SSND payload followed by trailing chunks must report zero
+    frames, not decode the trailing chunk bytes as audio (r3 batch 12)."""
+    import struct
+
+    from softspoken_tpu.io import aiff
+
+    comm = struct.pack(">hIh", 1, 100, 16) + b"\x40\x0c\xac\x44\x00\x00\x00\x00\x00\x00"
+    ssnd = struct.pack(">II", 0, 0)  # offset 0, block 0, no payload
+    anno = b"ANNO" + struct.pack(">I", 64) + b"x" * 64
+    body = (b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd + anno)
+    data = b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFF" + body
+    p = tmp_path / "emptyssnd.aiff"
+    p.write_bytes(data)
+    inf = aiff.info(str(p))
+    assert inf.frames == 0 and inf.data_bytes == 0
+    got, sr = aiff.read(str(p))
+    assert len(got) == 0

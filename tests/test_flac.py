@@ -327,3 +327,23 @@ def test_unknown_length_streaminfo_decodes_fully(tmp_path):
     assert sr == 22050 and len(y) == len(x)
     np.testing.assert_array_equal(
         np.round(y * 32768.0).astype(np.int64), x[:, 0])
+
+
+def test_seek_to_eof_reads_empty(tmp_path):
+    """seek(total_samples) is a legal EOF position: reads there must return
+    empty (the clamp contract), not raise from the native seek
+    (review r3 batch 12)."""
+    p = str(tmp_path / "eof.flac")
+    x = _sine_int(10_000, 1, 16)
+    flac_ref.write_flac(p, x, 22050, bits=16)
+    r = flac.FlacReader(p)
+    try:
+        r.seek(r.info.frames)
+        out = r.read_i32(100)
+        assert out.shape[0] == 0
+        # seeking back re-enables real reads
+        r.seek(0)
+        again = r.read_i32(10)
+        assert again.shape[0] == 10
+    finally:
+        r.close()

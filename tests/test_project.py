@@ -217,3 +217,48 @@ def test_registry_write_is_atomic(tmp_path, monkeypatch):
     # registry on disk is still the last GOOD state and still parses
     pm2 = _mgr(tmp_path)
     assert pm2.list_projects_by_name() == ["alpha"]
+
+
+def test_nameless_registry_entry_tolerated(tmp_path):
+    """A projects.json entry without a name loads (the migrator skips it);
+    listing must not KeyError on it (review r3 batch 12)."""
+    import json
+    import os
+
+    from softspoken_tpu import Config
+    from softspoken_tpu.project import ProjectManager
+
+    cfg = Config().with_paths(project_dir=str(tmp_path))
+    pm = ProjectManager(cfg)
+    pm.add_project("real")
+    with open(pm.projects_file) as f:
+        data = json.load(f)
+    data.append({"detections_file": "/nowhere.csv"})  # nameless
+    with open(pm.projects_file, "w") as f:
+        json.dump(data, f)
+    pm2 = ProjectManager(cfg)
+    assert pm2.list_projects_by_name() == ["real"]
+    pm2.add_project("second")  # must not crash on the nameless entry
+
+
+def test_file_list_write_is_atomic(tmp_path, monkeypatch):
+    """update_file_list goes through tmp+os.replace — a crash mid-write
+    must not leave a truncated list (review r3 batch 12)."""
+    import os
+
+    from softspoken_tpu import Config
+    from softspoken_tpu.project import ProjectManager
+
+    cfg = Config().with_paths(project_dir=str(tmp_path))
+    pm = ProjectManager(cfg)
+    pm.add_project("p")
+    pm.set_active_project("p")
+    pm.update_file_list(["/a/x.wav", "/a/y.wav"])
+
+    real_replace = os.replace
+    calls = []
+    monkeypatch.setattr(os, "replace",
+                        lambda a, b: (calls.append((a, b)), real_replace(a, b))[1])
+    pm.update_file_list(["/a/z.wav"])
+    assert calls, "file list write must go through os.replace"
+    assert pm.get_unprocessed_list() == ["/a/x.wav", "/a/y.wav", "/a/z.wav"]
