@@ -74,7 +74,7 @@ def main() -> None:
     # has multi-second stalls unrelated to this workload (measured
     # 156x..589x for identical runs); the best run reflects the pipeline,
     # the spread reflects the shared link
-    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "5")))
     trace_dir = os.environ.get("BENCH_TRACE", "")
     walls = []
     for i in range(repeats):

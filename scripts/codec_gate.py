@@ -36,8 +36,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=6)
     ap.add_argument("--seconds", type=float, default=90.0)
-    ap.add_argument("--ckpt", default="root/models/spec_unet_2d/model_checkpoint")
-    ap.add_argument("--out", default="docs/QUALITY_r03.json")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ap.add_argument("--ckpt", default=os.path.join(
+        repo_root, "root/models/spec_unet_2d/model_checkpoint"))
+    ap.add_argument("--out", default=os.path.join(
+        repo_root, "docs/QUALITY_r03.json"))
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (script smoke-testing)")
@@ -60,6 +63,14 @@ def main():
     for codec in ("pcm16", "mulaw8"):
         cfg = Config().with_engine(pipeline="fused", upload_codec=codec)
         dets[codec] = Detector(cfg, checkpoint_path=args.ckpt)
+        # refuse random init: a missing checkpoint degrades to fixture
+        # weights and would publish a garbage gate into QUALITY_r03.json
+        # attributed to the real checkpoint (review r3 batch 13; same
+        # guard as quality_grid.py)
+        if getattr(dets[codec], "epoch", -1) < 0:
+            raise SystemExit(
+                f"checkpoint {args.ckpt} did not load (epoch<0) — "
+                "refusing to run the codec gate on random init")
     pad = Config().engine.pad_seconds
 
     base = args.workdir or tempfile.mkdtemp(prefix="codec_gate_")

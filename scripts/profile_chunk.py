@@ -2,12 +2,13 @@
 
 VERDICT r2 weak #1: "no profiler-derived op breakdown is recorded anywhere —
 optimization is currently unguided."  This captures a jax.profiler trace of
-the exact program bench.py times (device_batch/chunk_seconds from the same
-env vars), aggregates per-op device time from the trace's event stream, and
-writes a markdown table of where the step actually goes.
+the fused chunk program (defaults follow bench.py's DEVICE-ONLY operating
+point via the same BENCH_DEV_BATCH / BENCH_DEV_CHUNK_SECONDS env vars;
+--batch/--chunk-seconds override), aggregates per-op device time from the
+trace's event stream, and writes a markdown table of where the step goes.
 
 Usage: python scripts/profile_chunk.py [--out docs/PROFILE_r03.md]
-       [--repeats 4] [--batch 256] [--chunk-seconds 150]
+       [--repeats 4] [--batch N] [--chunk-seconds S]
 """
 
 import argparse
@@ -23,6 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# Honor JAX_PLATFORMS (e.g. =cpu for smoke runs): the sitecustomize-
+# registered axon plugin ignores the env var, so pin via jax.config
+# (same handling as cli.py/bench.py).
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+
+
 
 def capture(batch: int, chunk_seconds: float, repeats: int, trace_dir: str):
     import jax
@@ -35,19 +46,8 @@ def capture(batch: int, chunk_seconds: float, repeats: int, trace_dir: str):
     cfg = Config().with_engine(device_batch=batch, chunk_seconds=chunk_seconds)
     det = Detector(cfg, variables=ckpt.fixture_variables(seed=0))
     eng = get_fused_engine(det, 32000, "i16")
-
-    step = cfg.engine.step_seconds
-    starts = np.arange(eng.chunk_w, dtype=np.int64) * int(
-        round(cfg.dsp.sample_rate * step))
-    starts = np.minimum(starts, max(0, eng.buf_len - 66150)).astype(np.int32)
-    bins = R.window_bin_offset(np.arange(eng.chunk_w), step).astype(np.int32)
-    args = (
-        jax.device_put(np.zeros(eng.in_len, eng._dtype)),
-        jnp.int32(0), jnp.int32(0),
-        jax.device_put(starts.reshape(eng.nb, eng.B)),
-        jax.device_put(bins.reshape(eng.nb, eng.B)),
-        jax.device_put(np.ones((eng.nb, eng.B), np.float32)),
-    )
+    # the ONE arg layout, shared with device_only_rate (review r3 batch 13)
+    args = eng.synthetic_chunk_args()
     cs = jnp.zeros((CARRY,), jnp.float32)
     cc = jnp.zeros((CARRY,), jnp.float32)
     variables = det.variables
@@ -117,8 +117,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="docs/PROFILE_r03.md")
     ap.add_argument("--repeats", type=int, default=4)
-    ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--chunk-seconds", type=float, default=150.0)
+    ap.add_argument("--batch", type=int,
+                    default=int(os.environ.get("BENCH_DEV_BATCH", "128")))
+    ap.add_argument("--chunk-seconds", type=float,
+                    default=float(os.environ.get("BENCH_DEV_CHUNK_SECONDS",
+                                                 "600")))
     ap.add_argument("--trace-dir", default="/tmp/chunk_trace")
     args = ap.parse_args()
 

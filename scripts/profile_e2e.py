@@ -24,6 +24,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor JAX_PLATFORMS (e.g. =cpu for smoke runs): the sitecustomize-
+# registered axon plugin ignores the env var, so pin via jax.config
+# (same handling as cli.py/bench.py).
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -24,6 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# Honor JAX_PLATFORMS (e.g. =cpu for smoke runs): the sitecustomize-
+# registered axon plugin ignores the env var, so pin via jax.config
+# (same handling as cli.py/bench.py).
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+
+
 THRESHOLDS = [0.02, 0.05, 0.1, 0.15, 0.2, 0.3, 0.5]
 PARITY = {"threshold": 0.1, "break_duration": 0.5}
 TUNED = {"threshold": 0.1, "break_duration": 0.3}
@@ -64,9 +74,13 @@ def score_set(det, labeled, pad_seconds):
         for avg, dur, truth in per_file:
             regs = R.find_speech_regions(avg, threshold, break_duration)
             regs = R.shift_regions(regs, -pad_seconds)
-            # clamp into [0, dur] FIRST so the min-length filter judges the
-            # audible span, not the pad-straddling one (review r3 finding)
-            regs = [(max(0.0, s), e) for s, e in regs if e > 0]
+            # clamp into [0, dur] at BOTH edges FIRST so the min-length
+            # filter judges the audible span (review r3 batch 13: the end
+            # was never clamped, so trailing-pad regions kept their
+            # pad-straddling span — asymmetric with the leading-pad fix;
+            # mirrors train/evaluate.py)
+            regs = [(max(0.0, s), min(dur, e)) for s, e in regs
+                    if e > 0 and s < dur]
             pred = R.filter_min_length(regs, 0.1)
             fm = E.frame_metrics(pred, truth, dur)
             em = E.event_metrics(pred, truth, 0.5)
@@ -129,8 +143,14 @@ def main():
         n_files, seconds = 2, 60.0
         conditions = CONDITIONS[:2] + [CONDITIONS[7]]
 
-    if args.quick and args.out == "docs/QUALITY_r03.json":
-        # the smoke run must never clobber the committed evidence file
+    # resolve --out against the repo root so running from elsewhere still
+    # updates the committed evidence file (review r3 batch 13)
+    if not os.path.isabs(args.out):
+        args.out = os.path.join(REPO_ROOT, args.out)
+    if args.quick and os.path.abspath(args.out) == os.path.join(
+            REPO_ROOT, "docs/QUALITY_r03.json"):
+        # the smoke run must never clobber the committed evidence file,
+        # regardless of how the default path was spelled
         args.out = "/tmp/quality_grid_quick.json"
 
     cfg = Config().with_engine(mel_precision=args.mel_precision)

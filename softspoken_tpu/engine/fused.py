@@ -234,20 +234,21 @@ class FusedStreamingEngine:
         return avg, cnt_g, new_carry_sum, new_carry_cnt
 
     # ------------------------------------------------------------------
-    def device_only_rate(self, repeats: int = 8) -> float:
-        """Audio-seconds/wall-second of the chunk program alone, with all
-        inputs device-resident (no host IO, no uploads, no downloads except
-        one final sync).  Isolates compute capability from the host link;
-        bench.py reports it alongside the e2e number."""
-
+    def synthetic_chunk_args(self):
+        """Device-resident args for one full synthetic chunk (zeros audio,
+        every window valid) — the ONE home for this layout, shared by
+        device_only_rate and scripts/profile_chunk.py so the profiled
+        program cannot silently diverge from the benchmarked one
+        (review r3 batch 13)."""
         cfg = self.cfg
         step = cfg.engine.step_seconds
+        win = cfg.samples_per_window
         starts = np.arange(self.chunk_w, dtype=np.int64) * int(
             round(cfg.dsp.sample_rate * step)
         )
-        starts = np.minimum(starts, max(0, self.buf_len - 66150)).astype(np.int32)
+        starts = np.minimum(starts, max(0, self.buf_len - win)).astype(np.int32)
         bins = R.window_bin_offset(np.arange(self.chunk_w), step).astype(np.int32)
-        args = (
+        return (
             jax.device_put(np.zeros(self.in_len, self._wire_dtype)),
             jnp.int32(0),
             jnp.int32(0),
@@ -255,6 +256,14 @@ class FusedStreamingEngine:
             jax.device_put(bins.reshape(self.nb, self.B)),
             jax.device_put(np.ones((self.nb, self.B), np.float32)),
         )
+
+    def device_only_rate(self, repeats: int = 8) -> float:
+        """Audio-seconds/wall-second of the chunk program alone, with all
+        inputs device-resident (no host IO, no uploads, no downloads except
+        one final sync).  Isolates compute capability from the host link;
+        bench.py reports it alongside the e2e number."""
+
+        args = self.synthetic_chunk_args()
         carry_s = jnp.zeros((CARRY,), jnp.float32)
         carry_c = jnp.zeros((CARRY,), jnp.float32)
         variables = self.det.variables
@@ -270,7 +279,7 @@ class FusedStreamingEngine:
         # through the carry chain, so one download forces them all
         jax.device_get(avg)
         wall = time.perf_counter() - t0
-        return repeats * self.chunk_w * step / wall
+        return repeats * self.chunk_w * self.cfg.engine.step_seconds / wall
 
     # ------------------------------------------------------------------
     def run(
