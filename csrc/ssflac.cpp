@@ -34,6 +34,11 @@ struct BitReader {
     int bits = 0;         // valid low bits in acc
     bool eof = false;
     long long base_off = 0;  // file offset of buf[0]
+    // byte tape: when enabled, every byte fetched into acc is recorded so
+    // decode_frame can verify the frame CRC-16 (review r3 batch 14 — the
+    // unverified CRC let random corruption decode as garbage audio)
+    bool taping = false;
+    std::vector<uint8_t> tape;
 
     explicit BitReader(FILE* fp) : f(fp), buf(1 << 20) {}
 
@@ -48,7 +53,11 @@ struct BitReader {
             pos = 0;
             if (filled == 0) { eof = true; return false; }
         }
-        acc = (acc << 8) | buf[pos++];
+        uint8_t byte = buf[pos++];
+        // 16 MB cap: larger than any legal frame; an adversarial stream
+        // must not balloon the tape (overflow skips CRC verification)
+        if (taping && tape.size() < (1u << 24)) tape.push_back(byte);
+        acc = (acc << 8) | byte;
         bits += 8;
         return true;
     }
@@ -90,17 +99,42 @@ struct BitReader {
     bool seek_to(long long off) {
         if (fseek(f, off, SEEK_SET) != 0) return false;
         filled = 0; pos = 0; acc = 0; bits = 0; eof = false;
+        taping = false; tape.clear();
         base_off = off;
         return true;
     }
+
+    // start taping at a frame boundary: seed with the two sync bytes plus
+    // any bytes already fetched into acc but not yet consumed (they belong
+    // to the frame and will not pass through refill_byte again)
+    void start_frame_tape(uint8_t sync2) {
+        tape.clear();
+        tape.push_back(0xFF);
+        tape.push_back(sync2);
+        for (int k = bits / 8 - 1; k >= 0; k--)
+            tape.push_back((uint8_t)((acc >> (k * 8)) & 0xFF));
+        taping = true;
+    }
 };
+
+static uint16_t crc16_flac(const uint8_t* p, size_t n) {
+    uint16_t crc = 0;
+    for (size_t i = 0; i < n; i++) {
+        crc ^= (uint16_t)(p[i]) << 8;
+        for (int b = 0; b < 8; b++)
+            crc = (crc & 0x8000) ? (uint16_t)((crc << 1) ^ 0x8005)
+                                 : (uint16_t)(crc << 1);
+    }
+    return crc;
+}
 
 struct SeekPoint { uint64_t sample, offset; uint16_t nframes; };
 
 struct Decoder {
     FILE* f = nullptr;
     BitReader* br = nullptr;
-    std::string err;
+    std::string err;        // active error (cleared once reported to the caller)
+    std::string last_err;   // message of the most recently reported error
 
     // STREAMINFO
     uint32_t sr = 0, channels = 0, bps = 0;
@@ -242,7 +276,10 @@ bool decode_subframe(BitReader& b, uint32_t blocksize, uint32_t bps,
         return false;                                // reserved types
     }
     if (wasted)
-        for (uint32_t i = 0; i < blocksize; i++) out[i] <<= wasted;
+        for (uint32_t i = 0; i < blocksize; i++)
+            // shift via uint64_t: left-shifting a negative signed value is
+            // UB pre-C++20 (review r3 batch 14)
+            out[i] = (int64_t)((uint64_t)out[i] << wasted);
     return true;
 }
 
@@ -251,13 +288,18 @@ long long decode_frame(Decoder& d) {
     BitReader& b = *d.br;
     // sync
     b.align_byte();
+    uint64_t w = 0;
+    bool have_w = false;
     for (;;) {
+        b.taping = false;  // only on between sync match and CRC check
         if (b.eof) return -1;
-        uint64_t w = b.read(8);
+        if (!have_w) w = b.read(8);
+        have_w = false;
         if (b.eof) return -1;
         if (w != 0xFF) continue;
         uint64_t x = b.read(8);
         if ((x & 0xFC) == 0xF8) { // 111110xx : second sync byte
+            b.start_frame_tape((uint8_t)x);
             // blocking strategy = x & 1
             bool variable = x & 1;
             uint32_t bs_code = (uint32_t)b.read(4);
@@ -314,7 +356,25 @@ long long decode_frame(Decoder& d) {
                 }
             }
             b.align_byte();
-            b.read(16);  // frame CRC-16 (unverified)
+            // frame CRC-16: covers every byte from the sync up to here.
+            // Unconsumed fetched bytes (bits/8) sit at the tape's tail and
+            // are NOT part of the checksummed span.
+            bool tape_ok = b.tape.size() < (1u << 24);
+            size_t covered = b.tape.size() - (size_t)(b.bits / 8);
+            uint16_t want = tape_ok ? crc16_flac(b.tape.data(), covered) : 0;
+            uint64_t got_crc = b.read(16);
+            b.taping = false;
+            if (b.eof) {
+                // the header parsed but the payload/CRC ran past EOF: the
+                // 'decoded' samples are fabricated zeros from exhausted
+                // reads, not audio — report EOF instead of emitting up to
+                // a block of silence (review r3 batch 14)
+                return -1;
+            }
+            if (tape_ok && (uint16_t)got_crc != want) {
+                d.err = "frame CRC-16 mismatch (corrupt frame)";
+                return -1;
+            }
 
             // undo stereo decorrelation
             if (mode == 1) {        // left/side: R = L - S
@@ -326,7 +386,8 @@ long long decode_frame(Decoder& d) {
             } else if (mode == 3) { // mid/side
                 for (uint32_t i = 0; i < blocksize; i++) {
                     int64_t side = d.chan[1][i];
-                    int64_t mid = (d.chan[0][i] << 1) | (side & 1);
+                    int64_t mid = (int64_t)(((uint64_t)d.chan[0][i] << 1)
+                                            | (uint64_t)(side & 1));
                     d.chan[0][i] = (mid + side) >> 1;
                     d.chan[1][i] = (mid - side) >> 1;
                 }
@@ -337,7 +398,11 @@ long long decode_frame(Decoder& d) {
             if (d.nominal_bs == 0) d.nominal_bs = blocksize;
             return (long long)(number * d.nominal_bs);
         }
-        // not a frame start; keep scanning from the next byte
+        // not a frame start; keep scanning.  If x is itself 0xFF it may
+        // be the FIRST byte of a real sync (… FF FF F8 …): carry it as the
+        // next candidate instead of discarding both bytes, which skipped a
+        // whole valid frame during resync (review r3 batch 14)
+        if (x == 0xFF) { w = x; have_w = true; }
     }
 }
 
@@ -420,10 +485,20 @@ long long ssflac_read_i32(void* h, int32_t* out, long long max_frames) {
     Decoder* d = (Decoder*)h;
     long long produced = 0;
     while (produced < max_frames) {
+        if (!d->err.empty()) {
+            // deliver salvaged samples first; the NEXT call reports the
+            // error (-1) exactly once and clears it so the decoder can
+            // resync past the corruption — a permanently-set err used to
+            // fail even a clean later EOF (review r3 batch 14)
+            if (produced) return produced;
+            d->last_err = d->err;
+            d->err.clear();
+            return -1;
+        }
         if (d->block_used >= d->block_n) {
             long long first = decode_frame(*d);
             if (first < 0) {
-                if (!d->err.empty()) return produced ? produced : -1;
+                if (!d->err.empty()) continue;  // loop top reports it
                 break;  // EOF
             }
             // frames arrive in order on the sequential path; trust position
@@ -504,7 +579,9 @@ int ssflac_seek(void* h, long long frame) {
 
 const char* ssflac_error(void* h) {
     Decoder* d = (Decoder*)h;
-    return d->err.c_str();
+    // err is cleared when the -1 is returned; last_err keeps the message
+    // for the caller building the exception (review r3 batch 14)
+    return d->err.empty() ? d->last_err.c_str() : d->err.c_str();
 }
 
 void ssflac_close(void* h) {

@@ -217,7 +217,24 @@ class FlacReader:
             self._pos += int(got)
             parts.append(out[: int(got) * ch].reshape(-1, ch))
             remaining -= int(got)
-            if got < take:  # EOF
+            if got < take:
+                # short read: EOF — or salvaged samples before a mid-stream
+                # decode error (the native layer delivers data first and
+                # reports the error on the NEXT call).  Probe once so
+                # corruption raises instead of silently truncating the
+                # audio (review r3 batch 14).
+                probe = self._lib.ssflac_read_i32(
+                    self._h, out.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int32)), 1)
+                if probe < 0:
+                    raise FlacError(
+                        self._lib.ssflac_error(self._h).decode()
+                        or "decode error")
+                if probe > 0:  # paranoia: never drop a decoded frame
+                    self._pos += int(probe)
+                    parts.append(out[: int(probe) * ch].reshape(-1, ch).copy())
+                    remaining -= int(probe)
+                    continue
                 break
         if len(parts) == 1:
             return parts[0]

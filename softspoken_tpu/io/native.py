@@ -9,6 +9,7 @@ available — the native path is a performance tier, not a dependency.
 from __future__ import annotations
 
 import ctypes
+import threading
 import hashlib
 import logging
 import os
@@ -24,6 +25,7 @@ _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "csrc", "ssdsp.cpp")
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_load_lock = threading.Lock()
 
 
 def _cache_dir() -> str:
@@ -79,6 +81,10 @@ def build_shared_lib(src: str, name: str) -> Optional[str]:
         return so_path
     except Exception as e:  # noqa: BLE001 — no compiler / failed build
         log.info("native build of %s unavailable (%s)", name, e)
+        try:
+            os.unlink(tmp)  # don't leak partial outputs per failed attempt
+        except OSError:
+            pass
         return None
 
 
@@ -90,7 +96,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _tried:
         return _lib
-    _tried = True
+    with _load_lock:
+        # double-checked: _tried published only after the (up-to-120s)
+        # compile so a concurrent caller can neither observe a None _lib
+        # mid-build nor start a duplicate g++ on this 1-core host
+        # (review r3 batch 14; same pattern as flac._get_lib)
+        if _tried:
+            return _lib
+        lib = _load_locked()
+        _lib = lib
+        _tried = True
+        return lib
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
     if os.environ.get("SOFTSPOKEN_DISABLE_NATIVE"):
         return None
     so = _build()
@@ -116,8 +135,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
         ctypes.c_int32,
     ]
-    _lib = lib
-    return _lib
+    return lib
 
 
 def _threads() -> int:

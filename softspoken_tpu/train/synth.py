@@ -75,7 +75,6 @@ def _glottal_pulses(n: int, f0: np.ndarray, rng: np.random.Generator) -> np.ndar
 def synth_speech(
     rng: np.random.Generator,
     n_samples: int,
-    return_activity: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Speech-like audio of length ``n_samples`` at 22050 Hz.
 
@@ -215,7 +214,10 @@ def synth_environment(
         t_all = np.arange(n_samples) / SR
         n_chirps = max(1, int(n_samples / SR * rng.uniform(0.5, 4.0)))
         for _ in range(n_chirps):
-            dur = int(rng.uniform(0.05, 0.4) * SR)
+            # clamp to the clip: a chirp longer than the whole clip made
+            # out[at:at+dur] += chirp a broadcast ValueError for sub-0.4 s
+            # environments (review r3 batch 14; same clamp as speech events)
+            dur = min(int(rng.uniform(0.05, 0.4) * SR), n_samples)
             at = int(rng.integers(0, max(1, n_samples - dur)))
             f_lo = rng.uniform(1800, 5000)
             f_hi = f_lo * rng.uniform(1.1, 2.2)
@@ -256,7 +258,7 @@ def synth_environment(
         out = np.zeros(n_samples, np.float32)
         n_calls = max(1, int(n_samples / SR * rng.uniform(0.3, 2.0)))
         for _ in range(n_calls):
-            dur = int(rng.uniform(0.1, 0.6) * SR)
+            dur = min(int(rng.uniform(0.1, 0.6) * SR), n_samples)  # see birds
             at = int(rng.integers(0, max(1, n_samples - dur)))
             f0 = float(rng.uniform(300.0, 1300.0))
             sweep = 1.0 + rng.uniform(-0.25, 0.25) * np.linspace(0, 1, dur)

@@ -347,3 +347,31 @@ def test_seek_to_eof_reads_empty(tmp_path):
         assert again.shape[0] == 10
     finally:
         r.close()
+
+
+def test_midstream_corruption_raises_not_truncates(tmp_path):
+    """A corrupt frame mid-file must surface as FlacError, not silently
+    truncate the audio as a fake EOF (review r3 batch 14)."""
+    import os
+
+    import pytest
+
+    p = str(tmp_path / "corrupt.flac")
+    x = _sine_int(60_000, 1, 16)
+    flac_ref.write_flac(p, x, 22050, bits=16)
+    size = os.path.getsize(p)
+    # smash bytes ~2/3 into the file (inside frame data, past the header)
+    with open(p, "r+b") as f:
+        f.seek(int(size * 2 / 3))
+        f.write(b"\x00" * 64)
+    r = flac.FlacReader(p)
+    try:
+        with pytest.raises(flac.FlacError):
+            # read everything: either the decoder resyncs cleanly (rare for
+            # a 64-byte hole) or the error must raise — never a silent
+            # short read presented as EOF
+            got = r.read_i32(60_000)
+            if got.shape[0] == 60_000:
+                pytest.skip("decoder fully resynced over the corruption")
+    finally:
+        r.close()
