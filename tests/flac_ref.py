@@ -67,10 +67,13 @@ def crc16(data: bytes) -> int:
 def _utf8_number(n: int) -> bytes:
     if n < 0x80:
         return bytes([n])
-    out = []
     bits = n.bit_length()
     for total in range(2, 8):
-        if bits <= 5 * total + (6 - total):
+        # capacity of a t-byte extended-UTF-8 number: lead byte carries
+        # (7 - t) bits (t<7; 0 for t=7), each continuation 6 -> 5t + 1
+        # (review r3 batch 15: the old condition mis-encoded frame numbers
+        # >= 2048 and rejected legal 35-36 bit values)
+        if bits <= 5 * total + 1:
             body = []
             for _ in range(total - 1):
                 body.append(0x80 | (n & 0x3F))
@@ -116,7 +119,12 @@ def _write_subframe(w: BitWriter, x: np.ndarray, bps: int,
     if force == "verbatim":
         kind = "verbatim"
     elif force == "constant" or (len(np.unique(x)) == 1 and force is None):
-        kind = "constant" if len(np.unique(x)) == 1 else "verbatim"
+        # honor the forced type LOUDLY: silently downgrading to verbatim
+        # made tests believe they exercised the CONSTANT path when they
+        # didn't (review r3 batch 15)
+        if force == "constant" and len(np.unique(x)) != 1:
+            raise ValueError("force_subframe='constant' needs constant data")
+        kind = "constant"
     elif force in ("fixed0", "fixed1", "fixed2"):
         kind = force
     else:

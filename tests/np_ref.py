@@ -46,6 +46,14 @@ def log_mel_reference(x: np.ndarray, frames: int = 256) -> np.ndarray:
     """
     x = np.asarray(x, np.float64)
     pad = N_FFT // 2
+    if len(x) <= pad:
+        # torch.stft(center=True, pad_mode='reflect') REJECTS inputs
+        # shorter than the pad; numpy would silently re-reflect cyclically
+        # and this oracle would bless behavior no torch build produces
+        # (review r3 batch 15)
+        raise ValueError(
+            f"input of {len(x)} samples is shorter than the reflect pad "
+            f"({pad}); torch.stft raises here")
     xp = np.pad(x, pad, mode="reflect")
     w = np.zeros(N_FFT)
     off = (N_FFT - WIN) // 2

@@ -44,7 +44,7 @@ S = {
         "methods": {
             "interval": (0, 0), "isActive": (0, 0), "isSingleShot": (0, 0),
             "setInterval": (1, 1), "setSingleShot": (1, 1),
-            "singleShot": (2, 3),   # static: (msec, receiver[, member])
+            "singleShot": (2, 4),   # static: (msec, receiver[, member])
             "start": (0, 1), "stop": (0, 0),
         },
     },
@@ -273,8 +273,8 @@ S = {
         "signals": {},
         "methods": {
             "getExistingDirectory": (0, 4),
-            "getOpenFileName": (0, 5), "getOpenFileNames": (0, 5),
-            "getSaveFileName": (0, 5),
+            "getOpenFileName": (0, 6), "getOpenFileNames": (0, 6),
+            "getSaveFileName": (0, 6),
         },
     },
     "QtWidgets.QInputDialog": {

@@ -21,7 +21,6 @@ def _t(sd, key):
 
 
 def _bn(sd, prefix, x):
-    dims_1d = x.dim() == 3
     return F.batch_norm(
         x,
         _t(sd, prefix + ".running_mean"),
