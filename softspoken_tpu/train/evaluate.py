@@ -96,6 +96,30 @@ def event_metrics(
             "precision": prec, "recall": rec, "f1": f1}
 
 
+def event_metrics_granularity(
+    pred: Sequence[Interval],
+    truth: Sequence[Interval],
+    break_duration: float,
+    iou: float = 0.5,
+) -> Dict[str, float]:
+    """Event metrics with truth re-merged at the operating point's gap.
+
+    The synthetic label generators merge ground-truth spans at a fixed
+    0.3 s gap (engine/regions.py::merge_intervals — the shared label
+    convention), while the detector merges predictions at the operating
+    point's ``break_duration``.  When that is larger (the parity point's
+    0.5 s, settings.py:13 / NNDetector.py:133), one prediction legitimately
+    spans several truth events and 1:1 IoU matching penalizes BOTH sides —
+    a granularity artifact, not a detection error.  Re-merging truth with
+    the same gap evaluates events at the operating point's own output
+    granularity.  Report this alongside (never instead of) the plain
+    event metric.
+    """
+    from ..engine.regions import merge_intervals
+
+    return event_metrics(pred, merge_intervals(truth, break_duration), iou)
+
+
 def _accumulate(total: Dict[str, float], part: Dict[str, float]) -> None:
     for k in ("tp", "fp", "fn"):
         total[k] = total.get(k, 0.0) + part[k]

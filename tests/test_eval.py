@@ -41,6 +41,23 @@ def test_event_metrics_iou_threshold():
     assert m["tp"] == 1
 
 
+def test_event_metrics_granularity_rematch():
+    """One prediction legitimately spanning two close truth events is a
+    granularity artifact at a coarse merge gap, not a detection miss: the
+    plain metric penalizes both sides, the granularity-matched one (truth
+    re-merged at the operating point's break_duration) scores it 1.0."""
+    truth = [(0.0, 1.0), (1.4, 2.4)]  # 0.4 s apart < parity merge 0.5 s
+    pred = [(0.0, 2.4)]  # what a break_duration=0.5 detector emits
+    plain = E.event_metrics(pred, truth, iou=0.5)
+    assert plain["tp"] == 0 and plain["fn"] == 2 and plain["fp"] == 1
+    g = E.event_metrics_granularity(pred, truth, break_duration=0.5, iou=0.5)
+    assert g["f1"] == 1.0 and g["tp"] == 1 and g["fp"] == 0 and g["fn"] == 0
+    # gaps wider than break_duration stay separate events — still penalized
+    far = [(0.0, 1.0), (2.0, 3.0)]
+    g2 = E.event_metrics_granularity([(0.0, 3.0)], far, break_duration=0.5)
+    assert g2["tp"] == 0 and g2["fn"] == 2
+
+
 def test_labels_roundtrip(tmp_path):
     p = str(tmp_path / "labels.csv")
     labeled = [("a.wav", [(0.5, 1.25), (3.0, 4.5)]), ("b.wav", [(1.0, 2.0)])]
