@@ -54,24 +54,35 @@ CONDITIONS = [
 ]
 
 
-def score_set(det, labeled, pad_seconds):
-    """One detection pass per file; metrics at many operating points."""
+def detect_set(det, labeled):
+    """One detection pass per file → raw material for metrics_from.
+
+    Each entry keeps the averaged score grid, the file duration (from the
+    result itself: same internal-rate clock the predictions were made on,
+    no second header probe — review r3), the truth intervals, and the
+    pipeline's own merged intervals (codec gate reuses those instead of
+    re-running detection per file)."""
+    per_file = []
+    for path, truth in labeled:
+        res = det.detect_file_streaming(path)
+        per_file.append({
+            "avg": np.asarray(res.avg_values, np.float32),
+            "dur": float(res.audio_seconds),
+            "truth": [(float(s), float(e)) for s, e in truth],
+            "intervals": tuple(res.intervals),
+        })
+    return per_file
+
+
+def metrics_from(per_file, pad_seconds):
+    """Metrics at many operating points from cached score grids (host-only)."""
     from softspoken_tpu.engine import regions as R
     from softspoken_tpu.train import evaluate as E
 
-    per_file = []
-    engine_intervals = []  # the pipeline's own intervals (codec gate reuses
-    #                        these instead of re-running detection per file)
-    for path, truth in labeled:
-        res = det.detect_file_streaming(path)
-        # duration from the result itself: same internal-rate clock the
-        # predictions were made on, no second header probe (review r3)
-        per_file.append((res.avg_values, res.audio_seconds, truth))
-        engine_intervals.append(tuple(res.intervals))
-
     def metrics_at(threshold, break_duration):
-        ft, et = {}, {}
-        for avg, dur, truth in per_file:
+        ft, et, gt = {}, {}, {}
+        for pf_ in per_file:
+            avg, dur, truth = pf_["avg"], pf_["dur"], pf_["truth"]
             regs = R.find_speech_regions(avg, threshold, break_duration)
             regs = R.shift_regions(regs, -pad_seconds)
             # clamp into [0, dur] at BOTH edges FIRST so the min-length
@@ -82,19 +93,17 @@ def score_set(det, labeled, pad_seconds):
             regs = [(max(0.0, s), min(dur, e)) for s, e in regs
                     if e > 0 and s < dur]
             pred = R.filter_min_length(regs, 0.1)
-            fm = E.frame_metrics(pred, truth, dur)
-            em = E.event_metrics(pred, truth, 0.5)
-            E._accumulate(ft, fm)
-            E._accumulate(et, em)
-        f = E._finalize(ft)
-        e = E._finalize(et)
-        return f, e
+            E._accumulate(ft, E.frame_metrics(pred, truth, dur))
+            E._accumulate(et, E.event_metrics(pred, truth, 0.5))
+            E._accumulate(gt, E.event_metrics_granularity(
+                pred, truth, break_duration, 0.5))
+        return E._finalize(ft), E._finalize(et), E._finalize(gt)
 
-    pf, pe = metrics_at(**PARITY)
-    tf, te = metrics_at(**TUNED)
+    pf, pe, pg = metrics_at(**PARITY)
+    tf, te, tg = metrics_at(**TUNED)
     sweep = {}
     for thr in THRESHOLDS:
-        f, e = metrics_at(thr, PARITY["break_duration"])
+        f, e, _ = metrics_at(thr, PARITY["break_duration"])
         sweep[str(thr)] = {"frame_f1": round(f["f1"], 4),
                            "event_f1": round(e["f1"], 4)}
     return {
@@ -103,13 +112,51 @@ def score_set(det, labeled, pad_seconds):
                    "frame_recall": round(pf["recall"], 4),
                    "event_f1": round(pe["f1"], 4),
                    "event_precision": round(pe["precision"], 4),
-                   "event_recall": round(pe["recall"], 4)},
+                   "event_recall": round(pe["recall"], 4),
+                   # truth re-merged at the operating point's own gap:
+                   # separates granularity artifacts (one prediction
+                   # legitimately spanning several close truth events at
+                   # merge 0.5 s) from real misses — reported alongside,
+                   # never instead of, the plain event metric
+                   "event_f1_granularity": round(pg["f1"], 4)},
         "tuned": {"frame_f1": round(tf["f1"], 4),
-                  "event_f1": round(te["f1"], 4)},
+                  "event_f1": round(te["f1"], 4),
+                  "event_f1_granularity": round(tg["f1"], 4)},
         "threshold_sweep": sweep,
         "n_files": len(per_file),
-        "intervals": engine_intervals,
     }
+
+
+def score_set(det, labeled, pad_seconds):
+    """One detection pass per file; metrics at many operating points."""
+    per_file = detect_set(det, labeled)
+    out = metrics_from(per_file, pad_seconds)
+    out["intervals"] = [pf["intervals"] for pf in per_file]
+    return out
+
+
+def save_cache(path, per_file):
+    """Persist a condition's score grids so operating points / metric
+    definitions can be re-evaluated host-side without redoing the ~2 h
+    TPU detection pass (rescore mode)."""
+    arrs = {f"avg{i}": pf["avg"] for i, pf in enumerate(per_file)}
+    meta = [{"dur": pf["dur"], "truth": pf["truth"],
+             "intervals": [list(map(float, iv)) for iv in pf["intervals"]]}
+            for pf in per_file]
+    arrs["meta_json"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrs)
+
+
+def load_cache(path):
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta_json"].tobytes()).decode())
+        return [{
+            "avg": z[f"avg{i}"],
+            "dur": m["dur"],
+            "truth": [tuple(t) for t in m["truth"]],
+            "intervals": tuple(tuple(iv) for iv in m["intervals"]),
+        } for i, m in enumerate(meta)]
 
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -131,6 +178,12 @@ def main():
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--mel-precision", default="highest",
                     choices=["highest", "high", "default"])
+    ap.add_argument("--cache-dir", default=None,
+                    help="save per-condition score grids (npz) here so "
+                         "--rescore can recompute metrics without a TPU")
+    ap.add_argument("--rescore", default=None, metavar="CACHE_DIR",
+                    help="skip detection; recompute all metrics host-side "
+                         "from a --cache-dir produced by a previous run")
     args = ap.parse_args()
 
     from softspoken_tpu import Config
@@ -154,11 +207,13 @@ def main():
         args.out = "/tmp/quality_grid_quick.json"
 
     cfg = Config().with_engine(mel_precision=args.mel_precision)
-    det = Detector(cfg, checkpoint_path=args.ckpt)
-    if getattr(det, "epoch", -1) < 0:
-        raise SystemExit(
-            f"checkpoint {args.ckpt} did not load (epoch<0) — refusing to "
-            "run the grid on random init")
+    det = None
+    if args.rescore is None:
+        det = Detector(cfg, checkpoint_path=args.ckpt)
+        if getattr(det, "epoch", -1) < 0:
+            raise SystemExit(
+                f"checkpoint {args.ckpt} did not load (epoch<0) — refusing "
+                "to run the grid on random init")
     pad = cfg.engine.pad_seconds
 
     out = {
@@ -180,31 +235,52 @@ def main():
         "conditions": {},
     }
 
+    if args.cache_dir:
+        os.makedirs(args.cache_dir, exist_ok=True)
+
     base = args.workdir or tempfile.mkdtemp(prefix="quality_grid_")
     t_all = time.time()
     for gen in ("v1", "v2"):
         for ci, (cname, kw) in enumerate(conditions):
             tag = f"{gen}_{cname}"
-            d = os.path.join(base, tag)
-            seed = 7000 + ci  # same seed per condition across generators
-            t0 = time.time()
-            labels = E.make_eval_set(
-                d, n_files=n_files, seconds=seconds, seed=seed,
-                generator=gen, **kw)
-            synth_s = time.time() - t0
-            t0 = time.time()
-            result = score_set(det, E.load_labels(labels), pad)
-            result.pop("intervals", None)  # per-file detail, not for the JSON
-            result["synth_seconds"] = round(synth_s, 1)
-            result["detect_seconds"] = round(time.time() - t0, 1)
+            if args.rescore is not None:
+                cache = os.path.join(args.rescore, f"{tag}.npz")
+                if not os.path.exists(cache):
+                    print(f"{tag}: no cache at {cache}, skipping", flush=True)
+                    continue
+                t0 = time.time()
+                result = metrics_from(load_cache(cache), pad)
+                result["rescore_seconds"] = round(time.time() - t0, 1)
+            else:
+                d = os.path.join(base, tag)
+                seed = 7000 + ci  # same seed per condition across generators
+                t0 = time.time()
+                labels = E.make_eval_set(
+                    d, n_files=n_files, seconds=seconds, seed=seed,
+                    generator=gen, **kw)
+                synth_s = time.time() - t0
+                t0 = time.time()
+                per_file = detect_set(det, E.load_labels(labels))
+                if args.cache_dir:
+                    save_cache(os.path.join(args.cache_dir, f"{tag}.npz"),
+                               per_file)
+                result = metrics_from(per_file, pad)
+                result["synth_seconds"] = round(synth_s, 1)
+                result["detect_seconds"] = round(time.time() - t0, 1)
             out["conditions"][tag] = result
             print(f"{tag}: parity frame F1 {result['parity']['frame_f1']} "
                   f"event F1 {result['parity']['event_f1']} "
-                  f"(synth {synth_s:.0f}s detect "
-                  f"{result['detect_seconds']}s)", flush=True)
+                  f"(granularity-matched "
+                  f"{result['parity']['event_f1_granularity']})", flush=True)
+
+    if args.rescore is not None:
+        out["rescored_from"] = os.path.abspath(args.rescore)
 
     # headline: worst-case over all v2 (out-of-family) conditions
     v2 = {k: v for k, v in out["conditions"].items() if k.startswith("v2_")}
+    if not v2:
+        raise SystemExit("no v2 conditions scored — refusing to write a "
+                         "summary-less grid")
     worst = min(v2.items(), key=lambda kv: kv[1]["parity"]["frame_f1"])
     out["summary"] = {
         "worst_out_of_family": {
