@@ -73,21 +73,6 @@ def _bf16_split(a: np.ndarray):
     return hi.astype(ml_dtypes.bfloat16), lo.astype(ml_dtypes.bfloat16)
 
 
-def _dot3(x: jnp.ndarray, w_hi: jnp.ndarray, w_lo: jnp.ndarray) -> jnp.ndarray:
-    """bf16x3 matmul: ~Precision.HIGH accuracy at 3 one-pass bf16 dots.
-
-    x = x_hi + x_lo (exact bf16 split); dropping the x_lo·w_lo term keeps
-    a relative error ~2^-16 like XLA's HIGH (which the quality-grid gate
-    accepted — config.EngineConfig.mel_precision).
-    """
-    x_hi = x.astype(jnp.bfloat16)
-    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    out = jax.lax.dot(x_hi, w_hi, preferred_element_type=jnp.float32)
-    out = out + jax.lax.dot(x_hi, w_lo, preferred_element_type=jnp.float32)
-    out = out + jax.lax.dot(x_lo, w_hi, preferred_element_type=jnp.float32)
-    return out
-
-
 def _permute_split(x, p_lo, p_hi, parts):
     """y = x[:-1] @ p_lo + x[1:] @ p_hi for 0/1 matrices via a multi-part
     bf16 split of x instead of f32 HIGHEST (6 MXU passes per operand).
@@ -122,14 +107,15 @@ def _dft_dot_f32(yq, q, w_refs):
 
 def _dft_dot_bf16(yq, q, w_refs, passes):
     """bf16 DFT sub-block dot: ``passes`` one-pass bf16 dots.
-    passes=3 ≈ XLA HIGH (the gated engine default); passes=1 is plain bf16
-    (mel_precision="default", gated separately by the quality grid)."""
-    whi_ref, wlo_ref = w_refs
+    passes=3 ≈ XLA HIGH (the gated engine default, w_refs = (hi, lo));
+    passes=1 is plain bf16 (mel_precision="default", w_refs = (hi,) —
+    the lo table is neither shipped nor resident in VMEM)."""
+    whi_ref = w_refs[0]
     w_hi = whi_ref[pl.ds(q * LANES, LANES), :]
     y_hi = yq.astype(jnp.bfloat16)
     out = jax.lax.dot(y_hi, w_hi, preferred_element_type=jnp.float32)
     if passes == 3:
-        w_lo = wlo_ref[pl.ds(q * LANES, LANES), :]
+        w_lo = w_refs[1][pl.ds(q * LANES, LANES), :]
         y_lo = (yq - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         out = out + jax.lax.dot(y_hi, w_lo,
                                 preferred_element_type=jnp.float32)
@@ -234,6 +220,9 @@ def log_mel_windows_fused(
     bit-identical to casting the f32 result afterwards (one rounding either
     way) but halves the output write and the downstream transpose.
     """
+    if mode not in ("highest", "high", "default"):
+        raise ValueError(
+            f"mode must be 'highest', 'high' or 'default', got {mode!r}")
     B = starts.shape[0]
     starts = starts.astype(jnp.int32)
     rows_needed = buf.shape[0] // LANES + 1 + W_ROWS
@@ -244,10 +233,11 @@ def log_mel_windows_fused(
     w, fb = _tables()
     if mode in ("high", "default"):
         w_hi, w_lo = _bf16_split(w)
-        dft_dot = functools.partial(
-            _dft_dot_bf16, passes=3 if mode == "high" else 1)
+        passes = 3 if mode == "high" else 1
+        dft_dot = functools.partial(_dft_dot_bf16, passes=passes)
         kernel = functools.partial(_kernel, parts=2, dft_dot=dft_dot)
-        table_args = (jnp.asarray(w_hi), jnp.asarray(w_lo), jnp.asarray(fb))
+        table_args = (jnp.asarray(w_hi), jnp.asarray(fb)) if passes == 1 \
+            else (jnp.asarray(w_hi), jnp.asarray(w_lo), jnp.asarray(fb))
     else:
         kernel = functools.partial(_kernel, parts=3, dft_dot=_dft_dot_f32)
         table_args = (jnp.asarray(w), jnp.asarray(fb))

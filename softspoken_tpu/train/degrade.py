@@ -61,7 +61,7 @@ def mulaw(audio: np.ndarray, sr: int, rng: np.random.Generator) -> np.ndarray:
     from ..ops import mulaw as wire
 
     i16 = np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(np.int16)
-    return wire.decode_host(wire.encode_lut()[i16.view(np.uint16)])
+    return wire.decode_host(wire.encode_i16(i16))
 
 
 def hum(audio: np.ndarray, sr: int, rng: np.random.Generator) -> np.ndarray:

@@ -121,6 +121,14 @@ def test_fused_bf16_output_bit_identical(buf_and_starts):
             np.asarray(f32.astype(jnp.bfloat16)), np.asarray(b16))
 
 
+def test_fused_rejects_unknown_mode(buf_and_starts):
+    """A typo'd mode must fail fast with a named ValueError, not trace a
+    kernel and die later on a bare KeyError (review r3)."""
+    buf, starts = buf_and_starts
+    with pytest.raises(ValueError, match="highest"):
+        log_mel_windows_fused(buf, starts, mode="hi", interpret=True)
+
+
 def test_mel_kernel_auto_parity_carveout(monkeypatch):
     """'auto' must resolve to the XLA chain in parity mode even on TPU —
     the fused kernel's 4-block DFT accumulation differs ~1e-5 from the

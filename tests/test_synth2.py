@@ -29,6 +29,32 @@ def test_texture2_kinds(kind):
     assert np.abs(x).max() <= 1.0 + 1e-6
 
 
+def test_texture2_corvid_shorter_than_one_call():
+    """Beds shorter than one squawk (~0.15-0.5 s) must truncate the call,
+    not crash broadcasting into the clamped write slice (review r3)."""
+    for seed in range(5):
+        x = synth2.texture2(np.random.default_rng(seed), 4000, "corvid")
+        assert x.shape == (4000,) and np.isfinite(x).all()
+
+
+def test_ou_field_matches_literal_recursion():
+    """The lfilter form must stay bit-identical to the defining AR(1) loop
+    (seeded eval sets depend on it)."""
+    for seed, n, tau in ((0, 50_000, 1.0), (1, 3_000, 0.3), (2, 63, 8.0)):
+        rng = np.random.default_rng(seed)
+        got = synth2._ou_field(rng, n, tau)
+        rng = np.random.default_rng(seed)
+        k = int(max(1, tau * synth2.SR / 64))
+        m = n // 64 + 2
+        x = np.empty(m)
+        x[0] = 0.0
+        theta = 1.0 / k
+        for i in range(1, m):
+            x[i] = x[i - 1] * (1 - theta) + np.sqrt(theta) * rng.standard_normal()
+        want = (1.0 + 0.5 * np.tanh(np.repeat(x, 64)[:n])).astype(np.float32)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_field_recording2_labels_sane():
     rng = np.random.default_rng(3)
     audio, ivs = synth2.field_recording2(rng, 20.0, sr=22050)
