@@ -194,12 +194,23 @@ def load_pth(path: str) -> Tuple[Dict, int]:
 
     try:
         sd, epoch = pth_reader.load_checkpoint(path)
-    except (pth_reader.UnsupportedPthError, pickle.UnpicklingError):
+    except (pth_reader.UnsupportedPthError, pickle.UnpicklingError) as own:
         # UnpicklingError covers malformed pickle streams the restricted
         # reader can't parse; torch.load may still know the format
-        import torch  # legacy-format / unusual-globals fallback
+        try:
+            import torch  # legacy-format / unusual-globals fallback
 
-        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+            ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        except ImportError:
+            raise IOError(
+                f"{path}: not a readable checkpoint ({own}) and torch is "
+                "not installed for the fallback reader") from own
+        except Exception as e:  # noqa: BLE001 — torch raises bare
+            # RuntimeError for malformed archives; name BOTH failures so
+            # the user sees why the torch-free reader passed it along
+            raise IOError(
+                f"{path}: torch-free reader rejected it ({own}); torch "
+                f"fallback also failed ({e})") from e
         sd, epoch = ckpt["model_state_dict"], int(ckpt.get("epoch", -1))
     return convert_torch_state_dict(sd), epoch
 

@@ -144,6 +144,10 @@ class _RestrictedUnpickler(pickle.Unpickler):
     def __init__(self, data: bytes, read_storage):
         super().__init__(io.BytesIO(data))
         self._read_storage = read_storage
+        # pickle does not memoize persistent ids: tied/shared storages
+        # (several tensors viewing one buffer) would re-read and
+        # re-decompress the zip entry per referencing tensor without this
+        self._storage_cache = {}
 
     def find_class(self, module: str, name: str):
         if (module, name) in _SAFE_GLOBALS:
@@ -164,14 +168,24 @@ class _RestrictedUnpickler(pickle.Unpickler):
         _, storage_cls, key, _location, numel = pid[:5]
         name = storage_cls.name if isinstance(storage_cls, _StorageMarker) \
             else getattr(storage_cls, "__name__", str(storage_cls))
+        if str(key) in self._storage_cache:
+            return self._storage_cache[str(key)]
         dtype = _dtype_for(name)
         raw = self._read_storage(str(key))
         want = int(numel) * dtype.itemsize
         if len(raw) < want:
             raise UnsupportedPthError(
                 f"storage {key}: {len(raw)} bytes < expected {want}")
-        arr = np.frombuffer(raw[:want], dtype=dtype)
-        return (arr, dtype)
+        # storage bytes are little-endian on every platform (the byteorder
+        # archive entry records the WRITER, which load() requires to be
+        # LE); read them as LE explicitly, then normalize to native so a
+        # big-endian host doesn't silently byte-swap every weight
+        arr = np.frombuffer(raw[:want], dtype=dtype.newbyteorder("<"))
+        if arr.dtype != dtype:
+            arr = arr.astype(dtype)
+        out = (arr, dtype)
+        self._storage_cache[str(key)] = out
+        return out
 
 
 def load(path: str) -> Any:

@@ -60,7 +60,12 @@ def variables_digest(variables: Dict) -> str:
         arr = np.asarray(node)
         h.update(prefix.encode())
         h.update(str(arr.shape).encode())
-        h.update(np.ascontiguousarray(arr, np.float32).tobytes())
+        # dtype is part of the identity: bf16-vs-f32 trees with equal
+        # values (or f64 trees differing below f32 precision) must NOT
+        # digest identically — the journal's contract is the identical
+        # computation, and numerics differ per dtype (review r3 batch 17)
+        h.update(arr.dtype.str.encode())
+        h.update(np.ascontiguousarray(arr).tobytes())
 
     walk(variables, "")
     return h.hexdigest()[:16]
@@ -146,14 +151,26 @@ class ChunkJournal:
 
         Each SIGKILL mid-save leaves one '<path>.tmp<pid>' behind — the
         exact scenario the journal exists for — and nothing else ever
-        deletes them (review r3 batch 8).  Only OTHER pids' tmps are swept:
-        ours is about to be created/replaced.
+        deletes them (review r3 batch 8).  Only tmps whose writing pid is
+        DEAD are swept: a live pid means a concurrent run on the same file
+        is mid-save, and unlinking its tmp between write and os.replace
+        would crash it (review r3 batch 17; glob.escape because source
+        stems like 'take [1]' are glob metacharacters).
         """
         import glob
 
-        for stale in glob.glob(f"{self.path}.tmp*"):
-            if stale == f"{self.path}.tmp{os.getpid()}":
+        for stale in glob.glob(glob.escape(self.path) + ".tmp*"):
+            pid_s = stale[len(self.path) + 4:]
+            if pid_s == str(os.getpid()):
                 continue
+            try:
+                os.kill(int(pid_s), 0)
+            except (ValueError, ProcessLookupError):
+                pass  # malformed suffix or dead pid: stale, sweep it
+            except PermissionError:
+                continue  # alive under another uid — leave it
+            else:
+                continue  # alive: a concurrent save owns it
             try:
                 os.remove(stale)
             except OSError:

@@ -120,7 +120,21 @@ def _load_locked():
         log.info("libvorbis unavailable (%s); OGG support disabled", e)
         _tried = True
         return None
+    try:
+        _bind(ogg, vorbis, vfile, venc)
+    except AttributeError as e:
+        # library present but a bound symbol missing (stripped / ancient
+        # build): degrade to available()==False like a missing library,
+        # and don't re-dlopen on every probe (review r3 batch 17)
+        log.info("libvorbis missing symbol (%s); OGG support disabled", e)
+        _tried = True
+        return None
+    _libs = (ogg, vorbis, vfile, venc)
+    _tried = True  # publish only after _libs is fully built
+    return _libs
 
+
+def _bind(ogg, vorbis, vfile, venc):
     vfile.ov_fopen.argtypes = [c_char_p, c_void_p]
     vfile.ov_fopen.restype = c_int
     vfile.ov_info.argtypes = [c_void_p, c_int]
@@ -175,10 +189,6 @@ def _load_locked():
     ogg.ogg_stream_pageout.argtypes = [c_void_p, c_void_p]
     ogg.ogg_stream_pageout.restype = c_int
     ogg.ogg_stream_clear.argtypes = [c_void_p]
-
-    _libs = (ogg, vorbis, vfile, venc)
-    _tried = True  # publish only after _libs is fully built
-    return _libs
 
 
 def available() -> bool:
@@ -296,8 +306,15 @@ def read(
             # FFI call per link, not per 4096-sample block).
             if bitstream.value != checked_link:
                 li = o.vfile.ov_info(o.vf, bitstream.value)
-                if li and (int(li.contents.channels) != ch
-                           or int(li.contents.rate) != inf.samplerate):
+                if not li:
+                    # NULL info for a decodable link: can't prove pcm[c]
+                    # is valid for all ch channels — reject, don't read
+                    # through a possibly-dangling float** (review r3 b17)
+                    raise OggFormatError(
+                        f"ov_info returned NULL for link "
+                        f"{bitstream.value}: {path}")
+                if (int(li.contents.channels) != ch
+                        or int(li.contents.rate) != inf.samplerate):
                     raise OggFormatError(
                         f"chained Ogg with per-link format change "
                         f"unsupported: {path} (link {bitstream.value}: "
@@ -344,6 +361,7 @@ def write_vorbis(path: str, data: np.ndarray, samplerate: int,
     vb = ctypes.create_string_buffer(_BLOCK_BYTES)
     st = ctypes.create_string_buffer(_STREAM_BYTES)
     dsp_up = block_up = stream_up = False
+    ok = False
     try:
         rc = venc.vorbis_encode_init_vbr(
             byref(vi), c_long(ch), c_long(samplerate), c_float(quality))
@@ -360,8 +378,12 @@ def write_vorbis(path: str, data: np.ndarray, samplerate: int,
         stream_up = True
 
         h1, h2, h3 = _OggPacket(), _OggPacket(), _OggPacket()
-        vorbis.vorbis_analysis_headerout(
+        rc = vorbis.vorbis_analysis_headerout(
             vd, byref(vc), byref(h1), byref(h2), byref(h3))
+        if rc != 0:
+            # zero-initialized header packets would produce a structurally
+            # broken stream that only fails later at decode (review r3 b17)
+            raise OggFormatError(f"vorbis_analysis_headerout rc={rc}")
         page = _OggPage()
 
         def _write_page():
@@ -387,10 +409,13 @@ def write_vorbis(path: str, data: np.ndarray, samplerate: int,
                     col = np.ascontiguousarray(x[pos:pos + take, c])
                     ctypes.memmove(buf[c], col.ctypes.data, take * 4)
                 pos += take
-            vorbis.vorbis_analysis_wrote(vd, c_int(take))
+            if vorbis.vorbis_analysis_wrote(vd, c_int(take)) != 0:
+                raise OggFormatError("vorbis_analysis_wrote failed")
             while vorbis.vorbis_analysis_blockout(vd, vb) == 1:
-                vorbis.vorbis_analysis(vb, None)
-                vorbis.vorbis_bitrate_addblock(vb)
+                if vorbis.vorbis_analysis(vb, None) != 0:
+                    raise OggFormatError("vorbis_analysis failed")
+                if vorbis.vorbis_bitrate_addblock(vb) != 0:
+                    raise OggFormatError("vorbis_bitrate_addblock failed")
                 while vorbis.vorbis_bitrate_flushpacket(vd, byref(op)):
                     ogg.ogg_stream_packetin(st, byref(op))
                     while ogg.ogg_stream_pageout(st, byref(page)):
@@ -399,6 +424,7 @@ def write_vorbis(path: str, data: np.ndarray, samplerate: int,
                 while ogg.ogg_stream_flush(st, byref(page)):
                     _write_page()
                 break
+        ok = True
     finally:
         f.close()
         if stream_up:
@@ -409,3 +435,10 @@ def write_vorbis(path: str, data: np.ndarray, samplerate: int,
             vorbis.vorbis_dsp_clear(vd)
         vorbis.vorbis_comment_clear(byref(vc))
         vorbis.vorbis_info_clear(byref(vi))
+        if not ok:
+            # don't leave a 0-byte/truncated .ogg behind for a failed
+            # encode — later directory scans would find a bogus vector
+            try:
+                os.remove(path)
+            except OSError:
+                pass

@@ -344,3 +344,50 @@ def test_load_any_recovers_stranded_new_save(tmp_path):
 
     assert glob.glob(f"{path}.new-*") == []   # strays swept
     assert not os.path.isdir(f"{path}.old")
+
+
+def _write_shared_storage_pth(path: str) -> None:
+    """Two tensors viewing ONE storage (weight tying): offsets 0 and 4."""
+    storage = np.arange(8, dtype=np.float32)
+    pid = _pk_tuple(
+        _pk_str("storage"), _pk_global("torch", "FloatStorage"),
+        _pk_str("0"), _pk_str("cpu"), _pk_int(8),
+    )
+
+    def tensor(offset, size):
+        return (
+            _pk_global("torch._utils", "_rebuild_tensor_v2")
+            + _pk_tuple(
+                pid + b"Q",
+                _pk_int(offset),
+                _pk_tuple(_pk_int(size)),
+                _pk_tuple(_pk_int(1)),
+                b"\x89",
+                _pk_global("collections", "OrderedDict") + b")R",
+            )
+            + b"R"
+        )
+
+    body = (b"\x80\x02" + b"}" + b"("
+            + _pk_str("a") + tensor(0, 4)
+            + _pk_str("b") + tensor(4, 4)
+            + b"u" + b".")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("archive/data.pkl", body)
+        z.writestr("archive/data/0", storage.tobytes())
+
+
+def test_pth_reader_shared_storage_views(tmp_path):
+    """Tied tensors referencing the same storage key load correctly and
+    read the zip entry once (pickle never memoizes persistent ids;
+    review r3 batch 17)."""
+    from softspoken_tpu.ckpt import pth_reader
+
+    p = str(tmp_path / "tied.pth")
+    _write_shared_storage_pth(p)
+    got = pth_reader.load(p)
+    np.testing.assert_array_equal(got["a"], np.arange(4, dtype=np.float32))
+    np.testing.assert_array_equal(got["b"],
+                                  np.arange(4, 8, dtype=np.float32))
+    # both views share one cached base buffer — a single read of data/0
+    assert got["a"].base is not None and got["b"].base is not None

@@ -204,3 +204,40 @@ def test_orphan_tmp_files_are_swept(tmp_path):
     j.clear()
     left = [f for f in os.listdir(tmp_path) if ".tmp" in f]
     assert left == [] and not os.path.exists(p)
+
+
+def test_sweep_handles_glob_metachar_names_and_live_pids(tmp_path):
+    """'take [1].wav'-style stems produce journal paths containing glob
+    metacharacters — the sweep must still find orphan tmps — and a tmp
+    owned by a LIVE pid (a concurrent save on the same file) must be left
+    alone, not unlinked mid-replace (review r3 batch 17)."""
+    import numpy as np
+
+    from softspoken_tpu.engine.journal import ChunkJournal
+
+    p = str(tmp_path / "take [1].abcd.chunks.npz")
+    (tmp_path / "take [1].abcd.chunks.npz.tmp99999").write_bytes(b"dead")
+    live = f"take [1].abcd.chunks.npz.tmp{os.getppid()}"
+    (tmp_path / live).write_bytes(b"live")
+    j = ChunkJournal(p, {"k": 1})
+    j.save([np.ones(4, np.float32)], np.zeros(2, np.float32),
+           np.zeros(2, np.float32))
+    left = sorted(f for f in os.listdir(tmp_path) if ".tmp" in f)
+    assert left == [live], left  # dead orphan swept, live writer preserved
+
+
+def test_variables_digest_depends_on_dtype():
+    """bf16-vs-f32 trees with equal values run different numerics; their
+    journals must not be interchangeable (review r3 batch 17)."""
+    import ml_dtypes
+    import numpy as np
+
+    from softspoken_tpu.engine.journal import variables_digest
+
+    f32 = {"w": np.linspace(-1, 1, 32, dtype=np.float32)}
+    bf16 = {"w": f32["w"].astype(ml_dtypes.bfloat16)}
+    f64 = {"w": f32["w"].astype(np.float64) + 1e-12}
+    assert variables_digest(f32) != variables_digest(bf16)
+    assert variables_digest(f32) != variables_digest(f64)
+    assert variables_digest(f32) == variables_digest(
+        {"w": f32["w"].copy()})

@@ -5,6 +5,8 @@ The reference reads OGG incidentally through libsndfile
 Skips cleanly when the system libraries are absent.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -158,3 +160,16 @@ def test_write_vorbis_bad_path_raises_and_state_survives(tmp_path):
     ov.write_vorbis(ok, x, 8000)
     y, sr = ov.read(ok)
     assert sr == 8000 and len(y) == len(x)
+
+
+def test_write_vorbis_failure_leaves_no_file(tmp_path):
+    """A rejected encode (absurd sample rate) must raise AND remove the
+    partially-opened output — not strand a 0-byte .ogg that later
+    directory scans mistake for a vector (review r3 batch 17)."""
+    if not ov.available():
+        pytest.skip("libvorbis not present")
+    p = str(tmp_path / "bad.ogg")
+    x = np.zeros(256, np.float32)
+    with pytest.raises(ov.OggFormatError):
+        ov.write_vorbis(p, x, samplerate=8000, quality=-2.0)
+    assert not os.path.exists(p)
