@@ -46,6 +46,31 @@ def main() -> None:
 
         jax.config.update("jax_platforms", plat)
 
+    # Fail fast if the remote-TPU tunnel is unresponsive: backend init
+    # (jax.devices()) blocks forever when the tunnel is down, which would
+    # hang the driver's round-end bench with no diagnostic.  Probe it on a
+    # watchdog thread and bail out with a clear message instead.
+    import threading
+
+    ready = threading.Event()
+
+    def _probe() -> None:
+        import jax
+
+        jax.devices()
+        ready.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    deadline = float(os.environ.get("BENCH_INIT_TIMEOUT", "600"))
+    if not ready.wait(deadline):
+        print(
+            f"bench: JAX backend init did not complete within {deadline:.0f}s "
+            "(remote TPU tunnel down?). Set JAX_PLATFORMS=cpu for a smoke run "
+            "or raise BENCH_INIT_TIMEOUT.",
+            file=sys.stderr,
+        )
+        os._exit(3)
+
     from softspoken_tpu import Config, ckpt
     from softspoken_tpu.engine import Detector
 
