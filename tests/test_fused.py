@@ -240,6 +240,38 @@ def test_fused_exact_multiple_chunks_returns_full_grid(tmp_path):
     assert multi.intervals == single.intervals
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("seconds,residue", [(21.3, 1), (20.1, 19)])
+def test_fused_boundary_window_residues(tmp_path, seconds, residue):
+    """Chunking invariance at the sharpest boundary residues: a final chunk
+    holding exactly ONE window (n % chunk_w == 1) or missing exactly one
+    (n % chunk_w == chunk_w-1).  Complements the exact-multiple regression
+    above — every carry/clamp bug so far lived at one of these edges.
+
+    chunk_w = 20 at (chunk_seconds=12, step 0.6): n = ceil((round(dur*22050)
+    + 66150)/13230) gives 41 windows at 21.3 s and 39 at 20.1 s.
+    """
+    rng = np.random.default_rng(int(seconds * 10))
+    audio = (0.3 * rng.standard_normal(int(seconds * 22050))).astype(np.float32)
+    p = str(tmp_path / f"res{residue}.wav")
+    wavio.write(p, audio, 22050, subtype="PCM_16")
+
+    def run(cs):
+        det = Detector(
+            Config().with_engine(precision="parity", device_batch=4,
+                                 chunk_seconds=cs),
+            variables=ckpt.fixture_variables(seed=0),
+        )
+        return det.detect_file_fused(p)
+
+    multi = run(12.0)
+    single = run(120.0)
+    assert multi.num_windows % 20 == residue, "fixture must hit the residue"
+    assert len(multi.avg_values) == len(single.avg_values)
+    np.testing.assert_allclose(multi.avg_values, single.avg_values, atol=1e-5)
+    assert multi.intervals == single.intervals
+
+
 def test_fused_respects_pad_seconds_override(tmp_path):
     """The fused pipeline's virtual pad must come from cfg.engine.pad_seconds
     — it was hardcoded to 3 s while the final shift used the config value,
