@@ -617,11 +617,19 @@ def detect_file_fused(
 
         # mono ≤16-bit (the dominant field-recorder case) streams int16 —
         # half the upload bytes of f32 on a link-bound path, bit-identical
-        # numerics (the ÷32768 on device equals the f32 scale exactly)
-        if inf.channels == 1 and inf.bits_per_sample <= 16:
-            engine = get_fused_engine(detector, inf.samplerate,
-                                      _i16_kind(detector))
-            with SequentialMonoReader(path, dtype="i16") as smr:
+        # numerics (the ÷32768 on device equals the f32 scale exactly).
+        # Mono 24-bit rides the same wire when the mu-law compander is on:
+        # the top-16-bit truncation is far inside the compander's own
+        # quantization (see SequentialMonoReader.truncate_to_i16), and the
+        # upload drops 4x vs f32.  Exact wires keep f32 for >16-bit.
+        kind = _i16_kind(detector)
+        if inf.channels == 1 and (inf.bits_per_sample <= 16
+                                  or kind == "mulaw8"):
+            engine = get_fused_engine(detector, inf.samplerate, kind)
+            with SequentialMonoReader(
+                path, dtype="i16",
+                truncate_to_i16=inf.bits_per_sample > 16,
+            ) as smr:
                 return engine.run(smr.read, inf.frames, progress, journal)
         engine = get_fused_engine(detector, inf.samplerate, "f32")
         with SequentialMonoReader(path) as smr:
@@ -642,6 +650,26 @@ def detect_file_fused(
 
         try:
             return engine.run(read_native, inf.frames, progress, journal)
+        finally:
+            reader.close()
+
+    if (isinstance(inf, wavio.WavInfo) and inf.channels == 1
+            and inf.subtype in ("PCM_24", "PCM_32", "PCM_U8")
+            and _i16_kind(detector) == "mulaw8"):
+        # the lossy mu-law wire is on anyway, so 24/32-bit mono stages the
+        # samples' top 16 bits (wavio.top16_from_raw: truncation ≪ the
+        # compander's quantization step) instead of detouring through f32 —
+        # 1 wire byte per sample where the generic path below ships 4
+        engine = get_fused_engine(detector, inf.samplerate, "mulaw8")
+        reader = wavio.RawReader(path)
+
+        def read_native_top16(start: int, frames: int) -> np.ndarray:
+            reader.will_need(start + frames, frames)
+            return wavio.top16_from_raw(
+                reader.read_raw(start, frames), inf.subtype)
+
+        try:
+            return engine.run(read_native_top16, inf.frames, progress, journal)
         finally:
             reader.close()
 

@@ -301,18 +301,29 @@ class SequentialMonoReader:
     serves overlaps from memory; the decoder itself only ever moves forward.
     """
 
-    def __init__(self, path: str, dtype: str = "f32"):
+    def __init__(self, path: str, dtype: str = "f32",
+                 truncate_to_i16: bool = False):
         """dtype='i16' serves raw int16 (mono, ≤16-bit streams only): the
         fused engine then uploads HALF the bytes of f32, which matters on a
         link-bound e2e path (VERDICT r2 weak #2).  A b-bit sample shifted
         left by 16−b then divided by 32768 on device equals the f32 path's
-        v/2^(b−1) exactly, so the two modes are bit-identical downstream."""
+        v/2^(b−1) exactly, so the two modes are bit-identical downstream.
+
+        ``truncate_to_i16=True`` additionally admits mono streams with
+        bits_per_sample > 16, keeping each sample's TOP 16 bits (arithmetic
+        right shift).  That is lossy (≤1 int16 LSB ≈ 3e-5 full scale), so
+        the fused engine enables it only when the wire is the 8-bit mu-law
+        compander, whose quantization step (~1.7e-4 at its finest) dwarfs
+        the truncation — same evidence envelope as ops/mulaw.py."""
         self.reader = FlacReader(path)
         self.info = self.reader.info
-        if dtype == "i16" and (self.info.channels != 1
-                               or self.info.bits_per_sample > 16):
+        if dtype == "i16" and (
+            self.info.channels != 1
+            or (self.info.bits_per_sample > 16 and not truncate_to_i16)
+        ):
             raise ValueError(
                 "i16 streaming needs a mono stream with bits_per_sample<=16 "
+                "(or truncate_to_i16=True) "
                 f"(got {self.info.channels} ch, {self.info.bits_per_sample} bit)")
         self._np_dtype = np.int16 if dtype == "i16" else np.float32
         self._shift = 16 - self.info.bits_per_sample
@@ -322,6 +333,8 @@ class SequentialMonoReader:
     def _decode_forward(self, frames: int) -> np.ndarray:
         raw = self.reader.read_i32(frames)
         if self._np_dtype == np.int16:
+            if self._shift < 0:  # >16-bit stream: keep the top 16 bits
+                return (raw[:, 0] >> (-self._shift)).astype(np.int16)
             return (raw[:, 0] << self._shift).astype(np.int16)
         scale = np.float32(1.0 / (1 << (self.info.bits_per_sample - 1)))
         data = raw.astype(np.float32) * scale

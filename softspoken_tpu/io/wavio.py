@@ -173,6 +173,28 @@ def _decode(raw: np.ndarray, subtype: str) -> np.ndarray:
     raise WavFormatError(f"unsupported subtype {subtype}")
 
 
+def top16_from_raw(raw: np.ndarray, subtype: str) -> np.ndarray:
+    """Top 16 bits of mono integer-PCM sample bytes, as int16.
+
+    Used by the fused engine's lossy wire (engine/fused.py): when the
+    upload ships 8-bit mu-law codes anyway, a 24/32-bit sample's low bits
+    are far below the compander's quantization step, so the host can stage
+    int16 without a float detour.  PCM_24/PCM_32 keep the top 16 bits
+    (truncation toward −inf, ≤1 int16 LSB ≈ 3e-5 full scale — the finest
+    mu-law step is ~1.7e-4); PCM_U8 is converted exactly ((v−128)·256 ==
+    the f32 path's (v−128)/128 scaled by 32768).  NOT for exact paths.
+    """
+    if subtype == "PCM_24":
+        b = raw.reshape(-1, 3)
+        return np.ascontiguousarray(b[:, 1:3]).view("<i2")[:, 0]
+    if subtype == "PCM_32":
+        b = raw.reshape(-1, 4)
+        return np.ascontiguousarray(b[:, 2:4]).view("<i2")[:, 0]
+    if subtype == "PCM_U8":
+        return ((raw.view(np.uint8).astype(np.int16) - 128) * 256).astype(np.int16)
+    raise WavFormatError(f"top16_from_raw: unsupported subtype {subtype}")
+
+
 def read_raw(
     path: str, start: int = 0, frames: Optional[int] = None,
     want_subtype: Optional[str] = None,
