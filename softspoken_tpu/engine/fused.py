@@ -675,6 +675,21 @@ def detect_file_fused(
 
     from ..io import read_mono
 
+    if _i16_kind(detector) == "mulaw8":
+        # generic host-decode formats (stereo WAV, FLOAT, multichannel
+        # FLAC, OGG, AIFF) downmix to mono f32 on host; under the mu-law
+        # wire the f32→int16 rounding (≤3e-5 FS) vanishes inside the
+        # compander's quantization, and the upload drops 4x vs shipping f32
+        engine = get_fused_engine(detector, inf.samplerate, "mulaw8")
+
+        def read_native_i16(start: int, frames: int) -> np.ndarray:
+            data, _ = read_mono(path, start=start, frames=frames)
+            return np.clip(
+                np.rint(data * np.float32(32768.0)), -32768, 32767
+            ).astype(np.int16)
+
+        return engine.run(read_native_i16, inf.frames, progress, journal)
+
     engine = get_fused_engine(detector, inf.samplerate, "f32")
 
     def read_native(start: int, frames: int) -> np.ndarray:

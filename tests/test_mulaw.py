@@ -136,6 +136,27 @@ def test_fused_pcm24_top16_wire(tmp_path):
     assert flac_lossy.intervals == lossy.intervals
 
 
+@pytest.mark.slow
+def test_fused_stereo_mulaw_wire(tmp_path):
+    """Stereo PCM16 under the mu-law wire: the host downmix ships as int16→
+    mu-law (1 wire byte/sample) instead of f32 (4), within compander noise
+    of the exact f32 route."""
+    x, sr = _float_content(seed=9)
+    stereo = np.stack([x, np.roll(x, 3)], axis=1)
+    p = str(tmp_path / "stereo.wav")
+    wavio.write(p, stereo, sr, subtype="PCM_16")
+
+    mk = lambda codec: Detector(
+        Config().with_engine(device_batch=4, chunk_seconds=12.0,
+                             upload_codec=codec),
+        variables=ckpt.fixture_variables(seed=0))
+    exact = detect_file_fused(mk("pcm16"), p)       # f32 generic wire
+    lossy = detect_file_fused(mk("mulaw8"), p)      # downmix→i16→mu-law
+    assert lossy.num_windows == exact.num_windows
+    np.testing.assert_allclose(lossy.avg_values, exact.avg_values, atol=0.02)
+    assert lossy.intervals == exact.intervals
+
+
 def test_auto_codec_is_exact_off_tpu(tmp_path):
     """upload_codec=auto must resolve to pcm16 on CPU (tests run on CPU)."""
     from softspoken_tpu.engine.fused import _i16_kind
