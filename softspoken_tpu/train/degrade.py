@@ -24,7 +24,7 @@ from typing import Iterable, List
 import numpy as np
 from scipy import signal
 
-DEGRADATIONS = ("rolloff4k", "clip", "mulaw", "hum", "dropout")
+DEGRADATIONS = ("rolloff4k", "clip", "mulaw", "hum", "dropout", "bfp4")
 
 
 def rolloff4k(audio: np.ndarray, sr: int, rng: np.random.Generator) -> np.ndarray:
@@ -84,9 +84,20 @@ def dropout(audio: np.ndarray, sr: int, rng: np.random.Generator,
     return out.astype(np.float32)
 
 
+def bfp4(audio: np.ndarray, sr: int, rng: np.random.Generator) -> np.ndarray:
+    """4-bit block-floating-point round trip (ops/bfp4.py) — the
+    experimental half-of-mu-law wire, measured here before it is ever
+    allowed on the link (upload_codec="bfp4" is opt-in; "auto" never
+    selects it)."""
+    from ..ops import bfp4 as wire
+
+    i16 = np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(np.int16)
+    return wire.roundtrip_i16(i16)
+
+
 _FNS = {
     "rolloff4k": rolloff4k, "clip": clip, "mulaw": mulaw,
-    "hum": hum, "dropout": dropout,
+    "hum": hum, "dropout": dropout, "bfp4": bfp4,
 }
 
 
