@@ -47,6 +47,7 @@ CONDITIONS = [
     ("rolloff4k", dict(degradations=["rolloff4k"])),
     ("clip", dict(degradations=["clip"])),
     ("mulaw", dict(degradations=["mulaw"])),
+    ("bfp4", dict(degradations=["bfp4"])),
     ("hum", dict(degradations=["hum"])),
     ("dropout", dict(degradations=["dropout"])),
     ("rolloff4k+mulaw", dict(degradations=["rolloff4k", "mulaw"])),
