@@ -12,15 +12,22 @@ error <= scale/14), i.e. roughly 15 dB below typical speech RMS — much
 coarser than mu-law-8's ~38 dB.  The 256-sample blocks (8 ms at 32 kHz)
 track the envelope, so quiet passages keep fine steps; loud-noise beds
 mask the in-band error.  Whether a trained detector's scores survive this
-is an EMPIRICAL question: the codec ships only as
+was an EMPIRICAL question, and the answer was NO: measured on the trained
+checkpoint (epoch 48750, CPU scoring, 4 files x 60 s per cell, parity
+operating point), frame F1 survives (v1 0.953 vs clean 0.967; v2 0.896 vs
+0.903) but out-of-family EVENT F1 collapses — v2 0.660 vs clean 0.822,
+where the shipped mu-law wire scores 0.903.  The block-peak-relative noise
+fragments/merges event boundaries even though per-frame scores stay close.
 
-  * a degradation condition (train/degrade.py "bfp4") so the quality grid
-    measures it on both eval generators, and
-  * an opt-in wire (config upload_codec="bfp4"); "auto" NEVER selects it.
+So the codec ships only as a measured negative result: a degradation
+condition (train/degrade.py "bfp4", in scripts/quality_grid.py's grid) and
+this reference implementation.  It is deliberately NOT wired into the
+fused engine; the mu-law-8 wire (ops/mulaw.py) remains the fast-mode
+transport.  If a future checkpoint is trained WITH bfp4 augmentation the
+gate can be re-run — the infrastructure is all here.
 
-Like mu-law, decode is branch-free elementwise math that XLA fuses into
-the device frontend; unpack is two int8 shifts.  Encode runs on the host
-as vectorized numpy over the staging buffer.
+Decode is branch-free elementwise math XLA would fuse into the device
+frontend; unpack is two int8 shifts.  Encode is vectorized numpy.
 """
 
 from __future__ import annotations
