@@ -66,7 +66,7 @@ def capture(batch: int, chunk_seconds: float, repeats: int, trace_dir: str):
         avg, _, cs, cc = eng._fn(variables, *args, cs, cc)
     jax.device_get(avg)
     jax.profiler.stop_trace()
-    audio_sec = repeats * eng.chunk_w * step
+    audio_sec = repeats * eng.chunk_w * cfg.engine.step_seconds
     return wall, audio_sec, eng
 
 
