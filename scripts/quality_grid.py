@@ -35,6 +35,7 @@ if _plat:
 
 
 THRESHOLDS = [0.02, 0.05, 0.1, 0.15, 0.2, 0.3, 0.5]
+HYST_EXITS = [0.0, 0.02, 0.05, 0.08]
 PARITY = {"threshold": 0.1, "break_duration": 0.5}
 TUNED = {"threshold": 0.1, "break_duration": 0.3}
 
@@ -80,11 +81,12 @@ def metrics_from(per_file, pad_seconds):
     from softspoken_tpu.engine import regions as R
     from softspoken_tpu.train import evaluate as E
 
-    def metrics_at(threshold, break_duration):
+    def metrics_at(threshold, break_duration, exit_threshold=None):
         ft, et, gt = {}, {}, {}
         for pf_ in per_file:
             avg, dur, truth = pf_["avg"], pf_["dur"], pf_["truth"]
-            regs = R.find_speech_regions(avg, threshold, break_duration)
+            regs = R.find_speech_regions(avg, threshold, break_duration,
+                                         exit_threshold=exit_threshold)
             regs = R.shift_regions(regs, -pad_seconds)
             # clamp into [0, dur] at BOTH edges FIRST so the min-length
             # filter judges the audible span (review r3 batch 13: the end
@@ -107,6 +109,15 @@ def metrics_from(per_file, pad_seconds):
         f, e, _ = metrics_at(thr, PARITY["break_duration"])
         sweep[str(thr)] = {"frame_f1": round(f["f1"], 4),
                            "event_f1": round(e["f1"], 4)}
+    # hysteresis operating points (engine exit_threshold): parity enter
+    # level, extended over bins above the exit level — host-side only,
+    # same cached grids
+    hyst = {}
+    for ex in HYST_EXITS:
+        f, e, _ = metrics_at(PARITY["threshold"], PARITY["break_duration"],
+                             exit_threshold=ex)
+        hyst[str(ex)] = {"frame_f1": round(f["f1"], 4),
+                         "event_f1": round(e["f1"], 4)}
     return {
         "parity": {"frame_f1": round(pf["f1"], 4),
                    "frame_precision": round(pf["precision"], 4),
@@ -124,6 +135,7 @@ def metrics_from(per_file, pad_seconds):
                   "event_f1": round(te["f1"], 4),
                   "event_f1_granularity": round(tg["f1"], 4)},
         "threshold_sweep": sweep,
+        "hysteresis_sweep": hyst,
         "n_files": len(per_file),
     }
 

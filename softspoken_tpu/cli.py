@@ -38,6 +38,8 @@ def _load_config(args) -> Config:
         cfg = cfg.with_engine(threshold=args.threshold)
     if getattr(args, "break_duration", None) is not None:
         cfg = cfg.with_engine(break_duration=args.break_duration)
+    if getattr(args, "exit_threshold", None) is not None:
+        cfg = cfg.with_engine(exit_threshold=args.exit_threshold)
     return cfg
 
 
@@ -493,6 +495,10 @@ def build_parser() -> argparse.ArgumentParser:
     pd_.add_argument("--break-duration", type=float,
                      help="gap-merge seconds (parity default 0.5; 0.3 measured "
                           "best for event F1 — docs/QUALITY_r02.json)")
+    pd_.add_argument("--exit-threshold", type=float,
+                     help="hysteresis exit level (< --threshold): regions "
+                          "still need a bin above the main threshold but "
+                          "extend over bins above this (default: off)")
     pd_.add_argument("--streaming", action="store_true",
                      help="force bounded-memory streaming decode")
     pd_.add_argument("--mesh", action="store_true",

@@ -60,6 +60,15 @@ class EngineConfig:
     batch_size: int = 32              # settings.py:12
     threshold: float = 0.1            # settings.py:13
     break_duration: float = 0.5       # worker.py:97
+    # Hysteresis (dual-threshold) regionization — NOT reference behavior,
+    # None by default.  When set below `threshold`, a region still needs a
+    # bin above `threshold` to exist, but extends over contiguous bins
+    # above `exit_threshold` (engine/regions.py::find_speech_regions).
+    # The averaged logits ramp over ~a window length at speech edges, so
+    # the single parity threshold clips onset/offset tails; an exit level
+    # recovers them without admitting seed-free false regions.  Selected
+    # value gated on the quality grid (docs/QUALITY_r03.json) before use.
+    exit_threshold: Optional[float] = None
     minimum_detection_len: float = 0.1  # settings.py:26
     min_count: int = 1                # NNDetector.py:153 (min windows per grid bin)
 

@@ -357,7 +357,8 @@ class Detector:
             # excludes them from regions identically
             avg = np.where(cnt_g >= cfg.engine.min_count, avg, -np.inf)
         regions = R.find_speech_regions(
-            avg, cfg.engine.threshold, cfg.engine.break_duration
+            avg, cfg.engine.threshold, cfg.engine.break_duration,
+            exit_threshold=cfg.engine.exit_threshold,
         )
         regions = R.shift_regions(regions, -cfg.engine.pad_seconds)
         return DetectionResult(regions, avg, logits.shape[0], audio_seconds)

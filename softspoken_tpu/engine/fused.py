@@ -523,7 +523,8 @@ class FusedStreamingEngine:
             np.add.at(cnt, idx[idx < covered], 1)
             avg_values = np.where(cnt >= cfg.engine.min_count, avg_values, -np.inf)
         regions = R.find_speech_regions(
-            avg_values, cfg.engine.threshold, cfg.engine.break_duration
+            avg_values, cfg.engine.threshold, cfg.engine.break_duration,
+            exit_threshold=cfg.engine.exit_threshold,
         )
         regions = R.shift_regions(regions, -cfg.engine.pad_seconds)
         audio_seconds = (

@@ -66,6 +66,7 @@ def find_speech_regions(
     threshold: float = 0.1,
     break_duration: float = 0.5,
     first_bin: int = 0,
+    exit_threshold: float | None = None,
 ) -> List[Tuple[float, float]]:
     """Threshold + run-find + gap-merge over the averaged grid.
 
@@ -73,18 +74,44 @@ def find_speech_regions(
     contiguous (window stride ≪ window length guarantees no interior holes).
     Returns [(start_time, end_time)] with the reference's exact time
     quantization; no offset shift applied.
+
+    ``exit_threshold`` (None = reference behavior) enables hysteresis: a
+    region must contain at least one bin above ``threshold`` (the enter
+    level) but extends outward over every contiguous bin above
+    ``exit_threshold``.  Standard VAD dual-thresholding — the averaged
+    logits ramp up/down over ~a window length at speech edges, so the
+    single parity threshold clips onset/offset tails and splits events
+    whose interior dips just under it; see config.EngineConfig.
+    NOT the reference contract (NNDetector.py:109-127) — off by default,
+    and ignored when >= threshold (no-op by definition).
     """
-    above = np.asarray(avg_values) > threshold
+    av = np.asarray(avg_values)
+    above = av > threshold
     if not above.any():
         return []
-    # run boundaries
-    d = np.diff(above.astype(np.int8))
-    starts = np.flatnonzero(d == 1) + 1
-    ends = np.flatnonzero(d == -1)  # inclusive index of last above bin
-    if above[0]:
-        starts = np.r_[0, starts]
-    if above[-1]:
-        ends = np.r_[ends, len(above) - 1]
+    if exit_threshold is not None and exit_threshold < threshold:
+        # runs of the LOW threshold, kept only if they contain a seed bin
+        # above the high threshold
+        low = av > exit_threshold
+        d = np.diff(low.astype(np.int8))
+        starts = np.flatnonzero(d == 1) + 1
+        ends = np.flatnonzero(d == -1)
+        if low[0]:
+            starts = np.r_[0, starts]
+        if low[-1]:
+            ends = np.r_[ends, len(low) - 1]
+        seed_csum = np.r_[0, np.cumsum(above)]
+        has_seed = seed_csum[ends + 1] - seed_csum[starts] > 0
+        starts, ends = starts[has_seed], ends[has_seed]
+    else:
+        # run boundaries
+        d = np.diff(above.astype(np.int8))
+        starts = np.flatnonzero(d == 1) + 1
+        ends = np.flatnonzero(d == -1)  # inclusive index of last above bin
+        if above[0]:
+            starts = np.r_[0, starts]
+        if above[-1]:
+            ends = np.r_[ends, len(above) - 1]
 
     st = np.array([bin_time(first_bin + int(i)) for i in starts])
     et = np.array([bin_time(first_bin + int(i)) for i in ends])

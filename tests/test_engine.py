@@ -74,6 +74,43 @@ def test_find_regions_matches_reference_loop():
         assert got == want
 
 
+def test_hysteresis_regions():
+    dt = 3 / 256
+    t = lambda i: float(f"{i * dt:.4f}")
+    # one seed run with low-level shoulders, one low-only run (no seed)
+    vals = np.zeros(100)
+    vals[10:13] = 0.06          # leading shoulder (> exit, < enter)
+    vals[13:16] = 0.2           # seed
+    vals[16:20] = 0.06          # trailing shoulder
+    vals[40:45] = 0.06          # seedless low run: must NOT appear
+    got = find_speech_regions(vals, 0.1, 0.5, exit_threshold=0.05)
+    assert got == [(t(10), t(19))]
+    # no exit threshold -> parity behavior (seed run only)
+    assert find_speech_regions(vals, 0.1, 0.5) == [(t(13), t(15))]
+    # exit >= enter is a no-op by definition
+    assert find_speech_regions(vals, 0.1, 0.5, exit_threshold=0.1) == [
+        (t(13), t(15))]
+    # hysteresis-extended regions still gap-merge: two seeded low runs
+    # whose extended gap is <= break_duration collapse to one region
+    vals2 = np.zeros(200)
+    vals2[10:15] = 0.2
+    vals2[15:30] = 0.06
+    vals2[40:45] = 0.2          # gap 30..40 = 10 bins ~ 0.117 s < 0.5 s
+    got2 = find_speech_regions(vals2, 0.1, 0.5, exit_threshold=0.05)
+    assert got2 == [(t(10), t(44))]
+    # edge runs touching the array boundaries
+    vals3 = np.zeros(50)
+    vals3[:3] = 0.06
+    vals3[3] = 0.2
+    vals3[47] = 0.2
+    vals3[48:] = 0.06
+    got3 = find_speech_regions(vals3, 0.1, 0.5, exit_threshold=0.05)
+    assert got3 == [(t(0), t(3)), (t(47), t(49))]
+    # all-below-enter -> empty even when bins exceed exit
+    assert find_speech_regions(np.full(20, 0.06), 0.1, 0.5,
+                               exit_threshold=0.05) == []
+
+
 @pytest.mark.slow
 def test_shift_and_detect_synthetic_speech(detector):
     """End-to-end slice: a waveform whose random-net logits exceed threshold
