@@ -594,6 +594,8 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--ckpt", help="checkpoint (default: config model path)")
     pe.add_argument("--iou", type=float, default=0.5)
     pe.add_argument("--seed", type=int, default=1234)
+    pe.add_argument("--exit-threshold", type=float,
+                    help="hysteresis exit level (< --threshold); default off")
     pe.add_argument("--threshold", type=float,
                     help="score threshold (default: parity 0.1)")
     pe.add_argument("--break-duration", type=float,
