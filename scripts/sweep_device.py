@@ -29,6 +29,9 @@ VARIANTS = {
     "b192c900":    dict(device_batch=192, chunk_seconds=900.0),
     "phase_b192":  dict(device_batch=192, chunk_seconds=600.0,
                         decoder_upsample="phase"),
+    "unroll2":     dict(device_batch=128, chunk_seconds=600.0, scan_unroll=2),
+    "unroll4":     dict(device_batch=128, chunk_seconds=600.0, scan_unroll=4),
+    "unroll8":     dict(device_batch=128, chunk_seconds=600.0, scan_unroll=8),
 }
 
 

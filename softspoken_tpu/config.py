@@ -156,6 +156,15 @@ class EngineConfig:
     # "host" resamples host-side with exact reference-pad numerics;
     # "auto" picks fused on TPU, host elsewhere.
     pipeline: str = "auto"
+    # Unroll factor for the chunk program's lax.scan over device batches
+    # (engine/detector.py::_forward_chunk and the fused program).  The scan
+    # lowers to an XLA while loop; unrolling lets the scheduler overlap
+    # iterations at the cost of program size.  Measured on v5e at
+    # B=128/600 s (scripts/sweep_device.py, repeats=6×2): 5,788 audio-s/s
+    # at 1 vs 5,816 / 5,849 / 5,828 at 2/4/8 — ~+1% at 4, near the
+    # run-to-run spread, so the default stays 1; kept as a knob because
+    # the trade shifts with batch/chunk shape.
+    scan_unroll: int = 1
 
 
 @dataclass(frozen=True)

@@ -201,7 +201,8 @@ class Detector:
         def body(_, starts):
             return None, self._forward(variables, wave, starts)
 
-        _, logits = jax.lax.scan(body, None, starts_nb)
+        _, logits = jax.lax.scan(body, None, starts_nb,
+                                 unroll=self.cfg.engine.scan_unroll)
         return logits
 
     def chunk_windows(self) -> int:

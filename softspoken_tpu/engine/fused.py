@@ -198,7 +198,8 @@ class FusedStreamingEngine:
             # (B, 256) logits; det._forward is traced while the caller holds det
             return None, self.det._forward(variables, internal, s)
 
-        _, logits = jax.lax.scan(body, None, starts)          # (nb, B, 256)
+        _, logits = jax.lax.scan(body, None, starts,          # (nb, B, 256)
+                                 unroll=self.cfg.engine.scan_unroll)
         flat = logits.reshape(self.chunk_w, 256).astype(jnp.float32)
         v = valid.reshape(self.chunk_w)
         vals = flat * v[:, None]
