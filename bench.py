@@ -140,7 +140,15 @@ def main() -> None:
     from softspoken_tpu.engine.fused import _i16_kind
 
     wire_kind = _i16_kind(det)  # "mulaw8" on TPU fast mode, "i16" otherwise
-    dev_eng = get_fused_engine(dev_det, sr_native, wire_kind)
+    # wire decimation (io/decimate.py) ships the stream at sr/M when the
+    # lossy wire is on; the device program then resamples from that rate,
+    # so BOTH the device-only engine and the link math must use it
+    wire_sr = sr_native
+    if wire_kind == "mulaw8" and cfg.engine.wire_decimate == "auto":
+        from softspoken_tpu.io.decimate import decim_factor
+
+        wire_sr = sr_native // decim_factor(sr_native, cfg.dsp.f_max)
+    dev_eng = get_fused_engine(dev_det, wire_sr, wire_kind)
     device_only = max(dev_eng.device_only_rate(), dev_eng.device_only_rate())
 
     # the e2e number is LINK-BOUND, not pipeline slack: 32 kHz int16 mono is
@@ -162,8 +170,9 @@ def main() -> None:
         up_rates.append(up_bytes / (time.perf_counter() - t0))
     upload_bps = max(up_rates)
     # wire bytes per audio-second depend on the transport codec: int16 mono
-    # is 2 B/sample; the mu-law compander (ops/mulaw.py) ships 1 B/sample
-    bytes_per_audio_sec = sr_native * (1 if wire_kind == "mulaw8" else 2)
+    # is 2 B/sample; the mu-law compander (ops/mulaw.py) ships 1 B/sample,
+    # and wire decimation drops the sample rate itself to wire_sr
+    bytes_per_audio_sec = wire_sr * (1 if wire_kind == "mulaw8" else 2)
     link_bound_rate = upload_bps / bytes_per_audio_sec
 
     rates = sorted(result.audio_seconds / w for w in walls)
@@ -188,6 +197,7 @@ def main() -> None:
                 "device_only_mfu": round(mfu(device_only), 4),
                 "upload_mbps": round(upload_bps / 1e6, 1),
                 "wire_codec": wire_kind,
+                "wire_sr": wire_sr,
                 "link_bound_rate": round(link_bound_rate, 1),
                 "link_utilization": round(value / link_bound_rate, 3),
             }

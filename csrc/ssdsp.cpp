@@ -11,6 +11,7 @@
 // through ctypes — no pybind11 dependency.
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <thread>
 #include <vector>
@@ -113,6 +114,86 @@ void ss_pcm16_to_mono_f32(const int16_t* x, int64_t frames, int32_t channels,
         int64_t a = (int64_t)t * step, b = a + step;
         if (a >= frames) break;
         if (b > frames) b = frames;
+        threads.emplace_back(worker, a, b);
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Zero-phase FIR decimation by integer M for the upload wire
+// (softspoken_tpu/io/decimate.py).  Contract: xbuf[i] = nat[start*M-half+i]
+// with half=(T-1)/2 (caller zero-pads outside the file), L=(n_out-1)*M+T,
+//     y[j] = clip(rint(sum_k h[k] * xbuf[j*M + k])).
+// Strategy: deinterleave the input into M contiguous float phases once,
+// then tap k = q*M+p contributes h[k]*phase_p[j+q] — every inner loop is a
+// contiguous saxpy over j that g++ -O3 -march=native turns into FMA vector
+// code (the generic ss_resample_f32 above is scalar per-output and ~20x
+// slower per tap; this kernel sits on the fused pipeline's 1-core host
+// critical path).  Per-output summation order is FIXED (p outer, q inner,
+// j independent), so a given absolute output sample is bit-identical no
+// matter how requests are windowed or tiled — the purity the fused
+// engine's overlapping chunk reads rely on.
+void ss_fir_decim_i16(const int16_t* x, int64_t L, int16_t* y, int64_t n_out,
+                      const float* h, int32_t T, int32_t M,
+                      int32_t n_threads) {
+    if (n_out <= 0) return;
+    const int64_t phn = (L + M - 1) / M + 1;
+    std::vector<float> ph((size_t)M * phn, 0.0f);
+    for (int32_t p = 0; p < M; ++p) {
+        float* d = ph.data() + (size_t)p * phn;
+        for (int64_t i = 0, k = p; k < L; ++i, k += M) d[i] = (float)x[k];
+    }
+    const int64_t TILE = 4096;
+    auto worker = [&](int64_t w0, int64_t w1) {
+        std::vector<float> acc(TILE);
+        for (int64_t j0 = w0; j0 < w1; j0 += TILE) {
+            const int64_t jn = (w1 - j0 < TILE) ? (w1 - j0) : TILE;
+            for (int64_t j = 0; j < jn; ++j) acc[j] = 0.0f;
+            for (int32_t p = 0; p < M; ++p) {
+                const float* base = ph.data() + (size_t)p * phn + j0;
+                const int32_t nq = (T - 1 - p) / M + 1;  // taps in phase p
+                int32_t q = 0;
+                // 8 taps per j-pass: the plain 1-tap loop is L1-bound on
+                // the acc[j] load+store (measured ~3,000 audio-s/s for the
+                // 147-tap 32 kHz filter); amortizing it 8x approaches the
+                // FMA-port bound instead
+                for (; q + 8 <= nq; q += 8) {
+                    const float h0 = h[(q + 0) * (int64_t)M + p];
+                    const float h1 = h[(q + 1) * (int64_t)M + p];
+                    const float h2 = h[(q + 2) * (int64_t)M + p];
+                    const float h3 = h[(q + 3) * (int64_t)M + p];
+                    const float h4 = h[(q + 4) * (int64_t)M + p];
+                    const float h5 = h[(q + 5) * (int64_t)M + p];
+                    const float h6 = h[(q + 6) * (int64_t)M + p];
+                    const float h7 = h[(q + 7) * (int64_t)M + p];
+                    const float* xp = base + q;
+                    for (int64_t j = 0; j < jn; ++j) {
+                        acc[j] += h0 * xp[j] + h1 * xp[j + 1]
+                                + h2 * xp[j + 2] + h3 * xp[j + 3]
+                                + h4 * xp[j + 4] + h5 * xp[j + 5]
+                                + h6 * xp[j + 6] + h7 * xp[j + 7];
+                    }
+                }
+                for (; q < nq; ++q) {
+                    const float hk = h[q * (int64_t)M + p];
+                    const float* xp = base + q;
+                    for (int64_t j = 0; j < jn; ++j) acc[j] += hk * xp[j];
+                }
+            }
+            for (int64_t j = 0; j < jn; ++j) {
+                float v = nearbyintf(acc[j]);
+                if (v > 32767.0f) v = 32767.0f;
+                if (v < -32768.0f) v = -32768.0f;
+                y[j0 + j] = (int16_t)v;
+            }
+        }
+    };
+    if (n_threads <= 1 || n_out < 65536) { worker(0, n_out); return; }
+    std::vector<std::thread> threads;
+    const int64_t step = (n_out + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+        int64_t a = (int64_t)t * step, b = a + step;
+        if (a >= n_out) break;
+        if (b > n_out) b = n_out;
         threads.emplace_back(worker, a, b);
     }
     for (auto& th : threads) th.join();

@@ -59,15 +59,22 @@ def main():
     from softspoken_tpu.engine import Detector
     from softspoken_tpu.train import evaluate as E
 
+    # three wire variants: exact, compander-only, compander + host
+    # decimation to 16 kHz (io/decimate.py) — each gated against exact
+    variants = {
+        "pcm16": dict(upload_codec="pcm16", wire_decimate="off"),
+        "mulaw8": dict(upload_codec="mulaw8", wire_decimate="off"),
+        "mulaw8_dec": dict(upload_codec="mulaw8", wire_decimate="auto"),
+    }
     dets = {}
-    for codec in ("pcm16", "mulaw8"):
-        cfg = Config().with_engine(pipeline="fused", upload_codec=codec)
-        dets[codec] = Detector(cfg, checkpoint_path=args.ckpt)
+    for name, kw in variants.items():
+        cfg = Config().with_engine(pipeline="fused", **kw)
+        dets[name] = Detector(cfg, checkpoint_path=args.ckpt)
         # refuse random init: a missing checkpoint degrades to fixture
         # weights and would publish a garbage gate into QUALITY_r03.json
         # attributed to the real checkpoint (review r3 batch 13; same
         # guard as quality_grid.py)
-        if getattr(dets[codec], "epoch", -1) < 0:
+        if getattr(dets[name], "epoch", -1) < 0:
             raise SystemExit(
                 f"checkpoint {args.ckpt} did not load (epoch<0) — "
                 "refusing to run the codec gate on random init")
@@ -95,18 +102,24 @@ def main():
                 # intervals serve the identity check directly (re-running
                 # detection here doubled the gate's TPU wall time)
                 intervals[codec] = res["intervals"]
+            for lossy in ("mulaw8", "mulaw8_dec"):
+                same = sum(a == b for a, b in
+                           zip(intervals["pcm16"], intervals[lossy]))
+                row[f"{lossy}_intervals_identical"] = f"{same}/{args.files}"
+                row[f"{lossy}_frame_f1_delta"] = round(
+                    row[lossy]["frame_f1"] - row["pcm16"]["frame_f1"], 4)
             same = sum(a == b for a, b in
-                       zip(intervals["pcm16"], intervals["mulaw8"]))
+                       zip(intervals["pcm16"], intervals["mulaw8_dec"]))
             gate["interval_identical_files"] += same
             gate["total_files"] += args.files
-            row["intervals_identical"] = f"{same}/{args.files}"
-            row["frame_f1_delta"] = round(
-                row["mulaw8"]["frame_f1"] - row["pcm16"]["frame_f1"], 4)
             gate["conditions"][tag] = row
             print(f"{tag}: pcm16 frame F1 {row['pcm16']['frame_f1']} "
                   f"mulaw8 {row['mulaw8']['frame_f1']} "
-                  f"(delta {row['frame_f1_delta']:+.4f}, "
-                  f"identical intervals {same}/{args.files})", flush=True)
+                  f"(d {row['mulaw8_frame_f1_delta']:+.4f}) "
+                  f"mulaw8_dec {row['mulaw8_dec']['frame_f1']} "
+                  f"(d {row['mulaw8_dec_frame_f1_delta']:+.4f}, "
+                  f"ident {row['mulaw8_dec_intervals_identical']})",
+                  flush=True)
     gate["wall_seconds"] = round(time.time() - t_all, 1)
 
     doc = {}

@@ -39,6 +39,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=8)
     ap.add_argument("--variants", default=",".join(VARIANTS))
+    # the shipped fast-mode wire is decimated 32k->16k (io/decimate.py), so
+    # the device program resamples from 16 kHz; sweep that by default
+    ap.add_argument("--wire-sr", type=int, default=16000)
     args = ap.parse_args()
 
     from softspoken_tpu import Config, ckpt
@@ -52,7 +55,7 @@ def main():
         cfg = Config().with_engine(**ov)
         t0 = time.perf_counter()
         det = Detector(cfg, variables=variables)
-        eng = get_fused_engine(det, 32000, "mulaw8")
+        eng = get_fused_engine(det, args.wire_sr, "mulaw8")
         r = max(eng.device_only_rate(args.repeats),
                 eng.device_only_rate(args.repeats))
         build = time.perf_counter() - t0

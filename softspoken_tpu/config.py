@@ -111,6 +111,17 @@ class EngineConfig:
     # "auto" = mulaw8 on TPU when precision != "parity" and the source is
     # 16-bit PCM; exact pcm16 everywhere else (parity mode never lossy).
     upload_codec: str = "auto"
+    # Host decimation of the wire stream (io/decimate.py): when the native
+    # rate is an integer multiple M of >= 2*dsp.f_max, ship the stream
+    # decimated by M (32 kHz -> 16 kHz halves the bytes again on the
+    # link-bound path).  The model cannot see above f_max — the mel
+    # filterbank tops out there and the 22050 Hz device resample lowpasses
+    # at 11.025 kHz — so only a narrow transition band straddling f_max is
+    # at stake; quality-gated on the degradation grid like the compander
+    # (docs/QUALITY_r03.json wire_decimate gate).  "auto" = engage exactly
+    # when the lossy mu-law wire is on (never in parity mode / exact
+    # wires); "off" disables.
+    wire_decimate: str = "auto"
     # Streaming-decode resampler for the host pipeline: "host" (scipy/C++
     # polyphase), "device" (fixed-shape jitted matmul), or "auto" (device
     # iff running on TPU).

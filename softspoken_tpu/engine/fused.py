@@ -575,11 +575,52 @@ def _make_journal(detector: Detector, path: str, journal_dir: Optional[str]):
         "pad_seconds": cfg.engine.pad_seconds,
         "decoder_upsample": cfg.engine.decoder_upsample,
         "upload_codec": getattr(cfg.engine, "upload_codec", "pcm16"),
+        # resolved per (file sr, knob); pin knob + decimator impl so a
+        # resume can't stitch grids whose wire streams differed (the C and
+        # numpy decimators agree only to ~1 LSB — io/decimate.py)
+        "wire_decimate": _wire_decimate_tag(cfg),
         "device_batch": cfg.engine.device_batch,
         "chunk_seconds": cfg.engine.chunk_seconds,
         "backend": jax.default_backend(),
     }
     return journal_for(journal_dir, path, header)
+
+
+def _wire_decimate_tag(cfg: Config) -> str:
+    """Journal-header tag for the wire-decimation numerics: the knob plus
+    which decimator implementation would run (C kernel vs numpy fallback,
+    which agree only to ~1 LSB of the int16 wire)."""
+    wd = getattr(cfg.engine, "wire_decimate", "auto")
+    if wd == "off":
+        return "off"
+    from ..io import native as _native
+
+    return f"{wd}:{'c' if _native.native_available() else 'np'}"
+
+
+def _maybe_wire_decimate(detector: Detector, read_fn, frames: int, sr: int,
+                         kind: str):
+    """Wrap an int16 reader in the wire decimator when it can't matter.
+
+    Engages only on the lossy mu-law wire (config engine.wire_decimate
+    "auto"; exact wires always ship the native stream) and only when the
+    native rate has an integer factor M with sr/M >= 2*dsp.f_max — content
+    above f_max never reaches the mel filterbank (io/decimate.py), so the
+    wire drops it on the host for 1/M the upload bytes.  Returns the
+    (possibly wrapped) ``(read_fn, frames, sr)`` the engine should run at.
+    """
+    if kind != "mulaw8":
+        return read_fn, frames, sr
+    cfg = detector.cfg
+    if getattr(cfg.engine, "wire_decimate", "auto") != "auto":
+        return read_fn, frames, sr
+    from ..io.decimate import WireDecimator, decim_factor
+
+    M = decim_factor(sr, cfg.dsp.f_max)
+    if M == 1:
+        return read_fn, frames, sr
+    d = WireDecimator(read_fn, frames, sr, M, f_max=cfg.dsp.f_max)
+    return d.read, d.frames, d.sr
 
 
 def _i16_kind(detector: Detector) -> str:
@@ -627,20 +668,21 @@ def detect_file_fused(
         kind = _i16_kind(detector)
         if inf.channels == 1 and (inf.bits_per_sample <= 16
                                   or kind == "mulaw8"):
-            engine = get_fused_engine(detector, inf.samplerate, kind)
             with SequentialMonoReader(
                 path, dtype="i16",
                 truncate_to_i16=inf.bits_per_sample > 16,
             ) as smr:
-                return engine.run(smr.read, inf.frames, progress, journal)
+                rd, nfr, sr = _maybe_wire_decimate(
+                    detector, smr.read, inf.frames, inf.samplerate, kind)
+                engine = get_fused_engine(detector, sr, kind)
+                return engine.run(rd, nfr, progress, journal)
         engine = get_fused_engine(detector, inf.samplerate, "f32")
         with SequentialMonoReader(path) as smr:
             return engine.run(smr.read, inf.frames, progress, journal)
 
     if (isinstance(inf, wavio.WavInfo)
             and inf.subtype == "PCM_16" and inf.channels == 1):
-        engine = get_fused_engine(detector, inf.samplerate,
-                                  _i16_kind(detector))
+        kind = _i16_kind(detector)
         # persistent handle + POSIX_FADV_SEQUENTIAL: reopening per chunk
         # resets kernel readahead, and host disk read is the e2e ceiling
         reader = wavio.RawReader(path)
@@ -650,8 +692,11 @@ def detect_file_fused(
             reader.will_need(start + frames, frames)
             return reader.read_raw(start, frames).view("<i2")
 
+        rd, nfr, sr = _maybe_wire_decimate(
+            detector, read_native, inf.frames, inf.samplerate, kind)
+        engine = get_fused_engine(detector, sr, kind)
         try:
-            return engine.run(read_native, inf.frames, progress, journal)
+            return engine.run(rd, nfr, progress, journal)
         finally:
             reader.close()
 
@@ -662,7 +707,6 @@ def detect_file_fused(
         # samples' top 16 bits (wavio.top16_from_raw: truncation ≪ the
         # compander's quantization step) instead of detouring through f32 —
         # 1 wire byte per sample where the generic path below ships 4
-        engine = get_fused_engine(detector, inf.samplerate, "mulaw8")
         reader = wavio.RawReader(path)
 
         def read_native_top16(start: int, frames: int) -> np.ndarray:
@@ -670,8 +714,11 @@ def detect_file_fused(
             return wavio.top16_from_raw(
                 reader.read_raw(start, frames), inf.subtype)
 
+        rd, nfr, sr = _maybe_wire_decimate(
+            detector, read_native_top16, inf.frames, inf.samplerate, "mulaw8")
+        engine = get_fused_engine(detector, sr, "mulaw8")
         try:
-            return engine.run(read_native_top16, inf.frames, progress, journal)
+            return engine.run(rd, nfr, progress, journal)
         finally:
             reader.close()
 
@@ -682,15 +729,16 @@ def detect_file_fused(
         # FLAC, OGG, AIFF) downmix to mono f32 on host; under the mu-law
         # wire the f32→int16 rounding (≤3e-5 FS) vanishes inside the
         # compander's quantization, and the upload drops 4x vs shipping f32
-        engine = get_fused_engine(detector, inf.samplerate, "mulaw8")
-
         def read_native_i16(start: int, frames: int) -> np.ndarray:
             data, _ = read_mono(path, start=start, frames=frames)
             return np.clip(
                 np.rint(data * np.float32(32768.0)), -32768, 32767
             ).astype(np.int16)
 
-        return engine.run(read_native_i16, inf.frames, progress, journal)
+        rd, nfr, sr = _maybe_wire_decimate(
+            detector, read_native_i16, inf.frames, inf.samplerate, "mulaw8")
+        engine = get_fused_engine(detector, sr, "mulaw8")
+        return engine.run(rd, nfr, progress, journal)
 
     engine = get_fused_engine(detector, inf.samplerate, "f32")
 

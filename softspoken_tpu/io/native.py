@@ -130,6 +130,12 @@ def _load_locked() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
     ]
+    lib.ss_fir_decim_i16.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32,
+    ]
     lib.ss_mulaw_encode_i16.argtypes = [
         ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
@@ -202,6 +208,27 @@ def mulaw_encode_i16(x: np.ndarray, lut: np.ndarray,
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), _threads(),
     )
     return q
+
+
+def fir_decim_i16(xbuf: np.ndarray, h: np.ndarray, M: int,
+                  n_out: int) -> Optional[np.ndarray]:
+    """Zero-phase FIR decimation by ``M`` (io/decimate.py contract):
+    ``y[j] = clip(rint(sum_k h[k] * xbuf[j*M + k]))``; None if native is
+    absent.  ``len(xbuf)`` must be ``(n_out-1)*M + len(h)``."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xbuf = np.ascontiguousarray(xbuf, np.int16)
+    h = np.ascontiguousarray(h, np.float32)
+    assert len(xbuf) == (n_out - 1) * M + len(h)
+    y = np.empty(n_out, np.int16)
+    lib.ss_fir_decim_i16(
+        xbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(xbuf),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n_out,
+        h.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(h), M,
+        _threads(),
+    )
+    return y
 
 
 def pcm16_to_mono_f32(raw: np.ndarray, channels: int) -> Optional[np.ndarray]:
