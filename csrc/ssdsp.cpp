@@ -137,7 +137,13 @@ void ss_fir_decim_i16(const int16_t* x, int64_t L, int16_t* y, int64_t n_out,
                       int32_t n_threads) {
     if (n_out <= 0) return;
     const int64_t phn = (L + M - 1) / M + 1;
-    std::vector<float> ph((size_t)M * phn, 0.0f);
+    // thread_local scratch: the fused pipeline calls this per chunk from one
+    // fill thread, and a fresh ~20 MB vector per call costs ~3-5 ms of page
+    // faults on the 1-core host.  No zero-fill needed: every element the
+    // conv loop reads (index <= n_out-1 + nq-1 per phase) is written by the
+    // deinterleave below (it writes n_out + nq - 1 elements per phase).
+    static thread_local std::vector<float> ph;
+    ph.resize((size_t)M * phn);
     for (int32_t p = 0; p < M; ++p) {
         float* d = ph.data() + (size_t)p * phn;
         for (int64_t i = 0, k = p; k < L; ++i, k += M) d[i] = (float)x[k];
@@ -149,9 +155,19 @@ void ss_fir_decim_i16(const int16_t* x, int64_t L, int16_t* y, int64_t n_out,
             const int64_t jn = (w1 - j0 < TILE) ? (w1 - j0) : TILE;
             for (int64_t j = 0; j < jn; ++j) acc[j] = 0.0f;
             for (int32_t p = 0; p < M; ++p) {
+                const int32_t nq_full = (T - 1 - p) / M + 1;  // taps in phase p
+                // trim to the nonzero tap range: decim_taps snaps the sinc
+                // nulls to exact 0.0, and for the (common) M=2 half-band
+                // cutoff at sr/4 one whole phase collapses to the single
+                // center tap — skipping exact-zero taps is a bit-exact
+                // no-op (acc += 0.0f*finite leaves acc unchanged), so this
+                // halves the FIR work without changing any output bit
+                int32_t qlo = 0, nq = nq_full;
+                while (qlo < nq_full && h[(int64_t)qlo * M + p] == 0.0f) ++qlo;
+                while (nq > qlo && h[(int64_t)(nq - 1) * M + p] == 0.0f) --nq;
+                if (qlo >= nq) continue;  // all-zero phase
                 const float* base = ph.data() + (size_t)p * phn + j0;
-                const int32_t nq = (T - 1 - p) / M + 1;  // taps in phase p
-                int32_t q = 0;
+                int32_t q = qlo;
                 // 8 taps per j-pass: the plain 1-tap loop is L1-bound on
                 // the acc[j] load+store (measured ~3,000 audio-s/s for the
                 // 147-tap 32 kHz filter); amortizing it 8x approaches the

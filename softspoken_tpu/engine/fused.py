@@ -377,8 +377,13 @@ class FusedStreamingEngine:
         def prepare(ci: int):
             """Host side of chunk ci: staging fill + window metadata.
 
-            Runs on a read-ahead thread; returns fresh arrays (no shared
+            Runs on the fill thread; returns fresh arrays (no shared
             staging) so device uploads never alias a buffer being refilled.
+            The device_put happens in a SEPARATE upload stage (below) so the
+            wire-side decimation FIR + compand of chunk k+1 overlaps the
+            tunnel transfer of chunk k — with both on one thread the two
+            serialize and the fill sits on the e2e critical path (measured
+            ~30 µs/audio-s at 32 kHz, profile_e2e host_fill).
             """
             w0 = ci * self.chunk_w
             w1 = min(w0 + self.chunk_w, n_windows)
@@ -454,9 +459,19 @@ class FusedStreamingEngine:
                        bins_l.reshape(self.nb, self.B),
                        valid.reshape(self.nb, self.B)]
             if timers is not None:
-                t_put = time.perf_counter()
-                timers.totals["host_fill"] += t_put - t_fill
+                timers.totals["host_fill"] += time.perf_counter() - t_fill
                 timers.counts["host_fill"] += 1
+            return payload, fin, w1
+
+        def upload(fill_fut):
+            """Wire side of one chunk: batched device_put of the payload.
+
+            Runs on the upload thread (single worker, submitted in chunk
+            order, so transfers hit the tunnel in order); blocks on the fill
+            future so a slow fill never reorders the wire.
+            """
+            payload, fin, w1 = fill_fut.result()
+            t_put = time.perf_counter() if timers is not None else 0.0
             if self._arg_shardings is None:
                 dev = jax.device_put(payload)
             else:
@@ -469,22 +484,30 @@ class FusedStreamingEngine:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        # read-ahead depth: chunks whose host fill + async upload run ahead
-        # of the device.  1-deep left the main thread waiting ~40 ms/chunk on
+        # read-ahead depth: chunks whose host fill + upload run ahead of the
+        # device.  1-deep left the main thread waiting ~40 ms/chunk on
         # host_fill and the wire idle between uploads (scripts/profile_e2e.py
-        # breakdown); deeper keeps the tunnel saturated.  One worker keeps
-        # disk reads sequential (RawReader's fadvise hints assume order).
+        # breakdown); deeper keeps the tunnel saturated.  Fill and upload are
+        # SEPARATE single-worker stages: one fill worker keeps disk reads
+        # sequential (RawReader's fadvise hints assume order), one upload
+        # worker keeps tunnel transfers in order, and splitting them lets
+        # chunk k+1's decimation FIR + compand run while chunk k is on the
+        # wire (a shared worker serialized them; measured ~15-22 ms/chunk of
+        # fill stacked onto the link-bound path at 32 kHz).
         depth = max(1, getattr(cfg.engine, "readahead_chunks", 4))
         pending: List[Tuple[int, object]] = []  # (fin, device avg handle)
-        with ThreadPoolExecutor(max_workers=1) as ex:
+        with ThreadPoolExecutor(max_workers=1) as fill_ex, \
+                ThreadPoolExecutor(max_workers=1) as up_ex:
             futs = deque(
-                ex.submit(prepare, ci)
+                up_ex.submit(upload, fill_ex.submit(prepare, ci))
                 for ci in range(k0, min(k0 + depth, n_chunks)))
             for ci in range(k0, n_chunks):
                 with tt("wait_prepare"):
                     dev, fin, w1 = futs.popleft().result()
                 if ci + depth < n_chunks:
-                    futs.append(ex.submit(prepare, ci + depth))
+                    futs.append(
+                        up_ex.submit(upload,
+                                     fill_ex.submit(prepare, ci + depth)))
                 with tt("dispatch"):
                     avg, cnt, carry_sum, carry_cnt = self._fn(
                         self.det.variables, *dev, carry_sum, carry_cnt)
