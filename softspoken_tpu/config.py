@@ -162,6 +162,19 @@ class EngineConfig:
     # an option because the trade flips if a future step size or kernel
     # changes the fusion structure.
     decoder_upsample: str = "auto"
+    # 3×3 conv implementation for the 32/64-channel U-Net levels:
+    # "direct" = plain XLA convs; "packed" = column-packed rewrite
+    # (models.unet.packed_conv3x3): T=4/2 adjacent output columns stack on
+    # the lane axis via one strided conv — (T+2)/3 × the MACs for T × the
+    # lanes.  MEASURED NEGATIVE RESULT on v5e: the hypothesis was that the
+    # hot 32-channel convs cap at C'/128 = 25% MXU lane occupancy, but
+    # packing does not beat XLA's direct conv either standalone (both ~15%
+    # MFU isolated, identical times) or in-context (device-only 5,541 vs
+    # 5,939 audio-s/s at B=128/600 s) — XLA's conv emitter is not
+    # lane-bound on these shapes, so paying (T+2)/3 more MACs only adds
+    # work.  Kept as an option + exactness tests (test_model.py) because
+    # the trade could flip on other TPU generations.  "auto" = "direct".
+    conv_impl: str = "auto"
     # Streaming pipeline: "fused" runs decode→resample→mel→U-Net→grid in one
     # device program (raw PCM up, score grid down — the TPU-native path);
     # "host" resamples host-side with exact reference-pad numerics;

@@ -114,13 +114,19 @@ class Detector:
         du = config.engine.decoder_upsample
         if du == "auto":
             du = "concat"  # measured faster in-context on v5e (config.py note)
+        ci = config.engine.conv_impl
+        if ci == "auto":
+            # measured on v5e: "packed" loses in-context (5,541 vs 5,939
+            # audio-s/s device-only) — see config.EngineConfig.conv_impl
+            ci = "direct"
         if fold and "batch_stats" in variables:
             variables = fold_batch_norm(variables)
             self.model = SpecUNet2D(folded=True, compute_dtype=dtype,
-                                    decoder_upsample=du)
+                                    decoder_upsample=du, conv_impl=ci)
         else:
             self.model = SpecUNet2D(folded="batch_stats" not in variables,
-                                    compute_dtype=dtype, decoder_upsample=du)
+                                    compute_dtype=dtype, decoder_upsample=du,
+                                    conv_impl=ci)
         # one batched host→device transfer for all ~1.7M params
         self.variables = jax.device_put(variables)
         # mel matmul precision: parity mode keeps HIGHEST (strict reference

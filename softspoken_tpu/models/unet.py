@@ -85,6 +85,46 @@ def _conv2d(x, kernel, bias=None):
     return y
 
 
+def packed_conv3x3(x, kernel, bias=None, tw: int = 4):
+    """SAME 3×3 NHWC conv computed with ``tw`` adjacent output COLUMNS
+    stacked on the channel (lane) axis — the column-packed rewrite for
+    narrow-channel convs on the MXU.
+
+    The U-Net's hottest convs emit only 32 output channels, so the MXU's
+    128 output lanes run 25% occupied and the op sits exactly at that cap
+    (fusion.426 in docs/PROFILE_r03.md: 48 TF/s = 24.5% MFU).  Packing
+    T adjacent output columns into the lane dim makes one strided conv
+      kernel (3, T+2, C, T·Co), window strides (1, T), padding (1,1)×(1,1)
+    whose output position (h, w) holds columns w·T..w·T+T−1.  Each packed
+    output column t reads input columns w·T−1+t .. w·T+1+t, i.e. kernel
+    width slots s = t..t+2 map to the original 3 taps and the other
+    (T−1)·3·C taps are structural zeros: (T+2)/3 × the MACs for T × the
+    lanes — net ~2× for Co=32 (T=4), ~1.5× for Co=64 (T=2).  The zeros
+    contribute exact 0.0 to the f32 accumulator, so this computes the same
+    9·C-tap dot products as the direct conv (accumulation order shifts,
+    same class as any XLA conv retile; parity mode keeps "direct").
+
+    Requires W % tw == 0 (every U-Net level here: 256/128/64/32).
+    """
+    kh, kw, c, co = kernel.shape
+    if kh != 3 or kw != 3:
+        raise ValueError("packed_conv3x3 requires a 3x3 kernel")
+    b, h, w, _ = x.shape
+    if w % tw != 0:
+        raise ValueError(f"width {w} not divisible by pack factor {tw}")
+    kp = jnp.zeros((3, tw + 2, c, tw, co), kernel.dtype)
+    for t in range(tw):
+        kp = kp.at[:, t : t + 3, :, t, :].set(kernel)
+    kp = kp.reshape(3, tw + 2, c, tw * co)
+    y = jax.lax.conv_general_dilated(
+        x, kp.astype(x.dtype), (1, tw), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y.reshape(b, h, w, co)        # (w_tile, t) axes merge contiguously
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
 class _ConvParams(nn.Module):
     """Parameters of an ``nn.Conv`` (same names/shapes/init) WITHOUT the conv
     op, for call sites that compute the convolution themselves (the phase-
@@ -120,6 +160,17 @@ class ResBlock(nn.Module):
     features: int
     folded: bool = False
     dropout_p: float = DROPOUT_P
+    # "direct" = plain nn.Conv; "packed" = column-packed 3×3 convs
+    # (packed_conv3x3) when features ∈ {32, 64} — full MXU lanes for the
+    # narrow-channel levels.  Param tree is identical either way.
+    conv_impl: str = "direct"
+
+    def _pack_tw(self, x) -> int:
+        """Pack factor for this block's 3×3 convs (1 = use direct conv)."""
+        if self.conv_impl != "packed" or self.features not in (32, 64):
+            return 1
+        tw = 128 // self.features
+        return tw if x.shape[2] % tw == 0 else 1
 
     @nn.compact
     def __call__(self, x, *, low=None, train: bool = False):
@@ -132,16 +183,26 @@ class ResBlock(nn.Module):
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
             name=name, dtype=x.dtype, param_dtype=jnp.float32,
         )
+        tw = self._pack_tw(x)
+
+        def conv3(xin, name):
+            """3×3 conv: packed when this block's level qualifies."""
+            if tw == 1:
+                return conv((3, 3), name)(xin)
+            k, b = _ConvParams(
+                (3, 3, xin.shape[-1], self.features), use_bias, name=name)()
+            return packed_conv3x3(xin, k, b, tw)
 
         if low is None:
             identity = conv((1, 1), "res_conv")(x)
-            out = conv((3, 3), "conv1")(x)
+            out = conv3(x, "conv1")
         else:
             cs, cu, co = x.shape[-1], low.shape[-1], self.features
             k1, b1 = _ConvParams((3, 3, cs + cu, co), use_bias, name="conv1")()
             kr, br = _ConvParams((1, 1, cs + cu, co), use_bias, name="res_conv")()
             # 3×3 over concat([x, up2(low)]) = 3×3 over x + phase conv over low
-            out = _conv2d(x, k1[:, :, :cs], b1)
+            out = (packed_conv3x3(x, k1[:, :, :cs], b1, tw) if tw > 1
+                   else _conv2d(x, k1[:, :, :cs], b1))
             # merge taps in the widest of (param f32, compute dtype) so the
             # merge itself never rounds below the compute precision
             md = jnp.promote_types(jnp.float32, low.dtype)
@@ -154,7 +215,7 @@ class ResBlock(nn.Module):
             identity = bn("res_bn")(identity)
             out = bn("bn1")(out)
         out = nn.relu(out)
-        out = conv((3, 3), "conv2")(out)
+        out = conv3(out, "conv2")
         if not self.folded:
             out = bn("bn2")(out)
         out = nn.relu(out + identity)
@@ -266,13 +327,17 @@ class SpecUNet2D(nn.Module):
     # lanes.  bf16 tap merging shifts accumulation rounding only; parity
     # (f32/f64) callers keep "concat".
     decoder_upsample: str = "concat"
+    # "direct" | "packed": 3×3 conv implementation for the 32/64-channel
+    # levels (see packed_conv3x3) — same math, full MXU lanes.
+    conv_impl: str = "direct"
 
     @nn.compact
     def __call__(self, mel, *, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         f = FILTERS
         x = mel.astype(self.compute_dtype)
         phase = self.decoder_upsample == "phase"
-        rb = lambda feats, name: ResBlock(feats, folded=self.folded, name=name)  # noqa: E731
+        rb = lambda feats, name: ResBlock(  # noqa: E731
+            feats, folded=self.folded, conv_impl=self.conv_impl, name=name)
 
         # Encoder (pytorch_neural_nets.py:102-109, 156-163)
         conv1 = rb(f, "conv1_1")(x, train=train)

@@ -157,3 +157,48 @@ def test_phase_decoder_matches_concat_f64():
                                    rtol=1e-5, atol=1e-7)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_packed_conv3x3_matches_direct():
+    """packed_conv3x3 (column-packed lanes rewrite) computes the SAME 9C-tap
+    dot products as the direct SAME conv — f32 agreement to accumulation
+    roundoff, and bit-exact zero contribution from the structural zeros."""
+    import jax.numpy as jnp
+
+    from softspoken_tpu.models.unet import _conv2d, packed_conv3x3
+
+    rng = np.random.default_rng(11)
+    for (h, w, c, co, tw) in (
+        (128, 256, 32, 32, 4),   # level-1 conv2 shape
+        (128, 256, 1, 32, 4),    # input conv
+        (64, 128, 64, 64, 2),    # level-2 conv2 shape
+        (128, 256, 64, 32, 4),   # decoder conv9_1 conv1 (concat input)
+    ):
+        x = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, c, co)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(co), jnp.float32)
+        direct = np.asarray(_conv2d(x, k, b))
+        packed = np.asarray(packed_conv3x3(x, k, b, tw))
+        np.testing.assert_allclose(packed, direct, rtol=3e-6, atol=2e-4)
+
+
+def test_packed_model_matches_direct():
+    """conv_impl='packed' shares the param tree with 'direct' and agrees to
+    f32 accumulation roundoff through the full folded model."""
+    import jax.numpy as jnp
+
+    variables = fold_batch_norm(ckpt.fixture_variables(seed=3))
+    mel = _mel_batch(b=2, seed=9)[..., None]
+
+    m_d = SpecUNet2D(folded=True)
+    m_p = SpecUNet2D(folded=True, conv_impl="packed")
+    s_d = jax.tree_util.tree_structure(m_d.init(jax.random.PRNGKey(0), mel))
+    s_p = jax.tree_util.tree_structure(m_p.init(jax.random.PRNGKey(0), mel))
+    assert s_d == s_p
+
+    spec_d, mask_d = jax.jit(m_d.apply)(variables, mel)
+    spec_p, mask_p = jax.jit(m_p.apply)(variables, mel)
+    np.testing.assert_allclose(np.asarray(mask_p), np.asarray(mask_d),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(spec_p), np.asarray(spec_d),
+                               rtol=1e-4, atol=1e-4)
