@@ -36,6 +36,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=6)
     ap.add_argument("--seconds", type=float, default=90.0)
+    ap.add_argument("--sr", type=int, default=32000,
+                    help="native rate of the synthesized eval files; 48000 gates the M=3 decimation path (32000 gates M=2)")
+    ap.add_argument("--key", default="codec_gate",
+                    help="top-level key to write under in --out")
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ap.add_argument("--ckpt", default=os.path.join(
         repo_root, "root/models/spec_unet_2d/model_checkpoint"))
@@ -82,6 +86,7 @@ def main():
 
     base = args.workdir or tempfile.mkdtemp(prefix="codec_gate_")
     gate = {"files": args.files, "seconds": args.seconds,
+            "sr": args.sr,
             "conditions": {}, "interval_identical_files": 0,
             "total_files": 0}
     t_all = time.time()
@@ -91,7 +96,7 @@ def main():
             d = os.path.join(base, tag)
             labels = E.make_eval_set(d, n_files=args.files,
                                      seconds=args.seconds, seed=8100 + ci,
-                                     generator=gen, **kw)
+                                     sr=args.sr, generator=gen, **kw)
             labeled = E.load_labels(labels)
             row = {}
             intervals = {}
@@ -126,10 +131,10 @@ def main():
     if os.path.exists(args.out):
         with open(args.out) as f:
             doc = json.load(f)
-    doc["codec_gate"] = gate
+    doc[args.key] = gate
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=1)
-    print(f"updated {args.out} codec_gate", flush=True)
+    print(f"updated {args.out} {args.key}", flush=True)
 
 
 if __name__ == "__main__":
