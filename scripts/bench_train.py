@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--outer", type=int, default=8)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--n-inner", type=int, default=10)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--pool", type=int, default=96,
                     help="clips per pool (small: upload, not realism)")
     args = ap.parse_args()
@@ -54,7 +56,10 @@ def main():
     t_pool = time.perf_counter() - t0
     speech_pool, noise_pool = jax.device_put(sp), jax.device_put(nz)
 
-    model, state, tx = create_train_state(jax.random.PRNGKey(0), 1e-3)
+    import jax.numpy as jnp
+
+    model, state, tx = create_train_state(
+        jax.random.PRNGKey(0), 1e-3, compute_dtype=jnp.dtype(args.dtype))
     synth_fn = make_synth_batch_fn(
         args.batch, ("add_reverb", "reduce_volume", "bandpass_filter"))
     step_fn = make_fused_train_step(model, tx, synth_fn, n_inner=args.n_inner)
@@ -83,6 +88,7 @@ def main():
         "train_mfu": round(train_flops / wall / peak, 4),
         "audio_s_per_s": round(clips * 3.0 / wall, 1),
         "loss": round(loss, 4),
+        "dtype": args.dtype,
         "pool_gen_s": round(t_pool, 1),
     })
 

@@ -393,6 +393,7 @@ def cmd_train(args) -> None:
             pool_speech=args.pool_size,
             pool_noise=args.pool_size,
             resume=args.resume,
+            train_dtype=args.dtype,
         )
     else:
         if not (args.speech_dir and args.noise_dir):
@@ -575,6 +576,13 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--mesh", action="store_true", help="dp×sp over all devices")
     pt.add_argument("--resume", metavar="CKPT",
                     help="warm-start params/batch_stats from an orbax checkpoint")
+    pt.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="forward/backward compute dtype (params and optimizer "
+                         "stay f32). bfloat16 measured 1.65x faster on v5e with "
+                         "an equivalent 400-step loss trajectory "
+                         "(docs/PROFILE_r03.md); default stays f32, the "
+                         "committed checkpoint's lineage")
     pt.set_defaults(func=cmd_train)
 
     pe = sub.add_parser("eval", help="score detections vs labeled intervals (F1)")

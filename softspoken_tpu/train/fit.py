@@ -87,8 +87,11 @@ def fit(
     speech = ClipSampler(list_wavs(speech_dir), rng, tile_short=False)
     noise = ClipSampler(list_wavs(noise_dir), rng, tile_short=True)
 
+    import jax.numpy as jnp
+
     model, state, tx = create_train_state(jax.random.PRNGKey(seed), learning_rate,
-                                          resume=resume)
+                                          resume=resume,
+                                          compute_dtype=jnp.dtype(train_dtype))
     step0 = int(state.step)
     if mesh is not None:
         step_fn, shardings = make_sharded_train_step(model, tx, mesh)
@@ -153,6 +156,7 @@ def fit_synthetic(
     save_every_outer: int = 25,
     on_metrics=None,
     resume: Optional[str] = None,
+    train_dtype: str = "float32",
 ) -> Dict[str, float]:
     """Train from the synthetic corpus with fully on-device batch synthesis.
 
@@ -176,8 +180,11 @@ def fit_synthetic(
     sp_np, nz_np = synth.make_pools(rng, pool_speech, pool_noise)
     speech_pool, noise_pool = jax.device_put(sp_np), jax.device_put(nz_np)
 
+    import jax.numpy as jnp
+
     model, state, tx = create_train_state(jax.random.PRNGKey(seed), learning_rate,
-                                          resume=resume)
+                                          resume=resume,
+                                          compute_dtype=jnp.dtype(train_dtype))
     step0 = int(state.step)
     synth_fn = make_synth_batch_fn(batch_size, augmentations)
     if mesh is not None:

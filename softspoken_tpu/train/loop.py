@@ -41,12 +41,19 @@ def create_train_state(
     learning_rate: float = 1e-3,
     weight_decay: float = 1e-4,
     resume: Optional[str] = None,
+    compute_dtype: Any = jnp.float32,
 ) -> Tuple[SpecUNet2D, TrainState, optax.GradientTransformation]:
     """Fresh model+optimizer; ``resume`` warm-starts params/batch_stats (and
     the step counter) from an orbax checkpoint so training can continue from
     the committed checkpoint instead of from scratch. Optimizer moments
-    restart fresh — adamw re-warms within a few hundred steps."""
-    model = SpecUNet2D()
+    restart fresh — adamw re-warms within a few hundred steps.
+
+    ``compute_dtype=jnp.bfloat16`` runs the forward/backward in mixed
+    precision (params, grads, optimizer state stay f32 — flax casts per
+    call).  Default stays f32: the committed checkpoint's training lineage
+    is f32, and the measured speedup (scripts/bench_train.py --dtype
+    bfloat16) is a throughput option, not a numerics recommendation."""
+    model = SpecUNet2D(compute_dtype=compute_dtype)
     variables = model.init(rng, jnp.zeros((1, 128, 256, 1), jnp.float32))
     step0 = 0
     if resume:
