@@ -40,6 +40,8 @@ def _load_config(args) -> Config:
         cfg = cfg.with_engine(break_duration=args.break_duration)
     if getattr(args, "exit_threshold", None) is not None:
         cfg = cfg.with_engine(exit_threshold=args.exit_threshold)
+    if getattr(args, "file_concurrency", None):
+        cfg = cfg.with_engine(file_concurrency=args.file_concurrency)
     return cfg
 
 
@@ -491,6 +493,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="use the deterministic random-init fixture weights")
     pd_.add_argument("--precision", choices=["fast", "parity"])
     pd_.add_argument("--device-batch", type=int)
+    pd_.add_argument("--file-concurrency", type=int, metavar="K",
+                     help="detect K files concurrently (results persist in "
+                          "submission order; measured +6-13%% aggregate on "
+                          "the remote chip at K=2). Default 1 = sequential")
     pd_.add_argument("--threshold", type=float,
                      help="score threshold (default: parity 0.1)")
     pd_.add_argument("--break-duration", type=float,

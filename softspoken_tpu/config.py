@@ -94,6 +94,17 @@ class EngineConfig:
     # resumes mid-file instead of from zero.  0 disables journaling; the
     # checkpoint itself costs one grid+carry download per N chunks.
     chunk_checkpoint_every: int = 0
+    # Files detected concurrently by DetectRunner (1 = the reference's
+    # strictly sequential behavior).  With >1, detections for K files run
+    # on worker threads while results persist strictly in submission order
+    # (CSV row order identical to sequential).  Why it helps on the remote
+    # chip: each chunk's upload serializes with its own dependent compute
+    # over the tunnel (docs/PROFILE_r03.md session-4), but ANOTHER file's
+    # independent transfers interleave into those gaps — measured +6–13%
+    # aggregate throughput with 2 concurrent 1800 s files on v5e.  Costs
+    # K× host staging/decode memory; per-file progress callbacks
+    # interleave across files.
+    file_concurrency: int = 1
     # Fused-pipeline read-ahead depth: chunks prepared (host fill + async
     # host→device upload) ahead of the one the device is computing.  At
     # depth 1 the main thread serializes on each chunk's host fill

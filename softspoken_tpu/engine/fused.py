@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 import time
 import weakref
 from typing import Callable, List, Optional, Tuple
@@ -563,14 +564,21 @@ class FusedStreamingEngine:
 _ENGINES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
+_ENGINES_LOCK = threading.Lock()
+
+
 def get_fused_engine(detector: Detector, native_sr: int, kind: str) -> FusedStreamingEngine:
     mesh = getattr(detector, "_fused_mesh", None)
-    per_det = _ENGINES.setdefault(detector, {})
     key = (native_sr, kind, detector.cfg.engine.device_batch,
            detector.cfg.engine.chunk_seconds, id(mesh) if mesh is not None else None)
-    if key not in per_det:
-        per_det[key] = FusedStreamingEngine(detector, native_sr, kind, mesh=mesh)
-    return per_det[key]
+    # runner-level file concurrency (runtime/workers.py) calls this from
+    # worker threads; the lock keeps construction single (engine.run itself
+    # is reentrant — per-run state is all local)
+    with _ENGINES_LOCK:
+        per_det = _ENGINES.setdefault(detector, {})
+        if key not in per_det:
+            per_det[key] = FusedStreamingEngine(detector, native_sr, kind, mesh=mesh)
+        return per_det[key]
 
 
 def _make_journal(detector: Detector, path: str, journal_dir: Optional[str]):

@@ -56,11 +56,18 @@ class ThroughputMeter:
 
 
 class StageTimers:
-    """Accumulating named wall-clock timers (decode/resample/device/post…)."""
+    """Accumulating named wall-clock timers (decode/resample/device/post…).
+
+    Thread-safe accumulation: DetectRunner's file-concurrency mode times
+    "detect" from several worker threads at once (the summed wall then
+    counts overlapped time per-stream, like CPU-seconds)."""
 
     def __init__(self):
+        import threading
+
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        self._lock = threading.Lock()
 
     @contextmanager
     def time(self, name: str):
@@ -68,8 +75,10 @@ class StageTimers:
         try:
             yield
         finally:
-            self.totals[name] += time.perf_counter() - t0
-            self.counts[name] += 1
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
 
     def summary(self) -> Dict[str, float]:
         return dict(self.totals)

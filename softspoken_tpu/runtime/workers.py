@@ -199,34 +199,23 @@ class DetectRunner:
         return report
 
     def _consume(self, q, t, cb, report, total, journal_dir) -> None:
-        while True:
-            path, payload = q.get()
-            if path is None:
-                # a stop that landed before (or between) items still ends
-                # the run via the producer's early sentinel — report it
-                if self._stop.is_set():
-                    report.stopped = True
-                break
-            if self._stop.is_set():
-                report.stopped = True
-                # the run() finally drains the queue until the producer
-                # exits, unblocking a q.put holding a decoded file. Note:
-                # an in-flight _decode cannot be interrupted, so stop() may
-                # take up to one large-file decode to return; drained
-                # prefetched items were never processed and do not count.
-                break
-            if isinstance(payload, str) and payload == "skip":
-                report.files_skipped += 1
-                cb.emit("message", f"skipping already-processed {path}")
-                self._advance_overall(cb, report, total)
-                continue
-            if isinstance(payload, tuple) and payload[0] == "error":
-                report.errors[path] = payload[1]
-                cb.emit("message", f"decode failed for {path}: {payload[1]}")
-                self._advance_overall(cb, report, total)
-                continue
+        # opt-in file-level concurrency (engine.file_concurrency > 1):
+        # detections for up to K files run on worker threads while THIS
+        # thread persists results strictly in submission order — the CSV
+        # keeps the sequential run's exact row order and the store stays
+        # single-writer.  Why it helps on the remote chip: each chunk's
+        # upload serializes with its own dependent compute on the tunnel
+        # (docs/PROFILE_r03.md session-4), but another file's independent
+        # uploads/computes interleave into those gaps — measured +6–13%
+        # aggregate on two concurrent 1800 s files.  Per-file progress
+        # callbacks interleave across files in this mode.
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
-            cb.emit("file_started", path)
+        k = max(1, int(getattr(self.cfg.engine, "file_concurrency", 1)))
+        pending: "deque" = deque()   # (path, future) in submission order
+
+        def detect_task(path, payload):
             progress = lambda frac: cb.emit("file_progress", frac * 100.0)  # noqa: E731
 
             def run_detection():
@@ -237,25 +226,27 @@ class DetectRunner:
                     return self.detector.detect_waveform(payload, progress)
 
             try:
-                try:
-                    result = run_detection()
-                except IOError:
-                    raise
-                except Exception as e:  # noqa: BLE001 — transient device or
-                    # tunnel faults get exactly one retry (preemption story)
-                    cb.emit("message", f"retrying {path} after: {e}")
-                    result = run_detection()
+                return run_detection()
+            except IOError:
+                raise
+            except Exception as e:  # noqa: BLE001 — transient device or
+                # tunnel faults get exactly one retry (preemption story)
+                cb.emit("message", f"retrying {path} after: {e}")
+                return run_detection()
+
+        def settle(path, fut):
+            """Persist one finished detection (consumer thread only)."""
+            try:
+                result = fut.result()
             except Exception as e:  # noqa: BLE001
                 report.errors[path] = str(e)
                 cb.emit("message", f"detection failed for {path}: {e}")
                 self._advance_overall(cb, report, total)
-                continue
-
+                return
             with self.timers.time("persist"):
                 report.rows_added += self.store.append_intervals(path, result.intervals)
                 self.store.save()  # per-file checkpoint (worker.py:128)
                 self.store.mark_processed(path)  # zero-detection files too
-
             self.meter.add_audio(result.audio_seconds)
             report.files_done += 1
             cb.emit("file_done", path)
@@ -265,6 +256,41 @@ class DetectRunner:
                 f"{self.meter.audio_sec_per_wall_sec:.1f} audio-sec/sec",
             )
             self._advance_overall(cb, report, total)
+
+        with ThreadPoolExecutor(max_workers=k) as pool:
+            while True:
+                path, payload = q.get()
+                if path is None:
+                    # a stop that landed before (or between) items still ends
+                    # the run via the producer's early sentinel — report it
+                    if self._stop.is_set():
+                        report.stopped = True
+                    break
+                if self._stop.is_set():
+                    report.stopped = True
+                    # the run() finally drains the queue until the producer
+                    # exits, unblocking a q.put holding a decoded file. Note:
+                    # an in-flight _decode cannot be interrupted, so stop()
+                    # may take up to one large-file decode to return; drained
+                    # prefetched items were never processed and don't count.
+                    break
+                if isinstance(payload, str) and payload == "skip":
+                    report.files_skipped += 1
+                    cb.emit("message", f"skipping already-processed {path}")
+                    self._advance_overall(cb, report, total)
+                    continue
+                if isinstance(payload, tuple) and payload[0] == "error":
+                    report.errors[path] = payload[1]
+                    cb.emit("message", f"decode failed for {path}: {payload[1]}")
+                    self._advance_overall(cb, report, total)
+                    continue
+
+                cb.emit("file_started", path)
+                pending.append((path, pool.submit(detect_task, path, payload)))
+                while len(pending) >= k:
+                    settle(*pending.popleft())
+            while pending:
+                settle(*pending.popleft())
 
     def _advance_overall(self, cb: RunCallbacks, report: RunReport, total: int) -> None:
         # progress advances for every file leaving the queue (done, skipped,

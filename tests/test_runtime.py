@@ -183,3 +183,50 @@ def test_consumer_crash_unblocks_producer_and_finishes(tmp_path, detector, wavs)
     # the daemon producer exited rather than leaking blocked in q.put
     for t in threading.enumerate():
         assert not (t.daemon and t.is_alive() and "producer" in repr(t).lower())
+
+
+def test_file_concurrency_matches_sequential(tmp_path, detector):
+    """file_concurrency=2 must produce a byte-identical detections CSV to the
+    sequential run: detections run on worker threads, persistence stays
+    in submission order on the consumer thread."""
+    rng = np.random.default_rng(3)
+    paths = []
+    for i, secs in enumerate([4, 5, 6, 4]):
+        p = str(tmp_path / f"c{i}.wav")
+        wavio.write(p, rng.uniform(-0.5, 0.5, 22050 * secs).astype(np.float32), 22050)
+        paths.append(p)
+
+    store_a = DetectionStore(str(tmp_path / "seq.csv"))
+    rep_a = DetectRunner(detector, store_a, CFG, streaming=True).run(paths)
+    assert not rep_a.errors and rep_a.files_done == 4
+
+    cfg2 = CFG.with_engine(file_concurrency=2)
+    det2 = Detector(cfg2, variables=ckpt.fixture_variables(seed=0))
+    store_b = DetectionStore(str(tmp_path / "conc.csv"))
+    rep_b = DetectRunner(det2, store_b, cfg2, streaming=True).run(paths)
+    assert not rep_b.errors and rep_b.files_done == 4
+
+    seq_bytes = open(store_a.path, "rb").read()
+    conc_bytes = open(store_b.path, "rb").read()
+    assert seq_bytes == conc_bytes
+
+
+def test_file_concurrency_error_isolated(tmp_path, detector):
+    """A corrupt file in a concurrent batch errors alone; the others persist."""
+    rng = np.random.default_rng(4)
+    good = []
+    for i in range(2):
+        p = str(tmp_path / f"g{i}.wav")
+        wavio.write(p, rng.uniform(-0.5, 0.5, 22050 * 4).astype(np.float32), 22050)
+        good.append(p)
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as f:
+        f.write(b"RIFFgarbage")
+
+    cfg2 = CFG.with_engine(file_concurrency=2)
+    det2 = Detector(cfg2, variables=ckpt.fixture_variables(seed=0))
+    store = DetectionStore(str(tmp_path / "det.csv"))
+    rep = DetectRunner(det2, store, cfg2, streaming=True).run(
+        [good[0], bad, good[1]])
+    assert rep.files_done == 2
+    assert bad in rep.errors
