@@ -625,8 +625,11 @@ def _wire_decimate_tag(cfg: Config) -> str:
     if wd == "off":
         return "off"
     from ..io import native as _native
+    from ..io.decimate import DECIM_VERSION
 
-    return f"{wd}:{'c' if _native.native_available() else 'np'}"
+    # DECIM_VERSION: filter-design changes (e.g. the v2 sinc-null snap)
+    # shift wire samples by ~1 LSB — a resume must not stitch across them
+    return f"{wd}:v{DECIM_VERSION}:{'c' if _native.native_available() else 'np'}"
 
 
 def _maybe_wire_decimate(detector: Detector, read_fn, frames: int, sr: int,

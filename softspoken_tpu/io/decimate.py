@@ -41,6 +41,12 @@ import scipy.signal
 from . import native
 
 STOP_ATTEN_DB = 60.0
+# Bumped whenever the produced WIRE SAMPLES can change for the same input
+# (journal resume stitches grids only across identical computations —
+# engine/fused.py::_wire_decimate_tag).  v2: sinc-null taps snapped to
+# exact 0.0 (changes products ~1e-13 f32, can flip an int16 LSB at a
+# rounding boundary).
+DECIM_VERSION = 2
 # minimum transition half-width around f_max in the tight (sr/M == 2*f_max)
 # case; wider transitions are used automatically whenever the rates allow
 _TIGHT_HZ = 400.0

@@ -17,6 +17,13 @@ with callbacks:
     duplicate-rows-on-resume quirk; disable for strict reference behavior)
   * host decode of file i+1 overlaps device compute of file i via a
     one-deep prefetch thread — the TPU never waits on WAV decode.
+  * optional file-level concurrency (cfg.engine.file_concurrency > 1):
+    detections for K files run on worker threads, results persist strictly
+    in submission order (CSV byte-identical to sequential), and the store
+    stays single-writer.  In this mode per-file progress/message callbacks
+    may fire from worker threads and interleave across files — callbacks
+    must be thread-safe (the CLI's printing and the Qt shim's queued
+    signals are).
 """
 
 from __future__ import annotations
