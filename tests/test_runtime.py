@@ -230,3 +230,51 @@ def test_file_concurrency_error_isolated(tmp_path, detector):
         [good[0], bad, good[1]])
     assert rep.files_done == 2
     assert bad in rep.errors
+
+
+def test_file_concurrency_stop_settles_inflight(tmp_path, detector):
+    """stop() during a concurrent run persists files already in flight and
+    reports stopped; nothing deadlocks."""
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"s{i}.wav")
+        wavio.write(p, rng.uniform(-0.5, 0.5, 22050 * 4).astype(np.float32), 22050)
+        paths.append(p)
+
+    cfg2 = CFG.with_engine(file_concurrency=2)
+    det2 = Detector(cfg2, variables=ckpt.fixture_variables(seed=0))
+    store = DetectionStore(str(tmp_path / "det.csv"))
+    runner = DetectRunner(det2, store, cfg2, streaming=True)
+
+    n_done = []
+    def on_done(path):
+        n_done.append(path)
+        runner.stop()  # stop as soon as the first file settles
+
+    rep = runner.run(paths, RunCallbacks(file_done=on_done))
+    assert rep.stopped
+    # every file reported done was actually persisted
+    df = pd.read_csv(store.path) if os.path.getsize(store.path) else None
+    assert rep.files_done == len(n_done) >= 1
+
+
+def test_file_concurrency_with_journal(tmp_path, detector):
+    """Chunk journals are per-file sidecars; concurrent files must not
+    collide, and completed runs clear their journals."""
+    rng = np.random.default_rng(6)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"j{i}.wav")
+        wavio.write(p, rng.uniform(-0.5, 0.5, 22050 * 30).astype(np.float32), 22050)
+        paths.append(p)
+
+    cfg2 = CFG.with_engine(file_concurrency=2, chunk_checkpoint_every=1)
+    det2 = Detector(cfg2, variables=ckpt.fixture_variables(seed=0))
+    store = DetectionStore(str(tmp_path / "det.csv"))
+    rep = DetectRunner(det2, store, cfg2, streaming=True).run(paths)
+    assert not rep.errors and rep.files_done == 3
+    jdir = os.path.join(os.path.dirname(store.path), ".chunk_progress")
+    # journals existed during the run but completed files clear them
+    leftover = [f for f in os.listdir(jdir)] if os.path.isdir(jdir) else []
+    assert leftover == []
