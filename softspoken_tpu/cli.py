@@ -83,6 +83,13 @@ def cmd_project(args) -> None:
             raise SystemExit("error: `project new` requires a project name")
         pm.add_project(args.name)
         print(f"created project '{args.name}' under {pm.project_output_dir(args.name)}")
+        if args.files:
+            # `project new name f1.wav f2.wav` — the trailing files were
+            # previously accepted by the parser and silently DROPPED
+            # (found by a real workflow smoke); register them like add-files
+            pm.set_active_project(args.name)
+            merged = pm.update_file_list([os.path.abspath(f) for f in args.files])
+            print(f"{len(merged)} file(s) registered")
     elif args.action == "list":
         for p in pm.projects_data:
             print(f"{p['name']}\t(last accessed {p.get('last_accessed', '?')})")

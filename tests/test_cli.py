@@ -133,3 +133,18 @@ def test_cli_detect_chunk_checkpoint_resumable(tmp_path, monkeypatch):
     prog = os.path.join(os.path.dirname(out), ".chunk_progress")
     # a successful run leaves no sidecars behind
     assert not os.path.isdir(prog) or os.listdir(prog) == []
+
+
+def test_cli_project_new_registers_files(workspace, capsys):
+    """`project new NAME f1 f2` registers the trailing files instead of
+    silently dropping them (found by a real workflow smoke)."""
+    ws, paths = workspace
+    pdir = _pdir(ws)
+    main(["--project-dir", pdir, "project", "new", "withfiles", *paths])
+    out = capsys.readouterr().out
+    assert "2 file(s) registered" in out
+    main(["--project-dir", pdir, "detect", "--project", "withfiles",
+          "--random-init", "--precision", "parity", "--device-batch", "4"])
+    out = capsys.readouterr().out
+    rep = json.loads(out[out.index("{"):])
+    assert rep["files_done"] == 2 and not rep["errors"]
