@@ -89,6 +89,37 @@ def main() -> None:
     if not os.path.exists(bench_path):
         make_recording(bench_path, bench_seconds)
 
+    # Resilience against a tunnel that stalls MID-RUN (init is already
+    # watchdogged above; runs this round sat >590 s in stalls, and the
+    # server-side lazy program load alone has taken 8–502 s):
+    #  - soft budget: once elapsed exceeds BENCH_TIME_BUDGET, stop adding
+    #    repeats and skip the optional multi-file phase
+    #  - hard watchdog: at BENCH_HARD_TIMEOUT, print whatever JSON the
+    #    completed phases support (the one-line contract) and exit, rather
+    #    than hanging the driver's round-end capture forever.
+    # Both clocks start BEFORE warm-up: the warm-up runs are where the
+    # server-side load stall actually lands.
+    t_bench0 = time.perf_counter()
+    soft_budget = float(os.environ.get("BENCH_TIME_BUDGET", "420"))
+    hard_timeout = float(os.environ.get("BENCH_HARD_TIMEOUT", "780"))
+    payload: dict = {}
+
+    def _watchdog() -> None:
+        time.sleep(hard_timeout)
+        if payload.get("value"):
+            payload["truncated"] = "hard timeout; later phases skipped"
+            print(json.dumps(payload), flush=True)
+            os._exit(0)
+        print("bench: hard timeout before any timed run completed "
+              "(tunnel stalled mid-run or server-side program load hung)",
+              file=sys.stderr)
+        os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    def over_budget() -> bool:
+        return time.perf_counter() - t_bench0 > soft_budget
+
     # warm-up: compile + first (server-side) program load are one-time
     # costs; the fused chunk program has one shape regardless of file
     # length, so a 60 s warm file covers the timed run exactly.
@@ -104,35 +135,6 @@ def main() -> None:
     # <1 s and tightens the best-of estimate the headline uses
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "7")))
     trace_dir = os.environ.get("BENCH_TRACE", "")
-
-    # Resilience against a tunnel that stalls MID-RUN (init is already
-    # watchdogged above; two 1800 s runs this round sat >590 s in a stall):
-    #  - soft budget: once elapsed exceeds BENCH_TIME_BUDGET, stop adding
-    #    repeats and skip the optional multi-file phase
-    #  - hard watchdog: at BENCH_HARD_TIMEOUT, print whatever JSON the
-    #    completed phases support (the one-line contract) and exit, rather
-    #    than hanging the driver's round-end capture forever
-    t_bench0 = time.perf_counter()
-    soft_budget = float(os.environ.get("BENCH_TIME_BUDGET", "420"))
-    hard_timeout = float(os.environ.get("BENCH_HARD_TIMEOUT", "780"))
-    payload: dict = {}
-
-    def _watchdog() -> None:
-        import threading as _t  # noqa: F401  (daemon thread body)
-
-        time.sleep(hard_timeout)
-        if payload.get("value"):
-            payload["truncated"] = "hard timeout; later phases skipped"
-            print(json.dumps(payload), flush=True)
-            os._exit(0)
-        print("bench: hard timeout before any timed run completed "
-              "(tunnel stalled mid-run?)", file=sys.stderr)
-        os._exit(3)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
-
-    def over_budget() -> bool:
-        return time.perf_counter() - t_bench0 > soft_budget
 
     walls = []
     for i in range(repeats):
