@@ -21,6 +21,7 @@ import json
 import logging
 import os
 import sys
+import time
 from typing import List, Optional
 
 from .config import Config, DEFAULT_CONFIG
@@ -473,6 +474,117 @@ def cmd_bench(args) -> None:
     bench.main()
 
 
+def cmd_doctor(args) -> None:
+    """Environment diagnosis: everything that has actually failed in the
+    field, checked with bounded timeouts, one JSON report.
+
+    The remote-TPU tunnel hangs indefinitely when degraded (backend init
+    and even single transfers have sat >10 min), so every device probe runs
+    on a watchdogged thread — `doctor` itself always returns.
+    """
+    import threading
+
+    cfg = _load_config(args)
+    report: dict = {}
+
+    def bounded(name, fn, timeout):
+        box = {}
+
+        def work():
+            try:
+                box["value"] = fn()
+            except Exception as e:  # noqa: BLE001 — diagnosis, not control
+                box["error"] = f"{type(e).__name__}: {e}"
+
+        th = threading.Thread(target=work, daemon=True)
+        t0 = time.perf_counter()
+        th.start()
+        th.join(timeout)
+        if th.is_alive():
+            report[name] = {"status": "TIMEOUT", "after_s": round(timeout, 1)}
+            return None
+        dt = round(time.perf_counter() - t0, 2)
+        if "error" in box:
+            report[name] = {"status": "ERROR", "error": box["error"], "s": dt}
+            return None
+        report[name] = {"status": "ok", "s": dt, **(
+            box["value"] if isinstance(box["value"], dict) else {"value": box["value"]}
+        )}
+        return box["value"]
+
+    # host-side checks (no tunnel involved)
+    from .io import native
+
+    report["native_dsp"] = {
+        "status": "ok" if native.native_available() else "MISSING (numpy fallbacks active)"}
+    from .io import flac as _flac
+
+    report["native_flac"] = {
+        "status": "ok" if _flac._get_lib() is not None
+        else "MISSING (FLAC undecodable)"}
+    try:
+        from .io import oggvorbis
+
+        report["libvorbis"] = {
+            "status": "ok" if oggvorbis.available() else "MISSING (OGG undecodable)"}
+    except Exception as e:  # noqa: BLE001
+        report["libvorbis"] = {"status": f"ERROR: {e}"}
+
+    ckpt_path = os.path.join(cfg.paths.model_dir, cfg.paths.model_name)
+    if os.path.exists(ckpt_path) or os.path.exists(ckpt_path + ".pth"):
+        report["checkpoint"] = {"status": "ok", "path": ckpt_path}
+    else:
+        report["checkpoint"] = {
+            "status": "MISSING (detect degrades to random init)", "path": ckpt_path}
+
+    # device checks, each bounded
+    def init_backend():
+        import jax
+
+        return {"backend": jax.default_backend(),
+                "devices": [str(d) for d in jax.devices()]}
+
+    if bounded("jax_backend", init_backend,
+               float(args.device_timeout)) is not None:
+        import jax
+        import numpy as np_  # local alias: cli keeps numpy import lazy
+
+        def link():
+            blob = np_.zeros(4 * 1024 * 1024, np_.int8)
+            t0 = time.perf_counter()
+            dx = jax.device_put(blob)
+            jax.device_get(dx[:: len(blob) // 16])
+            up = len(blob) / (time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            jax.device_get(jax.numpy.arange(4) + 1)
+            rt = time.perf_counter() - t0
+            return {"upload_mbps": round(up / 1e6, 1),
+                    "roundtrip_ms": round(rt * 1e3, 1)}
+
+        bounded("device_link", link, float(args.device_timeout))
+
+        def tiny_forward():
+            from . import ckpt as ckpt_mod
+            from .engine import Detector
+
+            det = Detector(cfg.with_engine(device_batch=4, chunk_seconds=10.0),
+                           variables=ckpt_mod.fixture_variables(seed=0))
+            import numpy as np2
+
+            res = det.detect_waveform(np2.zeros(22050 * 4, np2.float32))
+            return {"windows": res.num_windows}
+
+        bounded("device_forward", tiny_forward, float(args.device_timeout))
+
+    from .io.native import _cache_dir
+
+    report["native_cache_dir"] = {"status": "ok", "path": _cache_dir()}
+    bad = [k for k, v in report.items() if v.get("status") != "ok"]
+    report["summary"] = ("all ok" if not bad
+                         else "attention: " + ", ".join(sorted(bad)))
+    print(json.dumps(report, indent=2))
+
+
 # ---------------------------------------------------------------------------
 
 def build_parser() -> argparse.ArgumentParser:
@@ -623,6 +735,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="gap-merge seconds (parity default 0.5; 0.3 measured "
                          "best for event F1 — docs/QUALITY_r02.json)")
     pe.set_defaults(func=cmd_eval)
+
+    pdx = sub.add_parser(
+        "doctor",
+        help="environment diagnosis (backend, link, codecs, checkpoint) "
+             "with bounded timeouts — always returns, even with the "
+             "device tunnel hung")
+    pdx.add_argument("--device-timeout", type=float, default=60.0,
+                     help="seconds to wait on each device probe before "
+                          "reporting TIMEOUT (default 60)")
+    pdx.set_defaults(func=cmd_doctor)
 
     return p
 

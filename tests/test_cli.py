@@ -148,3 +148,15 @@ def test_cli_project_new_registers_files(workspace, capsys):
     out = capsys.readouterr().out
     rep = json.loads(out[out.index("{"):])
     assert rep["files_done"] == 2 and not rep["errors"]
+
+
+def test_cli_doctor(workspace, capsys):
+    """doctor returns a JSON report with bounded device probes."""
+    ws, _ = workspace
+    main(["doctor", "--device-timeout", "30"])
+    out = capsys.readouterr().out
+    rep = json.loads(out[out.index("{"):])
+    assert rep["jax_backend"]["status"] == "ok"          # CPU backend in tests
+    assert rep["native_dsp"]["status"] == "ok"
+    assert "summary" in rep
+    assert rep["device_forward"]["status"] in ("ok", "TIMEOUT")
