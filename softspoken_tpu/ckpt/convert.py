@@ -107,7 +107,8 @@ def convert_torch_state_dict(sd: Dict[str, Any]) -> Dict:
         conv_name = _SEQ[seq]
         is_bn = (seq == "residual" and idx == 1) or (seq in ("conv1", "conv2") and idx == 1)
         if not is_bn:
-            assert leaf == "weight", key
+            if leaf != "weight":  # not assert: a silent mis-map under -O
+                raise ValueError(f"unexpected state_dict leaf {key!r}")
             put(params, (blk, conv_name, "kernel"), _conv_kernel(v))
         else:
             bn_name = _BN_OF[conv_name]

@@ -79,7 +79,8 @@ class FusedStreamingEngine:
 
     def __init__(self, detector: Detector, native_sr: int, kind: str = "i16",
                  mesh=None):
-        assert kind in ("i16", "f32", "mulaw8")
+        if kind not in ("i16", "f32", "mulaw8"):
+            raise ValueError(f"unknown wire kind {kind!r}")
         # weak: the engine lives in a WeakKeyDictionary keyed on the detector;
         # a strong back-reference would keep the key alive forever. The
         # detector is always alive while run() executes (the caller holds it).

@@ -199,8 +199,12 @@ def mulaw_encode_i16(x: np.ndarray, lut: np.ndarray,
     if out is None:
         q = np.empty(len(x), np.int8)
     else:
-        assert out.dtype == np.int8 and out.flags.c_contiguous
-        assert len(out) == len(x)
+        # not `assert`: the native loop writes through this pointer, so a
+        # wrong dtype/size under `python -O` is heap corruption, not a bug
+        if out.dtype != np.int8 or not out.flags.c_contiguous:
+            raise ValueError("out must be a contiguous int8 buffer")
+        if len(out) != len(x):
+            raise ValueError(f"out length {len(out)} != input length {len(x)}")
         q = out
     lib.ss_mulaw_encode_i16(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(x),
@@ -220,7 +224,11 @@ def fir_decim_i16(xbuf: np.ndarray, h: np.ndarray, M: int,
         return None
     xbuf = np.ascontiguousarray(xbuf, np.int16)
     h = np.ascontiguousarray(h, np.float32)
-    assert len(xbuf) == (n_out - 1) * M + len(h)
+    # not `assert`: the kernel reads xbuf[(n_out-1)*M + T - 1]; a short
+    # buffer under `python -O` is an out-of-bounds read, not a bug report
+    if len(xbuf) != (n_out - 1) * M + len(h):
+        raise ValueError(
+            f"xbuf length {len(xbuf)} != (n_out-1)*M+T = {(n_out - 1) * M + len(h)}")
     y = np.empty(n_out, np.int16)
     lib.ss_fir_decim_i16(
         xbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(xbuf),

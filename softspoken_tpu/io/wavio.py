@@ -363,7 +363,9 @@ class WavWriter:
         data = np.asarray(data)
         if data.ndim == 1:
             data = data[:, None]
-        assert data.shape[1] == self.channels
+        if data.shape[1] != self.channels:  # not assert: corrupt WAV under -O
+            raise ValueError(
+                f"write() got {data.shape[1]} channel(s), writer has {self.channels}")
         payload = _encode(data, self.subtype)
         self._f.write(payload)
         self._payload_bytes += len(payload)

@@ -45,7 +45,8 @@ def encode_i16(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     so decode stays exact-zero.  Packing: sample 2k -> low nibble of byte
     k, sample 2k+1 -> high nibble.
     """
-    assert x.dtype == np.int16
+    if x.dtype != np.int16:
+        raise TypeError(f"encode requires int16 PCM, got {x.dtype}")
     n = len(x)
     nb = -(-max(n, 1) // BLOCK)
     xp = np.zeros(nb * BLOCK, np.int16)

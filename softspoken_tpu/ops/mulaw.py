@@ -56,7 +56,10 @@ def encode_i16(x: np.ndarray, out: np.ndarray | None = None) -> np.ndarray:
     int8 view of length len(x)) lets the fused pipeline encode straight
     into its staging buffer with no intermediate allocation.
     """
-    assert x.dtype == np.int16
+    # not `assert`: a wrong dtype (e.g. uint16 from a sloppy caller) would
+    # silently compand garbage under `python -O` (ADVICE r2 class)
+    if x.dtype != np.int16:
+        raise TypeError(f"encode_i16 requires int16 PCM, got {x.dtype}")
     lut = encode_lut()
     from ..io.native import mulaw_encode_i16
 

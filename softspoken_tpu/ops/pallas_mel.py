@@ -66,7 +66,8 @@ def log_mel_from_frames_pallas(frames: jnp.ndarray, interpret: bool = None):
 
     B, F, _ = frames.shape
     rows = B * F
-    assert rows % ROWS_PER_TILE == 0, "batch·frames must tile by 256 rows"
+    if rows % ROWS_PER_TILE != 0:
+        raise ValueError("batch·frames must tile by 256 rows")
     w, fb = _tables()
 
     flat = frames.reshape(rows, WIN).astype(jnp.float32)
