@@ -561,7 +561,14 @@ def cmd_doctor(args) -> None:
             return {"upload_mbps": round(up / 1e6, 1),
                     "roundtrip_ms": round(rt * 1e3, 1)}
 
-        bounded("device_link", link, float(args.device_timeout))
+        lk = bounded("device_link", link, float(args.device_timeout))
+        # a reachable-but-crawling tunnel is the common failure mode here
+        # (healthy: 36-132 MB/s up, ~70 ms RTT; observed degraded to
+        # 0.1 MB/s / 750 ms) - don't call that "ok"
+        if lk and (lk["upload_mbps"] < 5.0 or lk["roundtrip_ms"] > 300.0):
+            report["device_link"]["status"] = (
+                "DEGRADED (healthy: >30 MB/s up, <150 ms RTT; expect "
+                "stalls and 10-100x slower e2e)")
 
         def tiny_forward():
             from . import ckpt as ckpt_mod
