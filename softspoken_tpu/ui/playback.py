@@ -43,6 +43,17 @@ def export_segment_wav(
     return out_path
 
 
+def stop_playback() -> bool:
+    """Stop any in-progress non-blocking playback (the reference's Stop
+    button, review_detections.py:466-536); False if no backend exists."""
+    try:
+        import sounddevice as sd  # optional dependency, absent in CI
+    except Exception:  # noqa: BLE001
+        return False
+    sd.stop()
+    return True
+
+
 def play_segment(full_path: str, start_stop: Tuple[float, float],
                  config: Config = DEFAULT_CONFIG, blocking: bool = True) -> bool:
     """Play a segment if a playback backend exists; returns False otherwise.

@@ -39,6 +39,7 @@ if _qt_available():
     from PySide6.QtGui import QAction, QColor, QKeySequence, QPixmap
     from PySide6.QtWidgets import (
         QApplication,
+        QCheckBox,
         QDialog,
         QFileDialog,
         QFormLayout,
@@ -297,6 +298,14 @@ if HAVE_QT:
                 f"done: {report.files_done} file(s), {report.rows_added} detection(s)"
             )
             self.app.workspace.refresh()
+            if not report.stopped:
+                # completion pop-up (README:172 — "the user will receive a
+                # pop-up notification"); suppressed for a user-initiated stop
+                QMessageBox.information(
+                    self, "Voice Detector",
+                    f"Detection complete: {report.files_done} file(s), "
+                    f"{report.rows_added} detection(s).",
+                )
 
     class AddDetectionDialog(QDialog):
         """Add a detection by hand (review_detections.py:538-675): file name,
@@ -374,6 +383,7 @@ if HAVE_QT:
                 ("Zoom Out (−)", self.zoom_out, "-"),
                 ("Play Segment", self.play_segment, "Shift+Space"),
                 ("Play Window", self.play_window, None),
+                ("Stop", self.stop_playback, None),
             ]:
                 b = QPushButton(text)
                 b.clicked.connect(cb)
@@ -382,7 +392,36 @@ if HAVE_QT:
                 zoom_row.addWidget(b)
             self.zoom_label = QLabel("zoom: 1 s/in")
             zoom_row.addWidget(self.zoom_label)
+            # editable playback range (README:194 — "edit the Start Time and
+            # End Time values … for playback without editing the detection");
+            # auto-filled on selection, consumed by Play Segment
+            zoom_row.addWidget(QLabel("Start:"))
+            self.play_start = QLineEdit()
+            self.play_start.setMaximumWidth(80)
+            zoom_row.addWidget(self.play_start)
+            zoom_row.addWidget(QLabel("End:"))
+            self.play_stop = QLineEdit()
+            self.play_stop.setMaximumWidth(80)
+            zoom_row.addWidget(self.play_stop)
+            # 0.5 s dotted gridlines toggle (README:188 "Show Vertical Bars";
+            # review_detections.py:931-944)
+            self.show_bars = QCheckBox("Show Vertical Bars")
+            self.show_bars.setChecked(True)
+            self.show_bars.toggled.connect(lambda _v: self._render_current())
+            zoom_row.addWidget(self.show_bars)
             lay.addLayout(zoom_row)
+
+            nav_row = QHBoxLayout()
+            for text, cb in [
+                ("Previous", self.nav_prev),
+                ("Next", self.nav_next),
+                ("Previous File", self.nav_prev_file),
+                ("Next File", self.nav_next_file),
+            ]:
+                b = QPushButton(text)
+                b.clicked.connect(cb)
+                nav_row.addWidget(b)
+            lay.addLayout(nav_row)
 
             self.table = QTableWidget()
             self.table.itemSelectionChanged.connect(self._on_select)
@@ -450,6 +489,11 @@ if HAVE_QT:
                     or r < 0 or r >= len(self.session.df):
                 return
             self.session.seek(r)
+            row = self.session.df.iloc[r]
+            # refill the playback-range boxes from the selected detection
+            # (the user can then edit them for ad-hoc playback)
+            self.play_start.setText(f"{float(row['start_time']):.4f}")
+            self.play_stop.setText(f"{float(row['end_time']):.4f}")
             self._render(r)
 
         def _on_item_changed(self, item):
@@ -497,6 +541,7 @@ if HAVE_QT:
                     ],
                     widget_width_px=max(400, self.width()),
                     zoom_level=self.zoom_level,
+                    show_gridlines=self.show_bars.isChecked(),
                     config=self.app.cfg,
                 )
                 pix = QPixmap()
@@ -549,10 +594,62 @@ if HAVE_QT:
             row = self.session.current() if self.session else None
             if row is not None:
                 # detection times can be negative (−3 s pad shift); clamp
-                # like export_segment_wav, else load_audio_startstop rejects
+                # like export_segment_wav, else load_audio_startstop rejects.
+                # The playback-range boxes override the row times when they
+                # parse (README:194 — play a chosen range without editing
+                # the detection); cleared/invalid boxes fall back to the row.
                 start = max(0.0, float(row["start_time"]))
                 stop = max(start + 1e-3, float(row["end_time"]))
+                try:
+                    bs = float(self.play_start.text())
+                    be = float(self.play_stop.text())
+                    if be > bs:
+                        start, stop = max(0.0, bs), be
+                except (ValueError, TypeError):
+                    pass
                 self._play(start, stop)
+
+        def stop_playback(self):
+            from . import playback
+
+            playback.stop_playback()
+
+        # ---- table navigation (README:196-201; review buttons) ----------
+        def _select_row(self, r: int):
+            if self.session is None or not len(self.session.df):
+                return
+            r = max(0, min(r, len(self.session.df) - 1))
+            self.table.selectRow(r)   # triggers _on_select → seek + render
+
+        def nav_prev(self):
+            self._select_row(self.table.currentRow() - 1)
+
+        def nav_next(self):
+            self._select_row(self.table.currentRow() + 1)
+
+        def nav_prev_file(self):
+            """Jump up to the LAST detection of the previous file_name."""
+            if self.session is None or not len(self.session.df):
+                return
+            names = list(self.session.df["file_name"])
+            r = max(0, self.table.currentRow())
+            cur = names[min(r, len(names) - 1)]
+            for i in range(r - 1, -1, -1):
+                if names[i] != cur:
+                    self._select_row(i)  # last row of the previous file
+                    return
+
+        def nav_next_file(self):
+            """Jump down to the FIRST detection of the next file_name."""
+            if self.session is None or not len(self.session.df):
+                return
+            names = list(self.session.df["file_name"])
+            r = max(0, self.table.currentRow())
+            cur = names[min(r, len(names) - 1)]
+            for i in range(r + 1, len(names)):
+                if names[i] != cur:
+                    self._select_row(i)
+                    return
 
         def play_window(self):
             from .spectrogram import plan_view_window
@@ -715,6 +812,7 @@ if HAVE_QT:
             for text, key, cb in [
                 ("New Project", "Ctrl+N", self.new_project),
                 ("Open Project", "Ctrl+O", self.open_project),
+                ("Close Project", "Ctrl+W", self.close_project),
                 ("Quit", "Ctrl+Q", self.close),
             ]:
                 act = QAction(text, self)
@@ -728,6 +826,12 @@ if HAVE_QT:
             helpm.addAction(guide)
 
         # ---- navigation ------------------------------------------------
+        def close_project(self):
+            """Back to the start-up screen (README:151 — File > Close
+            Project / Ctrl+W); any in-review edits were already persisted
+            per grade/edit (the session saves on every change)."""
+            self.stack.setCurrentWidget(self.home)
+
         def show_workspace(self):
             self.workspace.refresh()
             self.stack.setCurrentWidget(self.workspace)

@@ -45,6 +45,9 @@ class QWidget(QObject):
     def setMinimumWidth(self, w: int) -> None:
         pass
 
+    def setMaximumWidth(self, w: int) -> None:
+        pass
+
     # visibility / state
     def show(self) -> None:
         self._visible = True

@@ -138,6 +138,7 @@ S = {
             "isEnabled": (0, 0), "isVisible": (0, 0), "layout": (0, 0),
             "resize": (1, 2), "setEnabled": (1, 1), "setFocus": (0, 1),
             "setLayout": (1, 1), "setMinimumHeight": (1, 1),
+            "setMaximumWidth": (1, 1),
             "setMinimumWidth": (1, 1), "setStyleSheet": (1, 1),
             "setToolTip": (1, 1), "setWindowTitle": (1, 1),
             "show": (0, 0), "size": (0, 0), "update": (0, 1),

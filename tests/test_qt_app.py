@@ -72,7 +72,7 @@ def test_all_screens_construct_and_navigate(app_env):
     # menus wired
     menus = win.menuBar().shim_menus()
     assert [m._title for m in menus] == ["&File", "&Help"]
-    assert len(menus[0].actions()) == 3
+    assert len(menus[0].actions()) == 4  # New/Open/Close Project + Quit
 
 
 def test_project_flow_and_file_list(app_env, monkeypatch):
@@ -318,3 +318,69 @@ def test_detect_worker_stop_before_runner_is_honored(app_env, monkeypatch):
     w.run()
     (report,) = results
     assert report is not None and report.stopped
+
+
+def test_review_navigation_and_bars_toggle(app_env, monkeypatch):
+    """README-contract controls: Previous/Next (+ per-file jumps), the
+    Show Vertical Bars toggle, playback-range boxes, Stop, Close Project."""
+    win, wav, _ = app_env
+    review = _detect_then_review(win, wav, monkeypatch)
+    n = review.table.rowCount()
+    assert n >= 1
+
+    # selection fills the playback boxes with the row times
+    review.table.selectRow(0)
+    row0 = review.session.df.iloc[0]
+    assert float(review.play_start.text()) == pytest.approx(
+        float(row0["start_time"]), abs=1e-4)
+    assert float(review.play_stop.text()) == pytest.approx(
+        float(row0["end_time"]), abs=1e-4)
+
+    # edited boxes override the row times for playback (temp-WAV path in CI)
+    review.play_start.setText("0.0")
+    review.play_stop.setText("0.25")
+    review.play_segment()
+    assert review.last_play_path and os.path.exists(review.last_play_path)
+    seg = wavio.info(review.last_play_path)
+    assert abs(seg.frames / seg.samplerate - 0.25) < 0.02
+    review.stop_playback()  # no backend in CI → harmless no-op
+
+    # nav: next/prev clamp at the ends
+    review.nav_next()
+    assert review.table.currentRow() == min(1, n - 1)
+    review.nav_prev()
+    review.nav_prev()
+    assert review.table.currentRow() == 0
+    # single-file project: file jumps are no-ops, not crashes
+    review.nav_next_file()
+    review.nav_prev_file()
+
+    # vertical-bars checkbox re-renders (PNG stays valid either way)
+    review.show_bars.setChecked(False)
+    assert review.image.pixmap().data[:8] == b"\x89PNG\r\n\x1a\n"
+    review.show_bars.setChecked(True)
+
+    # Close Project returns to the start-up screen (Ctrl+W contract)
+    win.close_project()
+    assert win.stack.currentWidget() is win.home
+
+
+def test_review_file_jumps_two_files(app_env, monkeypatch):
+    """Previous File / Next File move to the adjacent file's detections."""
+    win, wav, _ = app_env
+    review = _detect_then_review(win, wav, monkeypatch)
+    # synthesize a second file's rows directly in the session df
+    df = review.session.df
+    extra = df.iloc[[0]].copy()
+    extra["file_name"] = "zzz_other.wav"
+    extra["ID"] = df["ID"].max() + 1
+    review.session.df = pd.concat([df, extra], ignore_index=True)
+    review._rebuild_table()
+
+    review.table.selectRow(0)
+    review.nav_next_file()
+    r = review.table.currentRow()
+    assert review.session.df.iloc[r]["file_name"] == "zzz_other.wav"
+    review.nav_prev_file()
+    r2 = review.table.currentRow()
+    assert review.session.df.iloc[r2]["file_name"] != "zzz_other.wav"
