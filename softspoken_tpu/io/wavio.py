@@ -7,6 +7,8 @@ This module reads/writes WAV directly so the framework has no audio deps.
 
 Supports:
   * PCM unsigned 8-bit, signed 16/24/32-bit, IEEE float32/float64
+  * MS ADPCM and IMA/DVI ADPCM 4-bit (decode; block-coded legacy recorders —
+    libsndfile reads these, so the reference incidentally did too)
   * WAVE_FORMAT_EXTENSIBLE wrappers
   * random-access range reads (frame offsets) for streaming long recordings
   * headers-only probe (duration/sample-rate without loading samples,
@@ -27,7 +29,9 @@ from typing import BinaryIO, Optional, Tuple
 import numpy as np
 
 WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_ADPCM = 0x0002          # Microsoft ADPCM
 WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_IMA_ADPCM = 0x0011      # IMA/DVI ADPCM
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 _SUBTYPE_BY_FMT = {
@@ -37,7 +41,12 @@ _SUBTYPE_BY_FMT = {
     (WAVE_FORMAT_PCM, 32): "PCM_32",
     (WAVE_FORMAT_IEEE_FLOAT, 32): "FLOAT",
     (WAVE_FORMAT_IEEE_FLOAT, 64): "DOUBLE",
+    (WAVE_FORMAT_ADPCM, 4): "MS_ADPCM",
+    (WAVE_FORMAT_IMA_ADPCM, 4): "IMA_ADPCM",
 }
+
+# block-coded subtypes: no fixed bytes-per-frame; reads decode whole blocks
+BLOCK_SUBTYPES = frozenset({"MS_ADPCM", "IMA_ADPCM"})
 
 
 class WavFormatError(ValueError):
@@ -53,6 +62,10 @@ class WavInfo:
     bits_per_sample: int
     data_offset: int          # byte offset of sample data in the file
     data_bytes: int
+    # block-coded (ADPCM) formats only; 0 for PCM/float subtypes
+    block_align: int = 0
+    samples_per_block: int = 0
+    fmt_extra: bytes = b""    # fmt chunk bytes past the first 16 (coef table)
 
     @property
     def duration(self) -> float:
@@ -70,6 +83,9 @@ def _parse_header(f: BinaryIO) -> WavInfo:
     channels = None
     samplerate = None
     bits = None
+    block_align = 0
+    fmt_extra = b""
+    fact_frames = None
     data_offset = None
     data_bytes = None
 
@@ -90,14 +106,19 @@ def _parse_header(f: BinaryIO) -> WavInfo:
             body = f.read(csize + (csize & 1))
             if len(body) < 16:
                 raise WavFormatError("truncated fmt chunk")
-            fmt_tag, channels, samplerate, _brate, _balign, bits = struct.unpack(
+            fmt_tag, channels, samplerate, _brate, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
+            fmt_extra = bytes(body[16:])
             if fmt_tag == WAVE_FORMAT_EXTENSIBLE:
                 if csize < 40 or len(body) < 26:
                     raise WavFormatError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
                 # SubFormat GUID: first two bytes are the real format tag
                 fmt_tag = struct.unpack("<H", body[24:26])[0]
+        elif cid == b"fact":
+            body = f.read(csize + (csize & 1))
+            if len(body) >= 4:
+                fact_frames = struct.unpack("<I", body[:4])[0]
         elif cid == b"data" and data_offset is None:
             # first-wins: a malformed/concatenated WAV with a SECOND data
             # chunk must not redirect the payload — spec-conforming readers
@@ -117,11 +138,7 @@ def _parse_header(f: BinaryIO) -> WavInfo:
     key = (fmt_tag, bits)
     if key not in _SUBTYPE_BY_FMT:
         raise WavFormatError(f"unsupported WAV format tag={fmt_tag} bits={bits}")
-    bytes_per_frame = channels * (bits // 8)
-    if bytes_per_frame <= 0 or samplerate <= 0:  # fuzz: zeroed fmt fields
-        raise WavFormatError(
-            f"invalid fmt chunk: channels={channels} bits={bits} "
-            f"samplerate={samplerate}")
+    subtype = _SUBTYPE_BY_FMT[key]
     # clamp to the bytes physically present: a recorder-crash file whose
     # data-chunk header overstates the payload must decode the samples that
     # exist, not crash downstream views/reshapes with short reads
@@ -131,12 +148,37 @@ def _parse_header(f: BinaryIO) -> WavInfo:
             data_bytes = physical
     except (OSError, AttributeError):  # non-file streams
         pass
+
+    if subtype in BLOCK_SUBTYPES:
+        if channels <= 0 or samplerate <= 0 or block_align <= 0:
+            raise WavFormatError(
+                f"invalid ADPCM fmt chunk: channels={channels} "
+                f"block_align={block_align} samplerate={samplerate}")
+        spb = _adpcm_samples_per_block(subtype, fmt_extra, block_align, channels)
+        full, tail = divmod(data_bytes, block_align)
+        frames = full * spb + _adpcm_tail_samples(subtype, tail, channels)
+        if fact_frames is not None and 0 < fact_frames < frames:
+            # fact is authoritative when it TRIMS (final block padded out);
+            # a fact overstating the physical payload is ignored
+            frames = fact_frames
+        return WavInfo(
+            samplerate=samplerate, channels=channels, frames=frames,
+            subtype=subtype, bits_per_sample=bits, data_offset=data_offset,
+            data_bytes=data_bytes, block_align=block_align,
+            samples_per_block=spb, fmt_extra=fmt_extra,
+        )
+
+    bytes_per_frame = channels * (bits // 8)
+    if bytes_per_frame <= 0 or samplerate <= 0:  # fuzz: zeroed fmt fields
+        raise WavFormatError(
+            f"invalid fmt chunk: channels={channels} bits={bits} "
+            f"samplerate={samplerate}")
     frames = data_bytes // bytes_per_frame
     return WavInfo(
         samplerate=samplerate,
         channels=channels,
         frames=frames,
-        subtype=_SUBTYPE_BY_FMT[key],
+        subtype=subtype,
         bits_per_sample=bits,
         data_offset=data_offset,
         data_bytes=frames * bytes_per_frame,
@@ -195,6 +237,177 @@ def top16_from_raw(raw: np.ndarray, subtype: str) -> np.ndarray:
     raise WavFormatError(f"top16_from_raw: unsupported subtype {subtype}")
 
 
+# ---------------------------------------------------------------------------
+# ADPCM decode (MS + IMA/DVI).  Block-coded: every block decodes
+# independently from its own header, so decode vectorizes ACROSS blocks and
+# loops only over the samples WITHIN one block (~500 numpy steps per file).
+# Integer semantics verified bit-exact against SDL's WAV decoder on a real
+# third-party MS ADPCM file (tests/test_real_audio.py): the predictor uses
+# C truncating division, not an arithmetic shift.
+
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614,
+     768, 614, 512, 409, 307, 230, 230, 230], np.int64)
+_MS_DEFAULT_COEFS = np.array(
+    [[256, 0], [512, -256], [0, 0], [192, 64],
+     [240, 0], [460, -208], [392, -232]], np.int64)
+
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8,
+                       -1, -1, -1, -1, 2, 4, 6, 8], np.int64)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int64)
+
+
+def _adpcm_samples_per_block(subtype: str, extra: bytes,
+                             block_align: int, channels: int) -> int:
+    """wSamplesPerBlock from the fmt extra bytes, else the layout formula."""
+    spb = 0
+    if len(extra) >= 4:  # cbSize(2) + wSamplesPerBlock(2)
+        spb = struct.unpack("<H", extra[2:4])[0]
+    if spb <= 0:
+        if subtype == "MS_ADPCM":
+            spb = (block_align - 7 * channels) * 2 // channels + 2
+        else:
+            spb = (block_align - 4 * channels) * 2 // channels + 1
+    if spb < (2 if subtype == "MS_ADPCM" else 1):
+        raise WavFormatError(
+            f"invalid {subtype} samples_per_block={spb} "
+            f"(block_align={block_align} channels={channels})")
+    return spb
+
+
+def _adpcm_tail_samples(subtype: str, tail_bytes: int, channels: int) -> int:
+    """Decodable samples in a truncated final block of ``tail_bytes``."""
+    if subtype == "MS_ADPCM":
+        hdr = 7 * channels
+        return 0 if tail_bytes < hdr else 2 + (tail_bytes - hdr) * 2 // channels
+    hdr = 4 * channels
+    if tail_bytes < hdr:
+        return 0
+    # IMA data arrives in 4-byte-per-channel word groups
+    return 1 + (tail_bytes - hdr) // (4 * channels) * 8
+
+
+def _ms_coefs(extra: bytes) -> np.ndarray:
+    """Predictor coefficient table from fmt extra; standard 7 pairs if absent."""
+    if len(extra) >= 6:
+        ncoef = struct.unpack("<H", extra[4:6])[0]
+        if 0 < ncoef <= 256 and len(extra) >= 6 + 4 * ncoef:
+            vals = struct.unpack(f"<{2 * ncoef}h", extra[6:6 + 4 * ncoef])
+            return np.asarray(vals, np.int64).reshape(-1, 2)
+    return _MS_DEFAULT_COEFS
+
+
+def _div_trunc(q: np.ndarray, d: int) -> np.ndarray:
+    """C-style integer division (truncation toward zero)."""
+    return np.where(q >= 0, q // d, -((-q) // d))
+
+
+def _decode_ms_adpcm(raw: bytes, inf: "WavInfo") -> np.ndarray:
+    """Whole MS-ADPCM blocks → int16 samples, shape (n, channels)."""
+    ch, ba, spb = inf.channels, inf.block_align, inf.samples_per_block
+    coefs = _ms_coefs(inf.fmt_extra)
+    tail = len(raw) % ba
+    nvalid = (len(raw) // ba) * spb + _adpcm_tail_samples("MS_ADPCM", tail, ch)
+    if tail:
+        raw = raw + b"\x00" * (ba - tail)
+    nb = len(raw) // ba
+    if nb == 0:
+        return np.empty((0, ch), np.int16)
+    A = np.frombuffer(raw, np.uint8).reshape(nb, ba)
+    pidx = A[:, :ch].astype(np.int64)
+    if pidx.max() >= len(coefs):
+        raise WavFormatError(
+            f"MS ADPCM predictor index {int(pidx.max())} outside the "
+            f"{len(coefs)}-entry coefficient table")
+    delta = A[:, ch:3 * ch].copy().view("<i2").astype(np.int64)
+    s1 = A[:, 3 * ch:5 * ch].copy().view("<i2").astype(np.int64)
+    s2 = A[:, 5 * ch:7 * ch].copy().view("<i2").astype(np.int64)
+    c1, c2 = coefs[pidx, 0], coefs[pidx, 1]
+    out = np.empty((nb, spb, ch), np.int16)
+    out[:, 0, :] = s2
+    if spb > 1:
+        out[:, 1, :] = s1
+    data = A[:, 7 * ch:]
+    nib = np.empty((nb, data.shape[1] * 2), np.uint8)
+    nib[:, 0::2] = data >> 4          # high nibble first
+    nib[:, 1::2] = data & 0x0F
+    nib = nib[:, :(spb - 2) * ch].reshape(nb, spb - 2, ch)
+    signed = nib.astype(np.int64)
+    signed = np.where(signed >= 8, signed - 16, signed)
+    for k in range(spb - 2):
+        pred = _div_trunc(s1 * c1 + s2 * c2, 256) + signed[:, k, :] * delta
+        pred = np.clip(pred, -32768, 32767)
+        s2, s1 = s1, pred
+        delta = np.maximum(16, (_MS_ADAPT[nib[:, k, :]] * delta) // 256)
+        out[:, k + 2, :] = pred
+    return out.reshape(nb * spb, ch)[:nvalid]
+
+
+def _decode_ima_adpcm(raw: bytes, inf: "WavInfo") -> np.ndarray:
+    """Whole IMA-ADPCM blocks → int16 samples, shape (n, channels)."""
+    ch, ba, spb = inf.channels, inf.block_align, inf.samples_per_block
+    tail = len(raw) % ba
+    nvalid = (len(raw) // ba) * spb + _adpcm_tail_samples("IMA_ADPCM", tail, ch)
+    if tail:
+        raw = raw + b"\x00" * (ba - tail)
+    nb = len(raw) // ba
+    if nb == 0:
+        return np.empty((0, ch), np.int16)
+    A = np.frombuffer(raw, np.uint8).reshape(nb, ba)
+    hdr = A[:, :4 * ch].reshape(nb, ch, 4)
+    pred = np.ascontiguousarray(hdr[:, :, :2]).reshape(nb, -1) \
+        .view("<i2").astype(np.int64)                       # (nb, ch)
+    idx = hdr[:, :, 2].astype(np.int64)
+    if idx.max() > 88:
+        raise WavFormatError(
+            f"IMA ADPCM step index {int(idx.max())} > 88")
+    groups = (ba - 4 * ch) // (4 * ch)
+    data = A[:, 4 * ch:4 * ch + groups * 4 * ch].reshape(nb, groups, ch, 4)
+    nib = np.empty((nb, groups, ch, 8), np.uint8)
+    nib[..., 0::2] = data & 0x0F      # low nibble first
+    nib[..., 1::2] = data >> 4
+    nib = nib.transpose(0, 1, 3, 2).reshape(nb, groups * 8, ch)
+    out = np.empty((nb, spb, ch), np.int16)
+    out[:, 0, :] = pred
+    for k in range(spb - 1):
+        n = nib[:, k, :].astype(np.int64)
+        step = _IMA_STEPS[idx]
+        diff = (step >> 3) + np.where(n & 1, step >> 2, 0) \
+            + np.where(n & 2, step >> 1, 0) + np.where(n & 4, step, 0)
+        pred = np.clip(np.where(n & 8, pred - diff, pred + diff),
+                       -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX[n], 0, 88)
+        out[:, k + 1, :] = pred
+    return out.reshape(nb * spb, ch)[:nvalid]
+
+
+def _read_adpcm(path: str, inf: "WavInfo", start: int,
+                frames: Optional[int]) -> np.ndarray:
+    """Decode an ADPCM frame range → float32 (n, channels) in [-1, 1)."""
+    start = max(0, min(int(start), inf.frames))
+    if frames is None:
+        frames = inf.frames - start
+    frames = max(0, min(int(frames), inf.frames - start))
+    spb, ba = inf.samples_per_block, inf.block_align
+    b0 = start // spb
+    b1 = (start + frames + spb - 1) // spb if frames else b0
+    with open(path, "rb") as f:
+        f.seek(inf.data_offset + b0 * ba)
+        raw = f.read(max(0, min((b1 - b0) * ba, inf.data_bytes - b0 * ba)))
+    dec = (_decode_ms_adpcm if inf.subtype == "MS_ADPCM"
+           else _decode_ima_adpcm)(raw, inf)
+    off = start - b0 * spb
+    samples = dec[off:off + frames]
+    return samples.astype(np.float32) / 32768.0
+
+
 def read_raw(
     path: str, start: int = 0, frames: Optional[int] = None,
     want_subtype: Optional[str] = None,
@@ -210,6 +423,10 @@ def read_raw(
     with open(path, "rb") as f:
         inf = _parse_header(f)
         if want_subtype is not None and inf.subtype != want_subtype:
+            return None, inf
+        if inf.subtype in BLOCK_SUBTYPES:
+            # block-coded: "raw sample bytes for a frame range" doesn't
+            # exist — callers decode via read() instead
             return None, inf
         bpf = inf.channels * (inf.bits_per_sample // 8)
         start = max(0, min(int(start), inf.frames))
@@ -237,7 +454,10 @@ def read(
     # one home for the clamp/seek/frombuffer body (read_raw) — the r3
     # fuzz-hardening clamps must not fork across copies (review r3 batch 11)
     raw, inf = read_raw(path, start=start, frames=frames)
-    data = _decode(raw, inf.subtype).reshape(-1, inf.channels)
+    if raw is None and inf.subtype in BLOCK_SUBTYPES:
+        data = _read_adpcm(path, inf, start, frames)
+    else:
+        data = _decode(raw, inf.subtype).reshape(-1, inf.channels)
     if inf.channels == 1 and not always_2d:
         data = data[:, 0]
     return data, inf.samplerate
@@ -424,6 +644,11 @@ class RawReader:
         self.path = path
         self._f = open(path, "rb")
         self.info = _parse_header(self._f)
+        if self.info.subtype in BLOCK_SUBTYPES:
+            self._f.close()
+            raise WavFormatError(
+                f"RawReader cannot frame-address block-coded "
+                f"{self.info.subtype}; use read()")
         self._bpf = self.info.channels * (self.info.bits_per_sample // 8)
         try:
             os.posix_fadvise(self._f.fileno(), 0, 0, os.POSIX_FADV_SEQUENTIAL)

@@ -150,11 +150,13 @@ class SilenceRunner:
 
             flac_reader = FlacReader(src)
             scale = np.float32(1.0 / (1 << (inf.bits_per_sample - 1)))
-        elif isinstance(inf, wavio.WavInfo):
+        elif (isinstance(inf, wavio.WavInfo)
+              and inf.subtype not in wavio.BLOCK_SUBTYPES):
             # persistent handle + sequential fadvise: reopening/reparsing
             # the header per chunk resets kernel readahead — the measured
             # streaming throughput ceiling RawReader exists to fix; the
             # multi-GB silencer path now uses it too (review r3 finding)
+            # (block-coded ADPCM can't frame-address: falls to read_any)
             raw_reader = wavio.RawReader(src)
 
         def read_seq(pos: int, nread: int):
