@@ -590,6 +590,15 @@ def cmd_doctor(args) -> None:
     report["summary"] = ("all ok" if not bad
                          else "attention: " + ", ".join(sorted(bad)))
     print(json.dumps(report, indent=2))
+    if any(isinstance(v, dict) and v.get("status") == "TIMEOUT"
+           for v in report.values()):
+        # a timed-out probe leaves a daemon thread stuck inside the JAX
+        # runtime; normal interpreter teardown then aborts from C++
+        # ("FATAL: exception not rethrown") AFTER the report prints.
+        # The report is out and the process is disposable — skip teardown.
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
 
 
 # ---------------------------------------------------------------------------

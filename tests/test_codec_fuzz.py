@@ -80,6 +80,13 @@ def _make_originals(tmp_path):
     write_aiff(af, (x * 32767).astype(np.int16)[:, None], SR)
     out["aiff"] = af
 
+    from test_adpcm import _write_ms  # the MS ADPCM test encoder
+
+    ad = str(tmp_path / "a_adpcm.wav")
+    _write_ms(ad, np.clip(np.rint(x * 32767), -32768, 32767).astype(np.int64),
+              sr=SR, spb=500)
+    out["adpcm"] = ad
+
     return out
 
 
@@ -106,7 +113,7 @@ def struct_error_types():
     return struct.error
 
 
-@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff"])
+@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff", "adpcm"])
 def test_truncations(tmp_path, codec):
     files = _make_originals(tmp_path)
     if codec not in files:
@@ -122,7 +129,7 @@ def test_truncations(tmp_path, codec):
         _attempt(p)
 
 
-@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff"])
+@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff", "adpcm"])
 def test_byte_mutations(tmp_path, codec):
     files = _make_originals(tmp_path)
     if codec not in files:
@@ -142,7 +149,7 @@ def test_byte_mutations(tmp_path, codec):
         _attempt(p)
 
 
-@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff"])
+@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff", "adpcm"])
 def test_field_corruption(tmp_path, codec):
     """Size/count header fields forced to extremes (0, huge, negative)."""
     files = _make_originals(tmp_path)
