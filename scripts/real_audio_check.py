@@ -1,0 +1,254 @@
+"""Real-recorded-audio evidence for the trained checkpoint.
+
+All other quality numbers in this repo are synthetic-vs-synthetic (two
+independent generator families + degradations — docs/QUALITY_r03.json).
+This script adds the only *real recorded audio* available in this image
+(pygame's bundled example sounds: a house-music loop, an MS-ADPCM music
+clip, and four impact/whoosh effects) as two honest, limited probes:
+
+  A. **False-positive behavior** on speech-free real recordings: each
+     source class is looped into a ~60 s bed (gain-jittered, gapped) and
+     run through the detector; every detection is a false fire.
+  B. **Recall over real-noise beds**: out-of-family synthetic speech
+     (train/synth2.py, near-clean) is mixed over the real beds at pinned
+     SNRs; frame/event F1 at the parity operating point.
+
+What this is NOT: field evidence.  The sources are 11 kHz consumer-grade
+game assets (bandlimited to ~5.5 kHz) with seconds of unique material —
+they probe "does real, non-studio texture break the detector", not
+sim-to-real transfer (README quality section states that risk).
+
+Usage:  python scripts/real_audio_check.py [--out docs/QUALITY_r03_realaudio.json]
+        [--seconds 60] [--files 4] [--quick]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+
+import quality_grid as QG  # detect_set / metrics_from reuse
+
+
+def _pygame_data_dir():
+    try:
+        import pygame
+    except ImportError:
+        return None
+    return os.path.join(os.path.dirname(pygame.__file__), "examples", "data")
+
+
+SOURCES = {
+    # class → files (relative to the pygame data dir)
+    "music_house": ["house_lo.wav"],
+    "music_adpcm": ["secosmic_lo.wav"],
+    "impacts": ["boom.wav", "car_door.wav", "punch.wav", "whiff.wav"],
+}
+
+
+def _load_sources(data_dir, sr):
+    """class → list of float32 clips at ``sr`` (our decode + resampler)."""
+    from softspoken_tpu.io import wavio
+    from softspoken_tpu.io.resample import resample
+
+    out = {}
+    for cls, names in SOURCES.items():
+        clips = []
+        for n in names:
+            x, native = wavio.read(os.path.join(data_dir, n))
+            clips.append(resample(
+                np.asarray(x, np.float32), native, sr).astype(np.float32))
+        out[cls] = clips
+    return out
+
+
+def make_bed(clips, seconds, sr, rng, peak=0.5):
+    """Loop clips into a bed: random order, ±6 dB per repeat, 0.2–1 s gaps."""
+    total = int(seconds * sr)
+    bed = np.zeros(total, np.float32)
+    pos = 0
+    while pos < total:
+        c = clips[int(rng.integers(len(clips)))]
+        g = 10.0 ** (rng.uniform(-6.0, 6.0) / 20.0)
+        seg = c * np.float32(g)
+        n = min(len(seg), total - pos)
+        bed[pos:pos + n] += seg[:n]
+        pos += n + int(rng.uniform(0.2, 1.0) * sr)
+    m = float(np.abs(bed).max())
+    if m > 0:
+        bed *= np.float32(peak / m)
+    return bed
+
+
+def fp_probe(det, data_dir, seconds, pad, workdir, rng):
+    """Part A: detector over speech-free real-audio beds."""
+    from softspoken_tpu.engine import regions as R
+    from softspoken_tpu.io import wavio
+
+    sr = 22050
+    sources = _load_sources(data_dir, sr)
+    results = {}
+    for cls, clips in sources.items():
+        bed = make_bed(clips, seconds, sr, rng)
+        path = os.path.join(workdir, f"fp_{cls}.wav")
+        wavio.write(path, bed, sr, subtype="PCM_16")
+        res = det.detect_file_streaming(path)
+        avg = np.asarray(res.avg_values, np.float32)
+        regs = R.shift_regions(list(res.intervals), 0.0)
+        dur = float(res.audio_seconds)
+        pred = [(max(0.0, s), min(dur, e)) for s, e in regs
+                if e > 0 and s < dur]
+        pred = R.filter_min_length(pred, 0.1)
+        det_s = sum(e - s for s, e in pred)
+        results[cls] = {
+            "bed_seconds": round(dur, 1),
+            "false_events": len(pred),
+            "false_events_per_min": round(len(pred) / (dur / 60.0), 2),
+            "false_seconds": round(det_s, 2),
+            "false_fraction": round(det_s / dur, 4),
+            "grid_max": round(float(avg.max()), 4),
+            "grid_frac_above_thr": round(
+                float((avg > det.cfg.engine.threshold).mean()), 4),
+        }
+        print(f"  fp {cls}: {results[cls]}", flush=True)
+    return results
+
+
+def recall_probe(det, data_dir, n_files, seconds, snrs, pad, workdir, rng):
+    """Part B: out-of-family speech mixed over real beds at pinned SNRs."""
+    from softspoken_tpu.io import wavio
+    from softspoken_tpu.train import evaluate as E
+
+    sr = 32000
+    sources = _load_sources(data_dir, sr)
+    all_clips = [c for clips in sources.values() for c in clips]
+
+    # near-clean out-of-family speech (v2 generator, high SNR so the
+    # synthetic noise field is negligible next to the real bed)
+    clean_dir = os.path.join(workdir, "v2_clean30")
+    labels = E.make_eval_set(clean_dir, n_files=n_files, seconds=seconds,
+                             sr=sr, seed=7100, generator="v2",
+                             snr_db=(30.0, 30.0))
+    labeled = E.load_labels(labels)
+
+    out = {}
+    for snr in snrs:
+        mixdir = os.path.join(workdir, f"mix_snr{snr:g}")
+        os.makedirs(mixdir, exist_ok=True)
+        mixed = []
+        for path, truth in labeled:
+            x, file_sr = wavio.read(path)
+            assert file_sr == sr
+            bed = make_bed(all_clips, len(x) / sr + 1.0, sr, rng, peak=0.9)
+            bed = bed[:len(x)]
+            # speech level measured over the labeled speech spans
+            mask = np.zeros(len(x), bool)
+            for s, e in truth:
+                mask[int(s * sr):int(e * sr)] = True
+            sp = float(np.sqrt(np.mean(np.square(x[mask])))) if mask.any() \
+                else 0.0
+            bd = float(np.sqrt(np.mean(np.square(bed)))) or 1.0
+            want_bed = sp / (10.0 ** (snr / 20.0))
+            mix = x + bed * np.float32(want_bed / bd)
+            m = float(np.abs(mix).max())
+            if m > 1.0:
+                mix /= np.float32(m * 1.001)
+            dst = os.path.join(mixdir, os.path.basename(path))
+            wavio.write(dst, mix.astype(np.float32), sr, subtype="PCM_16")
+            mixed.append((dst, truth))
+        per_file = QG.detect_set(det, mixed)
+        r = QG.metrics_from(per_file, pad)
+        out[f"snr{snr:g}"] = {
+            "parity": r["parity"], "n_files": r["n_files"]}
+        print(f"  recall snr{snr:g}: frame_f1={r['parity']['frame_f1']} "
+              f"event_f1={r['parity']['event_f1']}", flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="docs/QUALITY_r03_realaudio.json")
+    ap.add_argument("--seconds", type=float, default=60.0)
+    ap.add_argument("--files", type=int, default=4)
+    ap.add_argument("--snrs", default="0,5,10,20")
+    ap.add_argument("--ckpt", default=os.path.join(
+        REPO_ROOT, "root/models/spec_unet_2d/model_checkpoint"))
+    ap.add_argument("--quick", action="store_true",
+                    help="1 file x 30 s, one SNR (smoke)")
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    if not os.path.isabs(args.out):
+        args.out = os.path.join(REPO_ROOT, args.out)
+    snrs = [float(s) for s in args.snrs.split(",") if s]
+    if args.quick:
+        args.seconds, args.files, snrs = 30.0, 1, [10.0]
+        if os.path.abspath(args.out) == os.path.join(
+                REPO_ROOT, "docs/QUALITY_r03_realaudio.json"):
+            args.out = "/tmp/real_audio_quick.json"
+
+    data_dir = _pygame_data_dir()
+    if data_dir is None or not os.path.isdir(data_dir):
+        raise SystemExit("pygame (the real-audio source) is not available")
+
+    from softspoken_tpu import Config
+    from softspoken_tpu.engine import Detector
+
+    cfg = Config().with_engine(mel_precision="highest")
+    det = Detector(cfg, checkpoint_path=args.ckpt)
+    if getattr(det, "epoch", -1) < 0:
+        raise SystemExit(f"checkpoint {args.ckpt} did not load (epoch<0)")
+    pad = cfg.engine.pad_seconds
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="real_audio_")
+    os.makedirs(workdir, exist_ok=True)
+    rng = np.random.default_rng(20260819)
+    t0 = time.time()
+    print("Part A: false positives on speech-free real beds", flush=True)
+    fp = fp_probe(det, data_dir, args.seconds, pad, workdir, rng)
+    print("Part B: recall over real-noise beds", flush=True)
+    rec = recall_probe(det, data_dir, args.files, args.seconds, snrs,
+                       pad, workdir, rng)
+    import jax
+
+    out = {
+        "checkpoint": args.ckpt,
+        "epoch": int(getattr(det, "epoch", -1)),
+        "backend": jax.default_backend(),
+        "sources": "pygame 2.6.1 bundled example sounds (11 kHz consumer "
+                   "game assets; real recordings, NOT field audio)",
+        "operating_point": {"threshold": cfg.engine.threshold,
+                            "break_duration": cfg.engine.break_duration,
+                            "min_len": 0.1},
+        "false_positives_on_real_audio": fp,
+        "recall_over_real_noise_beds": rec,
+        "caveats": [
+            "sources are bandlimited (~5.5 kHz) and loop seconds of unique "
+            "material — a texture probe, not sim-to-real evidence",
+            "music is intentionally adversarial: broadband rhythmic "
+            "content is the classic speech-detector confuser",
+        ],
+        "wall_seconds": round(time.time() - t0, 1),
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {args.out} in {out['wall_seconds']} s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
