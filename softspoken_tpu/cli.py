@@ -404,6 +404,7 @@ def cmd_train(args) -> None:
             pool_noise=args.pool_size,
             resume=args.resume,
             train_dtype=args.dtype,
+            noise_extra_kinds=tuple(args.noise_extra or ()),
         )
     else:
         if not (args.speech_dir and args.noise_dir):
@@ -715,6 +716,13 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--augment", nargs="*", default=["add_reverb", "reduce_volume"])
     pt.add_argument("--mesh", action="store_true", help="dp×sp over all devices")
+    pt.add_argument("--noise-extra", nargs="*", default=[],
+                    choices=["music"],
+                    help="(--synthetic) opt-in confuser textures mixed into "
+                         "the noise pool (synth.EXTRA_ENVIRONMENT_KINDS): "
+                         "'music' targets the measured real-audio "
+                         "false-positive class "
+                         "(docs/QUALITY_r03_realaudio.json)")
     pt.add_argument("--resume", metavar="CKPT",
                     help="warm-start params/batch_stats from an orbax checkpoint")
     pt.add_argument("--dtype", default="float32",

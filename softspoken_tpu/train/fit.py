@@ -157,6 +157,7 @@ def fit_synthetic(
     on_metrics=None,
     resume: Optional[str] = None,
     train_dtype: str = "float32",
+    noise_extra_kinds: tuple = (),
 ) -> Dict[str, float]:
     """Train from the synthetic corpus with fully on-device batch synthesis.
 
@@ -177,7 +178,8 @@ def fit_synthetic(
     rng = np.random.default_rng(seed)
     log.info("generating initial clip pools (%d speech + %d noise)…",
              pool_speech, pool_noise)
-    sp_np, nz_np = synth.make_pools(rng, pool_speech, pool_noise)
+    sp_np, nz_np = synth.make_pools(rng, pool_speech, pool_noise,
+                                    extra_kinds=tuple(noise_extra_kinds))
     speech_pool, noise_pool = jax.device_put(sp_np), jax.device_put(nz_np)
 
     import jax.numpy as jnp
@@ -227,7 +229,8 @@ def fit_synthetic(
                     and outer % pool_refresh_outer == 0
                     and outer_total - outer >= pool_refresh_outer):
                 pool_pending = _DaemonJob(
-                    synth.make_pools, pool_rng, pool_speech, pool_noise
+                    synth.make_pools, pool_rng, pool_speech, pool_noise,
+                    extra_kinds=tuple(noise_extra_kinds),
                 )
         key, sub = jax.random.split(key)
         if mesh is not None:
@@ -256,7 +259,7 @@ def fit_synthetic(
 class _DaemonJob:
     """One background computation on a daemon thread (never blocks exit)."""
 
-    def __init__(self, fn, *args):
+    def __init__(self, fn, *args, **kwargs):
         import threading
 
         self.result = None
@@ -265,7 +268,7 @@ class _DaemonJob:
 
         def run():
             try:
-                self.result = fn(*args)
+                self.result = fn(*args, **kwargs)
             except Exception as e:  # surfaced by the training loop
                 self.error = e
             finally:

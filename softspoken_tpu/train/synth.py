@@ -166,6 +166,16 @@ def synth_speech(
 ENVIRONMENT_KINDS = ("wind", "rain", "stream", "birds", "insects", "rumble",
                      "calls", "hum")
 
+# Confuser kinds OUTSIDE the default draw: adding a kind to
+# ENVIRONMENT_KINDS silently changes both the training distribution AND
+# every seeded eval set built on synth_field_recording, invalidating
+# comparability with committed evidence grids.  Extra kinds are therefore
+# opt-in (make_pools(extra_kinds=...), CLI `train --noise-extra`) until a
+# fine-tune against them passes the full quality gate.
+#   "music": the real-audio probe (docs/QUALITY_r03_realaudio.json) showed
+#   the checkpoint flags ~50% of a house-music loop as speech.
+EXTRA_ENVIRONMENT_KINDS = ("music",)
+
 
 def _colored_noise(rng, n: int, alpha: float) -> np.ndarray:
     """1/f^alpha noise via spectral shaping."""
@@ -303,6 +313,65 @@ def synth_environment(
         # a touch of broadband transformer buzz
         out += 0.03 * _colored_noise(rng, n_samples, 1.0)
 
+    elif kind == "music":
+        # Electronic music (the measured false-positive class,
+        # docs/QUALITY_r03_realaudio.json): four-on-the-floor kick,
+        # off-beat hats, and sustained harmonic chord stabs.  The
+        # discriminants training can learn vs speech: metronomic timing,
+        # pitch held constant WITHIN a note (no formant glides), and a
+        # harmonic stack that doesn't move like a vocal tract.
+        t_all = np.arange(n_samples) / SR
+        beat = 60.0 / float(rng.uniform(95.0, 140.0))
+        out = np.zeros(n_samples, np.float32)
+        # kick: short exp-decaying sine with a pitch drop, every beat
+        kdur = min(int(0.18 * SR), max(1, n_samples))
+        kt = np.arange(kdur) / SR
+        kf = rng.uniform(45.0, 75.0)
+        kick = (np.sin(2 * np.pi * np.cumsum(
+            kf * (1.0 + 2.5 * np.exp(-kt / 0.02))) / SR)
+            * np.exp(-kt / 0.06)).astype(np.float32)
+        for b in np.arange(0.0, n_samples / SR, beat):
+            at = int(b * SR)
+            n = min(kdur, n_samples - at)
+            if n > 0:
+                out[at:at + n] += 0.9 * kick[:n]
+        # hats: 5-15 ms high-passed noise bursts on the off-beats
+        sos_h = signal.butter(4, 5000, btype="high", fs=SR, output="sos")
+        for b in np.arange(beat / 2.0, n_samples / SR, beat / 2.0):
+            at = int(b * SR)
+            n = min(int(rng.uniform(0.005, 0.015) * SR), n_samples - at)
+            if n > 1:
+                burst = signal.sosfilt(
+                    sos_h, rng.standard_normal(n)) * np.exp(
+                        -np.arange(n) / (0.004 * SR))
+                out[at:at + n] += rng.uniform(0.1, 0.3) * burst.astype(
+                    np.float32)
+        # chord stabs: a saw-ish harmonic stack on root+third+fifth,
+        # note changes on a 1-or-2-beat grid, constant pitch within a note
+        note_len = beat * float(rng.choice((1.0, 2.0)))
+        roots = 110.0 * 2.0 ** (rng.integers(-5, 8, size=64) / 12.0)
+        chord = np.zeros(n_samples)
+        for i, b in enumerate(np.arange(0.0, n_samples / SR, note_len)):
+            at = int(b * SR)
+            n = min(int(note_len * SR), n_samples - at)
+            if n <= 1:
+                continue
+            f_root = float(roots[i % len(roots)])
+            seg = np.zeros(n)
+            tt = t_all[:n]
+            for ratio in (1.0, 2.0 ** (4 / 12.0), 2.0 ** (7 / 12.0)):
+                for k in range(1, 9):
+                    f = f_root * ratio * k
+                    if f < SR / 2 - 200:
+                        seg += np.sin(2 * np.pi * f * tt
+                                      + rng.uniform(0, 2 * np.pi)) / k
+            env = np.minimum(1.0, np.arange(n) / (0.005 * SR)) * np.exp(
+                -np.arange(n) / (rng.uniform(0.3, 1.2) * SR))
+            chord[at:at + n] += seg * env
+        cpeak = np.abs(chord).max()
+        if cpeak > 0:
+            out += (rng.uniform(0.35, 0.7) * chord / cpeak).astype(np.float32)
+
     else:  # pragma: no cover
         raise ValueError(f"unknown environment kind {kind!r}")
 
@@ -315,12 +384,23 @@ def synth_environment(
 # --------------------------------------------------------------------------
 
 def make_pools(
-    rng: np.random.Generator, n_speech: int, n_noise: int
+    rng: np.random.Generator, n_speech: int, n_noise: int,
+    extra_kinds: Tuple[str, ...] = (), extra_frac: float = 0.2,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(n_speech, CLIP) speech clips and (n_noise, CLIP) environment clips."""
+    """(n_speech, CLIP) speech clips and (n_noise, CLIP) environment clips.
+
+    ``extra_kinds`` mixes opt-in confuser textures (EXTRA_ENVIRONMENT_KINDS,
+    e.g. "music") into the LAST ``extra_frac`` of the noise pool — appended,
+    not interleaved, so the default pools are bit-identical to the
+    pre-``extra_kinds`` builder for the same seed (the committed
+    checkpoint's training stream stays reproducible)."""
     speech = np.stack([synth_speech(rng, CLIP)[0] for _ in range(n_speech)])
-    noise = np.stack([synth_environment(rng, CLIP) for _ in range(n_noise)])
-    return speech.astype(np.float32), noise.astype(np.float32)
+    n_extra = int(n_noise * extra_frac) if extra_kinds else 0
+    noise = [synth_environment(rng, CLIP) for _ in range(n_noise - n_extra)]
+    for _ in range(n_extra):
+        kind = extra_kinds[int(rng.integers(len(extra_kinds)))]
+        noise.append(synth_environment(rng, CLIP, kind))
+    return speech.astype(np.float32), np.stack(noise).astype(np.float32)
 
 
 def synth_field_recording(

@@ -220,11 +220,57 @@ def test_synth_environment_kinds():
     from softspoken_tpu.train import synth
 
     rng = np.random.default_rng(4)
-    for kind in synth.ENVIRONMENT_KINDS:
+    for kind in synth.ENVIRONMENT_KINDS + synth.EXTRA_ENVIRONMENT_KINDS:
         e = synth.synth_environment(rng, 22050, kind)
         assert e.shape == (22050,)
         assert np.isfinite(e).all()
         assert 0.01 < np.abs(e).max() <= 1.0
+
+
+def test_extra_kinds_stay_out_of_the_default_draw():
+    """EXTRA_ENVIRONMENT_KINDS must never enter the None-kind draw or the
+    field-recording bed: they would silently shift every seeded eval set
+    and break comparability with the committed quality grids."""
+    from softspoken_tpu.train import synth
+
+    assert not set(synth.EXTRA_ENVIRONMENT_KINDS) & set(
+        synth.ENVIRONMENT_KINDS)
+
+
+def test_music_texture_is_rhythmic_and_harmonic():
+    """The music confuser should show metronomic energy (autocorrelation
+    peak at a plausible beat lag) — the discriminant it exists to teach."""
+    from softspoken_tpu.train import synth
+
+    rng = np.random.default_rng(11)
+    x = synth.synth_environment(rng, synth.SR * 3, "music")
+    env = np.abs(x)
+    k = synth.SR // 50
+    env = np.convolve(env, np.ones(k) / k, mode="same")
+    env = env - env.mean()
+    ac = np.correlate(env, env, mode="full")[len(env) - 1:]
+    ac /= ac[0] + 1e-12
+    # beat period for 95-140 bpm is 0.43-0.63 s
+    lo, hi = int(0.40 * synth.SR), int(0.66 * synth.SR)
+    assert ac[lo:hi].max() > 0.2
+
+
+def test_make_pools_extra_kinds():
+    from softspoken_tpu.train import synth
+
+    rng = np.random.default_rng(6)
+    sp, nz = synth.make_pools(rng, 4, 10, extra_kinds=("music",),
+                              extra_frac=0.3)
+    assert sp.shape == (4, synth.CLIP) and nz.shape == (10, synth.CLIP)
+    assert np.isfinite(nz).all()
+    # default path is bit-identical to the legacy builder for the same seed
+    r1, r2 = np.random.default_rng(7), np.random.default_rng(7)
+    a = synth.make_pools(r1, 2, 3)
+    sp2 = np.stack([synth.synth_speech(r2, synth.CLIP)[0] for _ in range(2)])
+    nz2 = np.stack([synth.synth_environment(r2, synth.CLIP)
+                    for _ in range(3)])
+    np.testing.assert_array_equal(a[0], sp2.astype(np.float32))
+    np.testing.assert_array_equal(a[1], nz2.astype(np.float32))
 
 
 def test_synth_field_recording_labels():
