@@ -267,18 +267,23 @@ _IMA_STEPS = np.array([
 def _adpcm_samples_per_block(subtype: str, extra: bytes,
                              block_align: int, channels: int) -> int:
     """wSamplesPerBlock from the fmt extra bytes, else the layout formula."""
+    # physical capacity of one block (header samples + stored nibbles)
+    if subtype == "MS_ADPCM":
+        capacity = (block_align - 7 * channels) * 2 // channels + 2
+    else:  # IMA data arrives in 4-byte-per-channel word groups
+        capacity = (block_align - 4 * channels) // (4 * channels) * 8 + 1
     spb = 0
     if len(extra) >= 4:  # cbSize(2) + wSamplesPerBlock(2)
         spb = struct.unpack("<H", extra[2:4])[0]
     if spb <= 0:
-        if subtype == "MS_ADPCM":
-            spb = (block_align - 7 * channels) * 2 // channels + 2
-        else:
-            spb = (block_align - 4 * channels) * 2 // channels + 1
-    if spb < (2 if subtype == "MS_ADPCM" else 1):
+        spb = capacity
+    if not (2 if subtype == "MS_ADPCM" else 1) <= spb <= capacity:
+        # a header spb past the block's nibble capacity would index past
+        # the decoded nibble matrix — malformed, fail cleanly
         raise WavFormatError(
             f"invalid {subtype} samples_per_block={spb} "
-            f"(block_align={block_align} channels={channels})")
+            f"(block_align={block_align} channels={channels} "
+            f"holds at most {capacity})")
     return spb
 
 

@@ -227,6 +227,30 @@ def test_adpcm_rawreader_refuses_block_coded(tmp_path):
     assert raw is None and inf.subtype == "MS_ADPCM"
 
 
+def test_adpcm_overlarge_spb_rejected(tmp_path):
+    """A header wSamplesPerBlock past the block's physical nibble capacity
+    must raise WavFormatError, not index past the nibble matrix."""
+    x = _sig(256, seed=9)
+    for make, cap_spb, bogus in (
+        (lambda p, s: _write_ms(p, x, spb=s), 128, 4000),
+        (lambda p, s: _write_ima(p, x[:, None], groups=4), 33, 4000),
+    ):
+        p = str(tmp_path / "ok.wav")
+        make(p, cap_spb)
+        raw = bytearray(open(p, "rb").read())
+        # wSamplesPerBlock lives 2 bytes into the fmt extra (offset 38 for
+        # the canonical fmt-first layout these writers emit)
+        import struct as _s
+
+        assert raw[12:16] == b"fmt "
+        ext_off = 20 + 16 + 2
+        raw[ext_off:ext_off + 2] = _s.pack("<H", bogus)
+        p2 = str(tmp_path / "bad.wav")
+        open(p2, "wb").write(bytes(raw))
+        with pytest.raises(wavio.WavFormatError):
+            wavio.read(p2)
+
+
 def test_adpcm_truncated_final_block_decodes_prefix(tmp_path):
     p = str(tmp_path / "ms.wav")
     _write_ms(p, _sig(512, seed=7), spb=128)
