@@ -1,0 +1,169 @@
+"""Music-rejection fine-tune experiment: train → gate → verdict.
+
+One restartable command for the staged experiment motivated by
+docs/QUALITY_r03_realaudio.json (the checkpoint flags ~50% of real music
+as speech; the opt-in synthetic "music" confuser reproduces the false
+fire).  Stages, each skipped when its output already exists (the remote
+tunnel stalls; restarts must not redo finished work):
+
+  1. fine-tune the committed checkpoint with `--noise-extra music`
+  2. full 24-condition quality grid on the candidate (scripts/quality_grid)
+  3. real-audio probe on the candidate (scripts/real_audio_check)
+  4. verdict JSON comparing candidate vs committed evidence
+
+ADOPTION RULE (decided before measuring, like the round-3 fine-tune A/B):
+adopt only if (a) no synthetic-grid condition's parity frame F1 drops more
+than 0.01 and the worst-case stays >= the committed 0.878 - 0.005, AND
+(b) the real-audio music false_fraction at least halves.  Otherwise the
+candidate is recorded as a negative result and the committed checkpoint
+stays.
+
+Usage:  python scripts/ft_music.py --workdir /tmp/ft_music
+        [--steps 8000] [--lr 1e-4] [--quick]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+COMMITTED = os.path.join(REPO_ROOT, "root/models/spec_unet_2d/model_checkpoint")
+
+
+def run(cmd, log_path):
+    print(f"+ {' '.join(cmd)}  (log: {log_path})", flush=True)
+    with open(log_path, "a") as lf:
+        p = subprocess.run(cmd, stdout=lf, stderr=subprocess.STDOUT,
+                           cwd=REPO_ROOT)
+    if p.returncode != 0:
+        raise SystemExit(
+            f"stage failed ({p.returncode}): {' '.join(cmd)} — see {log_path}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/ft_music")
+    ap.add_argument("--steps", type=int, default=8000)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny steps + --quick grids (plumbing smoke)")
+    args = ap.parse_args()
+
+    wd = os.path.abspath(args.workdir)
+    os.makedirs(wd, exist_ok=True)
+    cand = os.path.join(wd, "candidate_ckpt")
+    grid_json = os.path.join(wd, "grid_candidate.json")
+    real_json = os.path.join(wd, "realaudio_candidate.json")
+    verdict_json = os.path.join(wd, "VERDICT_ft_music.json")
+    py = sys.executable
+
+    steps = 60 if args.quick else args.steps
+    bs = 8 if args.quick else args.batch_size
+
+    # ---- stage 1: fine-tune ------------------------------------------------
+    if os.path.exists(os.path.join(cand, "manifest.ocdbt")):
+        print(f"stage 1 skipped: {cand} exists", flush=True)
+    else:
+        t0 = time.time()
+        run([py, "-m", "softspoken_tpu.cli", "train", "--synthetic",
+             "--resume", COMMITTED, "--out", cand,
+             "--steps", str(steps), "--batch-size", str(bs),
+             "--lr", str(args.lr), "--noise-extra", "music",
+             "--seed", "77019"],
+            os.path.join(wd, "train.log"))
+        print(f"stage 1 done in {time.time() - t0:.0f} s", flush=True)
+
+    # ---- stage 2: synthetic quality grid ------------------------------------
+    if os.path.exists(grid_json):
+        print(f"stage 2 skipped: {grid_json} exists", flush=True)
+    else:
+        cmd = [py, "scripts/quality_grid.py", "--ckpt", cand,
+               "--out", grid_json,
+               "--cache-dir", os.path.join(wd, "grid_cache")]
+        if args.quick:
+            cmd.append("--quick")
+            grid_q = "/tmp/quality_grid_quick.json"
+            run(cmd, os.path.join(wd, "grid.log"))
+            if os.path.exists(grid_q):
+                os.replace(grid_q, grid_json)
+        else:
+            run(cmd, os.path.join(wd, "grid.log"))
+
+    # ---- stage 3: real-audio probe ------------------------------------------
+    if os.path.exists(real_json):
+        print(f"stage 3 skipped: {real_json} exists", flush=True)
+    else:
+        cmd = [py, "scripts/real_audio_check.py", "--ckpt", cand,
+               "--out", real_json]
+        if args.quick:
+            cmd.append("--quick")
+            rq = "/tmp/real_audio_quick.json"
+            run(cmd, os.path.join(wd, "real.log"))
+            if os.path.exists(rq):
+                os.replace(rq, real_json)
+        else:
+            run(cmd, os.path.join(wd, "real.log"))
+
+    # ---- stage 4: verdict ----------------------------------------------------
+    with open(grid_json) as f:
+        grid_c = json.load(f)
+    with open(real_json) as f:
+        real_c = json.load(f)
+    with open(os.path.join(REPO_ROOT, "docs/QUALITY_r03.json")) as f:
+        grid_0 = json.load(f)
+    with open(os.path.join(REPO_ROOT, "docs/QUALITY_r03_realaudio.json")) as f:
+        real_0 = json.load(f)
+
+    regressions, per_condition = [], {}
+    worst_c = 1.0
+    for tag, res_c in grid_c.get("conditions", {}).items():
+        f1_c = res_c["parity"]["frame_f1"]
+        if tag.startswith("v2"):
+            worst_c = min(worst_c, f1_c)
+        res_0 = grid_0.get("conditions", {}).get(tag)
+        if res_0 is None:
+            continue
+        f1_0 = res_0["parity"]["frame_f1"]
+        per_condition[tag] = {"committed": f1_0, "candidate": f1_c,
+                              "delta": round(f1_c - f1_0, 4)}
+        if f1_c < f1_0 - 0.01:
+            regressions.append(tag)
+
+    music_0 = real_0["false_positives_on_real_audio"]["music_house"][
+        "false_fraction"]
+    music_c = real_c["false_positives_on_real_audio"]["music_house"][
+        "false_fraction"]
+
+    worst_0 = min(r["parity"]["frame_f1"]
+                  for t, r in grid_0.get("conditions", {}).items()
+                  if t.startswith("v2"))
+    gate_grid = not regressions and worst_c >= worst_0 - 0.005
+    gate_music = music_c <= 0.5 * music_0
+    verdict = {
+        "adopt": bool(gate_grid and gate_music),
+        "gate_grid_ok": gate_grid,
+        "gate_music_ok": gate_music,
+        "worst_out_of_family": {"committed": worst_0, "candidate": worst_c},
+        "music_false_fraction": {"committed": music_0, "candidate": music_c},
+        "regressed_conditions": regressions,
+        "per_condition": per_condition,
+        "quick": bool(args.quick),
+        "candidate": cand,
+        "rule": "adopt iff no condition drops >0.01, worst v2 within 0.005 "
+                "of committed, and music false_fraction at least halves",
+    }
+    with open(verdict_json, "w") as f:
+        json.dump(verdict, f, indent=2)
+    print(json.dumps({k: verdict[k] for k in
+                      ("adopt", "gate_grid_ok", "gate_music_ok",
+                       "worst_out_of_family", "music_false_fraction",
+                       "regressed_conditions")}, indent=2), flush=True)
+    print(f"wrote {verdict_json}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
