@@ -421,6 +421,7 @@ def cmd_train(args) -> None:
             seed=args.seed,
             mesh=mesh,
             resume=args.resume,
+            train_dtype=args.dtype,
         )
     print(json.dumps(metrics))
 

@@ -81,6 +81,7 @@ def fit(
     save_every: int = 200,
     on_metrics=None,
     resume: Optional[str] = None,
+    train_dtype: str = "float32",
 ) -> Dict[str, float]:
     """Run training; returns the final metrics dict."""
     rng = np.random.default_rng(seed)
