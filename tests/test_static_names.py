@@ -123,11 +123,15 @@ def _py_files():
     for root, dirs, files in os.walk(PKG):
         dirs[:] = [d for d in dirs if d != "__pycache__"]
         out.extend(os.path.join(root, f) for f in files if f.endswith(".py"))
-    # bench.py and the graft entry are product surface too
+    # bench.py, the graft entry, and the evidence scripts are surface too
     for extra in ("bench.py", "__graft_entry__.py"):
         p = os.path.join(REPO, extra)
         if os.path.exists(p):
             out.append(p)
+    sdir = os.path.join(REPO, "scripts")
+    if os.path.isdir(sdir):
+        out.extend(os.path.join(sdir, f) for f in os.listdir(sdir)
+                   if f.endswith(".py"))
     return sorted(out)
 
 
