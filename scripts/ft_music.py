@@ -61,20 +61,22 @@ def main():
     verdict_json = os.path.join(wd, "VERDICT_ft_music.json")
     py = sys.executable
 
-    steps = 60 if args.quick else args.steps
-    bs = 8 if args.quick else args.batch_size
+    steps = 4 if args.quick else args.steps
+    bs = 2 if args.quick else args.batch_size
 
     # ---- stage 1: fine-tune ------------------------------------------------
     if os.path.exists(os.path.join(cand, "manifest.ocdbt")):
         print(f"stage 1 skipped: {cand} exists", flush=True)
     else:
         t0 = time.time()
-        run([py, "-m", "softspoken_tpu.cli", "train", "--synthetic",
-             "--resume", COMMITTED, "--out", cand,
-             "--steps", str(steps), "--batch-size", str(bs),
-             "--lr", str(args.lr), "--noise-extra", "music",
-             "--seed", "77019"],
-            os.path.join(wd, "train.log"))
+        cmd = [py, "-m", "softspoken_tpu.cli", "train", "--synthetic",
+               "--resume", COMMITTED, "--out", cand,
+               "--steps", str(steps), "--batch-size", str(bs),
+               "--lr", str(args.lr), "--noise-extra", "music",
+               "--seed", "77019"]
+        if args.quick:
+            cmd += ["--n-inner", "2", "--pool-size", "16"]
+        run(cmd, os.path.join(wd, "train.log"))
         print(f"stage 1 done in {time.time() - t0:.0f} s", flush=True)
 
     # ---- stage 2: synthetic quality grid ------------------------------------
@@ -109,6 +111,14 @@ def main():
             run(cmd, os.path.join(wd, "real.log"))
 
     # ---- stage 4: verdict ----------------------------------------------------
+    def conditions_of(grid: dict) -> dict:
+        # quality_grid.py writes {"conditions": ...} at top level; the
+        # committed docs/QUALITY_r03.json wraps the round-3 grid under
+        # "grid_after_finetune"
+        return (grid.get("conditions")
+                or grid.get("grid_after_finetune", {}).get("conditions")
+                or {})
+
     with open(grid_json) as f:
         grid_c = json.load(f)
     with open(real_json) as f:
@@ -118,13 +128,14 @@ def main():
     with open(os.path.join(REPO_ROOT, "docs/QUALITY_r03_realaudio.json")) as f:
         real_0 = json.load(f)
 
+    conds_c, conds_0 = conditions_of(grid_c), conditions_of(grid_0)
     regressions, per_condition = [], {}
     worst_c = 1.0
-    for tag, res_c in grid_c.get("conditions", {}).items():
+    for tag, res_c in conds_c.items():
         f1_c = res_c["parity"]["frame_f1"]
         if tag.startswith("v2"):
             worst_c = min(worst_c, f1_c)
-        res_0 = grid_0.get("conditions", {}).get(tag)
+        res_0 = conds_0.get(tag)
         if res_0 is None:
             continue
         f1_0 = res_0["parity"]["frame_f1"]
@@ -139,8 +150,7 @@ def main():
         "false_fraction"]
 
     worst_0 = min(r["parity"]["frame_f1"]
-                  for t, r in grid_0.get("conditions", {}).items()
-                  if t.startswith("v2"))
+                  for t, r in conds_0.items() if t.startswith("v2"))
     gate_grid = not regressions and worst_c >= worst_0 - 0.005
     gate_music = music_c <= 0.5 * music_0
     verdict = {
