@@ -178,6 +178,82 @@ def fixture_variables(seed: int = 0) -> Dict:
 
 
 # ---------------------------------------------------------------------------
+# Inverse conversion: Flax variables → torch state dict (+ .pth export)
+# ---------------------------------------------------------------------------
+
+def _conv_kernel_inv(w: np.ndarray) -> np.ndarray:
+    """flax HWIO / KIO → torch OIHW / OIK (inverse of _conv_kernel)."""
+    if w.ndim == 4:
+        return np.transpose(w, (3, 2, 0, 1))
+    if w.ndim == 3:
+        return np.transpose(w, (2, 1, 0))
+    raise ValueError(f"unexpected conv kernel rank {w.ndim}")
+
+
+def mel_buffers() -> Dict[str, np.ndarray]:
+    """The torchaudio MelSpectrogram buffers the reference model carries
+    in its state dict (``pytorch_neural_nets.py:92-99``): the periodic Hann
+    window and the HTK mel filterbank — both already validated against
+    torch.stft / mpmath in tests/test_mel.py."""
+    from ..ops import mel as melops
+
+    return {
+        "mel_spectrogram.spectrogram.window":
+            melops.hann_periodic(melops.WIN_LENGTH).astype(np.float32),
+        "mel_spectrogram.mel_scale.fb":
+            np.asarray(melops.mel_filterbank(), np.float32),
+    }
+
+
+def flax_to_torch_state_dict(variables: Dict,
+                             include_mel_buffers: bool = True) -> Dict[str, np.ndarray]:
+    """Flax ``{'params','batch_stats'}`` → torch ``state_dict`` layout.
+
+    Exact inverse of :func:`convert_torch_state_dict` over the reference
+    architecture's full key set, so weights trained here load into the
+    reference application's torch model (``NNDetector.py:42-53``).
+    ``num_batches_tracked`` counters are emitted as 0 (inference-irrelevant;
+    torch only reads them to resume BN momentum schedules).
+    """
+    variables = jax.device_get(variables)
+    params, stats = variables["params"], variables["batch_stats"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def f32(x):
+        return np.asarray(x, np.float32)
+
+    for blk_key in RES_BLOCK_SHAPES:
+        blk = _BLOCKS[blk_key]
+        for seq, conv_name in _SEQ.items():
+            bn = _BN_OF[conv_name]
+            sd[f"{blk_key}.{seq}.0.weight"] = _conv_kernel_inv(
+                f32(params[blk][conv_name]["kernel"]))
+            sd[f"{blk_key}.{seq}.1.weight"] = f32(params[blk][bn]["scale"])
+            sd[f"{blk_key}.{seq}.1.bias"] = f32(params[blk][bn]["bias"])
+            sd[f"{blk_key}.{seq}.1.running_mean"] = f32(
+                stats[blk][bn]["mean"])
+            sd[f"{blk_key}.{seq}.1.running_var"] = f32(stats[blk][bn]["var"])
+            sd[f"{blk_key}.{seq}.1.num_batches_tracked"] = np.asarray(
+                0, np.int64)
+    for prefix, name in _HEAD_CONVS.items():
+        sd[f"{prefix}.weight"] = _conv_kernel_inv(f32(params[name]["kernel"]))
+        sd[f"{prefix}.bias"] = f32(params[name]["bias"])
+    if include_mel_buffers:
+        sd.update(mel_buffers())
+    return sd
+
+
+def export_pth(path: str, variables: Dict, epoch: int = -1,
+               include_mel_buffers: bool = True) -> None:
+    """Write Flax variables as a reference-loadable ``.pth`` (torch-free)."""
+    from . import pth_writer
+
+    pth_writer.write_checkpoint(
+        path, flax_to_torch_state_dict(variables, include_mel_buffers),
+        epoch=epoch)
+
+
+# ---------------------------------------------------------------------------
 # .pth loading (torch gated) and orbax persistence
 # ---------------------------------------------------------------------------
 

@@ -373,9 +373,18 @@ def cmd_silence(args) -> None:
 def cmd_convert_ckpt(args) -> None:
     from . import ckpt as ckpt_mod
 
-    variables, epoch = ckpt_mod.load_pth(args.pth)
+    if args.out.endswith(".pth"):
+        if args.src.endswith(".pth"):
+            raise SystemExit("convert-ckpt: .pth → .pth makes no sense; "
+                             "one side must be an orbax checkpoint")
+        variables, epoch = ckpt_mod.load(args.src)
+        ckpt_mod.export_pth(args.out, variables, epoch=epoch)
+        print(f"exported {args.src} (epoch {epoch}) → {args.out} "
+              "(reference-loadable torch format)")
+        return
+    variables, epoch = ckpt_mod.load_pth(args.src)
     ckpt_mod.save(args.out, variables, epoch)
-    print(f"converted {args.pth} (epoch {epoch}) → {args.out}")
+    print(f"converted {args.src} (epoch {epoch}) → {args.out}")
 
 
 def cmd_train(args) -> None:
@@ -683,9 +692,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="output sample format (PCM_16 parity default)")
     ps.set_defaults(func=cmd_silence)
 
-    pc = sub.add_parser("convert-ckpt", help="torch .pth → orbax")
-    pc.add_argument("pth")
-    pc.add_argument("out")
+    pc = sub.add_parser(
+        "convert-ckpt",
+        help="torch .pth ↔ orbax (direction inferred from the paths)")
+    pc.add_argument("src", help=".pth file or orbax checkpoint dir")
+    pc.add_argument("out", help="orbax dir, or a .pth path to EXPORT to "
+                                "(reference-loadable, torch-free writer)")
     pc.set_defaults(func=cmd_convert_ckpt)
 
     pb = sub.add_parser("bench", help="throughput benchmark")
