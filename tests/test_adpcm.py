@@ -86,6 +86,53 @@ def _encode_ima_channel(x, spb):
     return hdr, nibs, recon
 
 
+def _encode_ms_block_stereo(x, spb):
+    """(spb, 2) int samples → (block bytes, (spb, 2) reconstruction).
+
+    MS ADPCM stereo layout: per-channel headers interleaved (predictors,
+    deltas, sample1s, sample2s), then nibbles alternate channels with the
+    high nibble first (L in high, R in low of each byte)."""
+    c1, c2 = _MS_COEFS[0]
+    delta = [32, 32]
+    s2 = [int(x[0, 0]), int(x[0, 1])]
+    s1 = [int(x[1, 0]), int(x[1, 1])]
+    hdr = struct.pack("<BB", 0, 0)
+    hdr += struct.pack("<hh", delta[0], delta[1])
+    hdr += struct.pack("<hh", s1[0], s1[1])
+    hdr += struct.pack("<hh", s2[0], s2[1])
+    recon = [[s2[0], s2[1]], [s1[0], s1[1]]]
+    nibs = []
+    for i in range(2, spb):
+        row = []
+        for c in range(2):
+            pred = _div_trunc(s1[c] * c1 + s2[c] * c2, 256)
+            code = max(-8, min(7, _div_trunc(int(x[i, c]) - pred, delta[c])))
+            val = max(-32768, min(32767, pred + code * delta[c]))
+            nibs.append(code & 0xF)
+            row.append(val)
+            s2[c], s1[c] = s1[c], val
+            delta[c] = max(16, (_MS_ADAPT[code & 0xF] * delta[c]) // 256)
+        recon.append(row)
+    data = bytes((nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2))
+    return hdr + data, recon
+
+
+def _write_ms_stereo(path, x, sr=11025, spb=64, fact=None):
+    """(n, 2) int16 → stereo MS ADPCM WAV.  Returns (n', 2) reconstruction."""
+    block_align = 7 * 2 + (spb - 2) * 2 // 2
+    extra = struct.pack("<HHH", 4 + 4 * 7, spb, 7)
+    for a, b in _MS_COEFS:
+        extra += struct.pack("<hh", a, b)
+    blocks, recon = [], []
+    for i in range(0, len(x) - spb + 1, spb):
+        blk, rec = _encode_ms_block_stereo(x[i:i + spb], spb)
+        blocks.append(blk)
+        recon.extend(rec)
+    _write_wav(path, wavio.WAVE_FORMAT_ADPCM, 2, sr, block_align, 4,
+               extra, b"".join(blocks), fact=fact)
+    return np.asarray(recon, np.int16)
+
+
 def _write_wav(path, tag, ch, sr, block_align, bits, extra, data,
                fact=None):
     fmt = struct.pack("<HHIIHH", tag, ch, sr,
@@ -204,6 +251,18 @@ def test_ima_adpcm_roundtrip_mono(tmp_path):
     assert sr == 8000
     np.testing.assert_array_equal(
         np.rint(data * 32768.0).astype(np.int16), recon[:, 0])
+
+
+def test_ms_adpcm_roundtrip_stereo(tmp_path):
+    p = str(tmp_path / "ms2.wav")
+    x = np.stack([_sig(64 * 5, seed=12), _sig(64 * 5, seed=13)], axis=1)
+    recon = _write_ms_stereo(p, x, spb=64)
+    inf = wavio.info(p)
+    assert inf.channels == 2 and inf.subtype == "MS_ADPCM"
+    data, sr = wavio.read(p)
+    assert sr == 11025 and data.shape == recon.shape
+    np.testing.assert_array_equal(
+        np.rint(data * 32768.0).astype(np.int16), recon)
 
 
 def test_ima_adpcm_roundtrip_stereo(tmp_path):
