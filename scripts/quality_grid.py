@@ -250,6 +250,23 @@ def main():
 
     if args.cache_dir:
         os.makedirs(args.cache_dir, exist_ok=True)
+        # the cache is only valid for ONE checkpoint: reusing another
+        # run's grids would silently score the wrong weights
+        marker = os.path.join(args.cache_dir, "cache_ckpt.json")
+        ident = {"ckpt": os.path.abspath(args.ckpt),
+                 "files": n_files, "seconds": seconds,
+                 "mel_precision": args.mel_precision}
+        if os.path.exists(marker):
+            with open(marker) as f:
+                prev = json.load(f)
+            if prev != ident:
+                raise SystemExit(
+                    f"--cache-dir {args.cache_dir} belongs to a different "
+                    f"run ({prev}); refusing to mix caches — use a fresh "
+                    "directory")
+        else:
+            with open(marker, "w") as f:
+                json.dump(ident, f)
 
     base = args.workdir or tempfile.mkdtemp(prefix="quality_grid_")
     t_all = time.time()
@@ -265,21 +282,31 @@ def main():
                 result = metrics_from(load_cache(cache), pad)
                 result["rescore_seconds"] = round(time.time() - t0, 1)
             else:
-                d = os.path.join(base, tag)
-                seed = 7000 + ci  # same seed per condition across generators
-                t0 = time.time()
-                labels = E.make_eval_set(
-                    d, n_files=n_files, seconds=seconds, seed=seed,
-                    generator=gen, **kw)
-                synth_s = time.time() - t0
-                t0 = time.time()
-                per_file = detect_set(det, E.load_labels(labels))
-                if args.cache_dir:
-                    save_cache(os.path.join(args.cache_dir, f"{tag}.npz"),
-                               per_file)
-                result = metrics_from(per_file, pad)
-                result["synth_seconds"] = round(synth_s, 1)
-                result["detect_seconds"] = round(time.time() - t0, 1)
+                cache = (os.path.join(args.cache_dir, f"{tag}.npz")
+                         if args.cache_dir else None)
+                if cache and os.path.exists(cache):
+                    # restartability: a tunnel stall mid-grid loses hours
+                    # if completed conditions re-run; the per-condition
+                    # cache already holds everything metrics need
+                    print(f"{tag}: reusing cached score grids ({cache})",
+                          flush=True)
+                    result = metrics_from(load_cache(cache), pad)
+                    result["from_cache"] = True
+                else:
+                    d = os.path.join(base, tag)
+                    seed = 7000 + ci  # same seed per condition across generators
+                    t0 = time.time()
+                    labels = E.make_eval_set(
+                        d, n_files=n_files, seconds=seconds, seed=seed,
+                        generator=gen, **kw)
+                    synth_s = time.time() - t0
+                    t0 = time.time()
+                    per_file = detect_set(det, E.load_labels(labels))
+                    if cache:
+                        save_cache(cache, per_file)
+                    result = metrics_from(per_file, pad)
+                    result["synth_seconds"] = round(synth_s, 1)
+                    result["detect_seconds"] = round(time.time() - t0, 1)
             out["conditions"][tag] = result
             print(f"{tag}: parity frame F1 {result['parity']['frame_f1']} "
                   f"event F1 {result['parity']['event_f1']} "
