@@ -540,6 +540,13 @@ def cmd_doctor(args) -> None:
             "status": "ok" if oggvorbis.available() else "MISSING (OGG undecodable)"}
     except Exception as e:  # noqa: BLE001
         report["libvorbis"] = {"status": f"ERROR: {e}"}
+    try:
+        from .io import mp3 as _mp3
+
+        report["libmpg123"] = {
+            "status": "ok" if _mp3.available() else "MISSING (MP3 undecodable)"}
+    except Exception as e:  # noqa: BLE001
+        report["libmpg123"] = {"status": f"ERROR: {e}"}
 
     ckpt_path = os.path.join(cfg.paths.model_dir, cfg.paths.model_name)
     if os.path.exists(ckpt_path) or os.path.exists(ckpt_path + ".pth"):

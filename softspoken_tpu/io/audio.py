@@ -43,6 +43,7 @@ def probe(path: str):
     except wavio.WavFormatError:
         from . import aiff as aiffmod
         from . import flac as flacmod
+        from . import mp3 as mp3mod
         from . import oggvorbis as oggmod
 
         if flacmod.is_flac(path):
@@ -51,6 +52,8 @@ def probe(path: str):
             return aiffmod.info(path)
         if oggmod.is_ogg(path):
             return oggmod.info(path)
+        if mp3mod.is_mp3(path):
+            return mp3mod.info(path)
         raise
 
 
@@ -63,6 +66,7 @@ def read_any(
     except wavio.WavFormatError:
         from . import aiff as aiffmod
         from . import flac as flacmod
+        from . import mp3 as mp3mod
         from . import oggvorbis as oggmod
 
         if flacmod.is_flac(path):
@@ -71,6 +75,8 @@ def read_any(
             return aiffmod.read(path, start=start, frames=frames, always_2d=always_2d)
         if oggmod.is_ogg(path):
             return oggmod.read(path, start=start, frames=frames, always_2d=always_2d)
+        if mp3mod.is_mp3(path):
+            return mp3mod.read(path, start=start, frames=frames, always_2d=always_2d)
         raise
 
 
@@ -215,6 +221,13 @@ def stream_chunks(
         from .flac import SequentialMonoReader
 
         _smr = SequentialMonoReader(path)
+        read_native = _smr.read
+    elif inf.subtype.startswith("MPEG"):
+        # persistent handle: a per-range mp3.read() re-scans the whole
+        # file each chunk (O(n²) IO); one handle keeps the seek index
+        from .mp3 import SequentialMonoReader as _Mp3Seq
+
+        _smr = _Mp3Seq(path)
         read_native = _smr.read
     elif isinstance(inf, wavio.WavInfo) and inf.subtype == "PCM_16":
         # persistent handle + sequential fadvise: reopening per chunk
