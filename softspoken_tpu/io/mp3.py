@@ -14,13 +14,23 @@ Decode details:
   * the handle forces ``MPG123_FORCE_FLOAT | MPG123_GAPLESS | MPG123_QUIET``
     and pins the output format after the first header, so a mid-stream
     format change errors instead of silently resampling;
-  * ``mpg123_scan`` runs at open: exact total sample count (with LAME/Xing
-    gapless trims when the tag is present) and a frame index that makes
-    ``mpg123_seek`` sample-accurate — measured on this image's build,
-    post-seek samples match a continuous decode to <= 1 float ulp
+  * ``mpg123_scan`` runs at first open: exact total sample count (with
+    LAME/Xing gapless trims when the tag is present) and a frame index
+    that makes ``mpg123_seek`` sample-accurate — measured on this image's
+    build, post-seek samples match a continuous decode to <= 1 float ulp
     (the synthesis filterbank re-warms from MPG123_PREFRAMES frames);
-  * the 64-bit-suffixed entry points (``mpg123_open_64`` ...) are bound
-    explicitly so the off_t ABI is unambiguous.
+  * the scan result (frame index + exact length) is cached per
+    (realpath, size, mtime): the detect path probes with ``info()`` and
+    then opens a second handle in the fused engine, and the review screen
+    opens a fresh handle per spectrogram window — without the cache every
+    one of those re-reads the ENTIRE file just to rebuild the index.
+    Later handles import it with ``mpg123_set_index`` (which copies) and
+    skip the scan; range reads are byte-identical either way, and a full
+    straight-through decode differs only by the <= 1-ulp seek re-warm
+    above (a scanned handle internally seeks back to frame 0 — tested);
+  * the 64-bit-suffixed entry points (``mpg123_open_64`` ...) are
+    preferred, falling back to the unsuffixed names on builds without the
+    LFS alias layer, so the off_t ABI is unambiguous.
 
 Encode (``write_mp3``) writes CBR frames plus the LAME info tag (rewritten
 over the reserved first frame after flush) so a round-trip decodes to
@@ -125,14 +135,26 @@ def _load_locked():
 
 
 def _bind(mpg, lame):
+    def _pick64(base, argtypes, restype):
+        # prefer the explicit-64-bit-off_t entry point; fall back to the
+        # plain name on builds without the LFS alias layer (off_t is
+        # 64-bit on exactly the platforms that omit the aliases), and
+        # publish the chosen function under the canonical _64 attribute
+        try:
+            fn = getattr(mpg, base + "_64")
+        except AttributeError:
+            fn = getattr(mpg, base)
+            setattr(mpg, base + "_64", fn)
+        fn.argtypes = argtypes
+        fn.restype = restype
+
     mpg.mpg123_init.restype = c_int
     mpg.mpg123_new.restype = c_void_p
     mpg.mpg123_new.argtypes = [c_char_p, POINTER(c_int)]
     mpg.mpg123_delete.argtypes = [c_void_p]
     mpg.mpg123_param.argtypes = [c_void_p, c_int, c_long, c_double]
     mpg.mpg123_param.restype = c_int
-    mpg.mpg123_open_64.argtypes = [c_void_p, c_char_p]
-    mpg.mpg123_open_64.restype = c_int
+    _pick64("mpg123_open", [c_void_p, c_char_p], c_int)
     mpg.mpg123_close.argtypes = [c_void_p]
     mpg.mpg123_close.restype = c_int
     mpg.mpg123_getformat.argtypes = [
@@ -144,10 +166,13 @@ def _bind(mpg, lame):
     mpg.mpg123_format.restype = c_int
     mpg.mpg123_scan.argtypes = [c_void_p]
     mpg.mpg123_scan.restype = c_int
-    mpg.mpg123_length_64.argtypes = [c_void_p]
-    mpg.mpg123_length_64.restype = c_int64
-    mpg.mpg123_seek_64.argtypes = [c_void_p, c_int64, c_int]
-    mpg.mpg123_seek_64.restype = c_int64
+    _pick64("mpg123_length", [c_void_p], c_int64)
+    _pick64("mpg123_seek", [c_void_p, c_int64, c_int], c_int64)
+    _pick64("mpg123_index",
+            [c_void_p, POINTER(POINTER(c_int64)), POINTER(c_int64),
+             POINTER(c_size_t)], c_int)
+    _pick64("mpg123_set_index",
+            [c_void_p, POINTER(c_int64), c_int64, c_size_t], c_int)
     mpg.mpg123_read.argtypes = [c_void_p, c_void_p, c_size_t,
                                 POINTER(c_size_t)]
     mpg.mpg123_read.restype = c_int
@@ -190,6 +215,29 @@ def encoder_available() -> bool:
 
 class Mp3FormatError(Exception):
     pass
+
+
+@dataclass(frozen=True)
+class _ScanCacheEntry:
+    rate: int
+    channels: int
+    total: int
+    offsets: np.ndarray  # int64 frame-start byte offsets (owned copy)
+    step: int
+    fill: int
+
+
+_scan_cache: dict = {}
+_scan_cache_lock = threading.Lock()
+_SCAN_CACHE_MAX = 64
+
+
+def _scan_cache_key(path: str):
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (os.path.realpath(path), st.st_size, st.st_mtime_ns)
 
 
 # MPEG samplerate field is 2 bits; index 3 is reserved in every version
@@ -275,12 +323,23 @@ class _Handle:
             if rate.value <= 0 or ch.value <= 0:
                 raise Mp3FormatError(
                     f"invalid MPEG header: {ch.value}ch@{rate.value}: {path}")
-            # exact length + a seek index; also validates the whole stream
-            # has one consistent format (scan errors on mid-stream changes)
-            if self.m.mpg123_scan(h) != _MPG123_OK:
-                raise Mp3FormatError(f"mpg123_scan failed: {path} "
-                                     f"({self._err()})")
-            total = int(self.m.mpg123_length_64(h))
+            key = _scan_cache_key(path)
+            with _scan_cache_lock:
+                cached = _scan_cache.get(key) if key is not None else None
+            self.scanned = False
+            if (cached is not None and cached.rate == rate.value
+                    and cached.channels == ch.value
+                    and self._import_index(cached)):
+                total = cached.total
+            else:
+                # exact length + a seek index; also validates the whole
+                # stream has one consistent format (scan errors on
+                # mid-stream changes)
+                if self.m.mpg123_scan(h) != _MPG123_OK:
+                    raise Mp3FormatError(f"mpg123_scan failed: {path} "
+                                         f"({self._err()})")
+                self.scanned = True
+                total = int(self.m.mpg123_length_64(h))
             if total <= 0:
                 raise Mp3FormatError(f"no decodable MPEG frames: {path}")
             self.rate, self.channels, self.total = rate.value, ch.value, total
@@ -296,6 +355,8 @@ class _Handle:
                 layer = _LAYER_ROMAN.get(int(fi.layer))
                 if layer:
                     self.subtype = f"MPEG_LAYER_{layer}"
+            if self.scanned and key is not None:
+                self._export_index(key)
         except Exception:
             self.close()
             raise
@@ -306,6 +367,39 @@ class _Handle:
             return msg.decode("utf-8", "replace") if msg else "?"
         except Exception:  # noqa: BLE001 — diagnostics only
             return "?"
+
+    def _import_index(self, cached: "_ScanCacheEntry") -> bool:
+        """Adopt a previous scan's frame index (mpg123_set_index copies
+        into the handle's own table); False falls back to a fresh scan."""
+        offs = cached.offsets
+        rc = self.m.mpg123_set_index_64(
+            self.h, offs.ctypes.data_as(POINTER(c_int64)),
+            c_int64(cached.step), c_size_t(cached.fill))
+        return rc == _MPG123_OK
+
+    def _export_index(self, key) -> None:
+        """Publish this handle's post-scan frame index to the cache.
+
+        Best-effort: a failure just means the next open re-scans.  The
+        offsets live in the handle, so they are copied out before close.
+        """
+        po = POINTER(c_int64)()
+        step = c_int64(0)
+        fill = c_size_t(0)
+        rc = self.m.mpg123_index_64(self.h, byref(po), byref(step),
+                                    byref(fill))
+        if rc != _MPG123_OK or not po or fill.value <= 0:
+            return
+        offsets = np.ctypeslib.as_array(po, shape=(fill.value,)).copy()
+        entry = _ScanCacheEntry(rate=self.rate, channels=self.channels,
+                                total=self.total, offsets=offsets,
+                                step=int(step.value), fill=int(fill.value))
+        with _scan_cache_lock:
+            if len(_scan_cache) >= _SCAN_CACHE_MAX and key not in _scan_cache:
+                # drop the oldest insertion; long detect runs touch files
+                # once each, so any bounded policy works here
+                _scan_cache.pop(next(iter(_scan_cache)))
+            _scan_cache[key] = entry
 
     def info(self, path: str = "") -> Mp3Info:
         return Mp3Info(samplerate=self.rate, channels=self.channels,

@@ -140,6 +140,92 @@ def test_stream_chunks_concat_equals_load(mp3_file):
     np.testing.assert_allclose(cat, whole, atol=2e-6)
 
 
+@needs_encoder
+def test_scan_index_cache_reused_and_exact(tmp_path):
+    """The second open of an unchanged file must import the first open's
+    frame index (no re-scan) and decode byte-identically — the review
+    screen opens a fresh handle per spectrogram window, so without this
+    every window load re-reads the whole file."""
+    sr = 22050
+    x = _tone(sr, seconds=3.0, seed=7)
+    p = str(tmp_path / "cache.mp3")
+    mp3.write_mp3(p, x, sr)
+    mp3._scan_cache.clear()
+
+    with mp3._Handle(p) as h1:
+        assert h1.scanned  # first open: fresh scan, index published
+        full1 = np.empty((h1.total, h1.channels), np.float32)
+        h1.read_into(full1)
+    with mp3._Handle(p) as h2:
+        assert not h2.scanned  # second open: cached index adopted
+        assert h2.total == h1.total
+        assert h2.subtype == h1.subtype
+        full2 = np.empty((h2.total, h2.channels), np.float32)
+        h2.read_into(full2)
+    # full decode: scan leaves the handle needing an internal seek back
+    # to frame 0, the cached handle decodes straight through — the only
+    # difference is the module's documented <= 1-ulp seek re-warm
+    # (measured: both paths individually deterministic)
+    np.testing.assert_allclose(full1, full2, atol=6e-8)
+
+    # range reads seek on BOTH paths: byte-identical
+    a, _ = mp3.read(p, start=12347, frames=5000)   # cached path
+    mp3._scan_cache.clear()
+    b, _ = mp3.read(p, start=12347, frames=5000)   # fresh-scan path
+    assert np.array_equal(a, b)
+
+
+@needs_encoder
+def test_scan_index_cache_invalidated_on_rewrite(tmp_path):
+    """A changed file (size/mtime) must not reuse the stale index."""
+    sr = 22050
+    p = str(tmp_path / "mut.mp3")
+    mp3.write_mp3(p, _tone(sr, seconds=2.0, seed=1), sr)
+    assert mp3.info(p).frames == 2 * sr
+    mp3.write_mp3(p, _tone(sr, seconds=4.0, seed=2), sr)
+    inf = mp3.info(p)
+    assert inf.frames == 4 * sr
+    y, _ = mp3.read(p)
+    assert len(y) == 4 * sr
+
+
+class _FakeCLib:
+    """Stand-in for a ctypes CDLL: unknown symbols appear on first access
+    (like dlsym hits), except _64 names when the build lacks the LFS
+    alias layer — those raise AttributeError (like dlsym misses)."""
+
+    def __init__(self, with64: bool):
+        self.__dict__["_with64"] = with64
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name.endswith("_64") and not self.__dict__["_with64"]:
+            raise AttributeError(name)
+        import types
+
+        fn = types.SimpleNamespace()
+        self.__dict__[name] = fn
+        return fn
+
+
+def test_pick64_binding_fallback():
+    """_bind must prefer the _64 entry points and fall back to the plain
+    names (publishing them under the _64 attribute) on builds without
+    the LFS aliases."""
+    no64 = _FakeCLib(with64=False)
+    mp3._bind(no64, None)
+    assert no64.mpg123_open_64 is no64.mpg123_open
+    assert no64.mpg123_length_64 is no64.mpg123_length
+    assert no64.mpg123_seek_64 is no64.mpg123_seek
+    assert no64.mpg123_set_index_64 is no64.mpg123_set_index
+
+    has64 = _FakeCLib(with64=True)
+    mp3._bind(has64, None)
+    assert has64.mpg123_open_64 is not has64.mpg123_open
+    assert has64.mpg123_seek_64 is not has64.mpg123_seek
+
+
 def test_is_mp3_rejects_other_formats(tmp_path):
     from softspoken_tpu.io import wavio
 
