@@ -1,5 +1,5 @@
 """Deterministic corruption fuzz over the codec surface (io/audio.probe +
-read_any): WAV/RF64, FLAC, AIFF, OGG.
+read_any): WAV/RF64, FLAC, AIFF, OGG, MP3.
 
 Field recorders die mid-write, SD cards bit-rot, files get re-muxed — the
 parsers must fail with a clean exception (or tolerate the damage) on ANY
@@ -87,6 +87,16 @@ def _make_originals(tmp_path):
               sr=SR, spb=500)
     out["adpcm"] = ad
 
+    try:
+        from softspoken_tpu.io import mp3 as mp3mod
+
+        if mp3mod.encoder_available():
+            mp = str(tmp_path / "a.mp3")
+            mp3mod.write_mp3(mp, x, SR)
+            out["mp3"] = mp
+    except Exception:
+        pass
+
     return out
 
 
@@ -113,7 +123,7 @@ def struct_error_types():
     return struct.error
 
 
-@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff", "adpcm"])
+@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff", "adpcm", "mp3"])
 def test_truncations(tmp_path, codec):
     files = _make_originals(tmp_path)
     if codec not in files:
@@ -129,7 +139,7 @@ def test_truncations(tmp_path, codec):
         _attempt(p)
 
 
-@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff", "adpcm"])
+@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff", "adpcm", "mp3"])
 def test_byte_mutations(tmp_path, codec):
     files = _make_originals(tmp_path)
     if codec not in files:
@@ -149,7 +159,7 @@ def test_byte_mutations(tmp_path, codec):
         _attempt(p)
 
 
-@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff", "adpcm"])
+@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff", "adpcm", "mp3"])
 def test_field_corruption(tmp_path, codec):
     """Size/count header fields forced to extremes (0, huge, negative)."""
     files = _make_originals(tmp_path)
@@ -181,7 +191,8 @@ def test_garbage_and_empty(tmp_path):
     _attempt(garbage)
     # magic-only prefixes (dispatchers must not over-trust magic)
     for magic, ext in ((b"OggS", ".ogg"), (b"fLaC", ".flac"),
-                      (b"RIFF", ".wav"), (b"FORM", ".aiff")):
+                      (b"RIFF", ".wav"), (b"FORM", ".aiff"),
+                      (b"ID3", ".mp3"), (b"\xff\xfb\x90\x00", ".mp3")):
         p = str(tmp_path / f"magic{ext}")
         with open(p, "wb") as f:
             f.write(magic)
