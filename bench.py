@@ -71,6 +71,51 @@ def main() -> None:
         )
         os._exit(3)
 
+    # The shared tunnel is sometimes reachable but DEGRADED (measured
+    # 0.3 MB/s vs the healthy 36–132 MB/s — a 100×+ transient unrelated to
+    # this workload).  Timing the link-bound e2e pipeline inside such a
+    # window measures the transient, not the framework, so probe the link
+    # first and wait (bounded) for it to recover.  Both probe results and
+    # the time spent waiting are recorded in the JSON — nothing is hidden.
+    import jax as _jax
+    import numpy as _np
+
+    def _probe_link_mbps(timeout_s: float = 60.0) -> float:
+        # on a daemon thread: a fully stalled tunnel hangs device_put
+        # forever, and the hard watchdog is not armed yet at probe time
+        box: list = []
+
+        def _run() -> None:
+            blob = _np.zeros(2 * 1024 * 1024, _np.int16)  # 4 MB
+            t0 = time.perf_counter()
+            dx = _jax.device_put(blob)
+            # completion forced via device_get: on this remote backend
+            # block_until_ready returns before the copy lands
+            _jax.device_get(dx[0])
+            box.append(blob.nbytes / 1e6 / (time.perf_counter() - t0))
+
+        th = threading.Thread(target=_run, daemon=True)
+        th.start()
+        th.join(timeout_s)
+        return box[0] if box else 0.0
+
+    link_wait = float(os.environ.get("BENCH_LINK_WAIT", "600"))
+    link_min = float(os.environ.get("BENCH_LINK_MIN_MBPS", "8"))
+    _probe_link_mbps()  # warm the transfer path: the very first put pays
+    #                     one-time setup that would misread a healthy link
+    t_wait0 = time.perf_counter()
+    link_probe_initial = _probe_link_mbps()
+    link_probe = link_probe_initial
+    while link_probe < link_min and time.perf_counter() - t_wait0 < link_wait:
+        print(
+            f"bench: link degraded ({link_probe:.1f} MB/s < {link_min:.0f}); "
+            "waiting for recovery...",
+            file=sys.stderr,
+        )
+        time.sleep(30.0)
+        link_probe = _probe_link_mbps()
+    link_waited = time.perf_counter() - t_wait0
+
     from softspoken_tpu import Config, ckpt
     from softspoken_tpu.engine import Detector
 
@@ -178,6 +223,12 @@ def main() -> None:
             "mfu_median": round(mfu(median), 4),
         }
     )
+    if link_waited > 1.0 or link_probe_initial < link_min:
+        payload["link_wait"] = {
+            "initial_mbps": round(link_probe_initial, 1),
+            "final_mbps": round(link_probe, 1),
+            "waited_s": round(link_waited, 1),
+        }
 
     # device-only: the chunk program with all inputs resident — separates
     # compute capability from the shared remote-TPU link.  Measured at the
