@@ -189,6 +189,9 @@ def main():
         REPO_ROOT, "root/models/spec_unet_2d/model_checkpoint"))
     ap.add_argument("--quick", action="store_true",
                     help="1 file x 30 s, one SNR (smoke)")
+    ap.add_argument("--music-filter", type=float, default=None,
+                    help="run with engine.music_filter at this threshold "
+                         "(engine/postfilter.py); default off")
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
@@ -209,6 +212,8 @@ def main():
     from softspoken_tpu.engine import Detector
 
     cfg = Config().with_engine(mel_precision="highest")
+    if args.music_filter is not None:
+        cfg = cfg.with_engine(music_filter=args.music_filter)
     det = Detector(cfg, checkpoint_path=args.ckpt)
     if getattr(det, "epoch", -1) < 0:
         raise SystemExit(f"checkpoint {args.ckpt} did not load (epoch<0)")
@@ -233,7 +238,8 @@ def main():
                    "game assets; real recordings, NOT field audio)",
         "operating_point": {"threshold": cfg.engine.threshold,
                             "break_duration": cfg.engine.break_duration,
-                            "min_len": 0.1},
+                            "min_len": 0.1,
+                            "music_filter": cfg.engine.music_filter},
         "false_positives_on_real_audio": fp,
         "recall_over_real_noise_beds": rec,
         "caveats": [

@@ -41,6 +41,12 @@ def _load_config(args) -> Config:
         cfg = cfg.with_engine(break_duration=args.break_duration)
     if getattr(args, "exit_threshold", None) is not None:
         cfg = cfg.with_engine(exit_threshold=args.exit_threshold)
+    if getattr(args, "music_filter", None) is not None:
+        from .engine import postfilter
+
+        thr = args.music_filter
+        cfg = cfg.with_engine(
+            music_filter=postfilter.DEFAULT_THRESHOLD if thr < 0 else thr)
     if getattr(args, "file_concurrency", None):
         cfg = cfg.with_engine(file_concurrency=args.file_concurrency)
     return cfg
@@ -659,6 +665,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="hysteresis exit level (< --threshold): regions "
                           "still need a bin above the main threshold but "
                           "extend over bins above this (default: off)")
+    pd_.add_argument("--music-filter", type=float, nargs="?", const=-1.0,
+                     help="drop regions whose surrounding audio scores "
+                          "rhythmic/music-like (engine/postfilter.py; "
+                          "targets the measured house-music false-positive "
+                          "class). Optional value = score threshold "
+                          "(default 0.85); off when flag absent")
     pd_.add_argument("--streaming", action="store_true",
                      help="force bounded-memory streaming decode")
     pd_.add_argument("--mesh", action="store_true",
@@ -773,6 +785,8 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--seed", type=int, default=1234)
     pe.add_argument("--exit-threshold", type=float,
                     help="hysteresis exit level (< --threshold); default off")
+    pe.add_argument("--music-filter", type=float, nargs="?", const=-1.0,
+                    help="music post-filter (see detect --music-filter)")
     pe.add_argument("--threshold", type=float,
                     help="score threshold (default: parity 0.1)")
     pe.add_argument("--break-duration", type=float,

@@ -69,6 +69,16 @@ class EngineConfig:
     # recovers them without admitting seed-free false regions.  Selected
     # value gated on the quality grid (docs/QUALITY_r03.json) before use.
     exit_threshold: Optional[float] = None
+    # Music post-filter (engine/postfilter.py) — NOT reference behavior,
+    # None by default.  When set, each detected region's surrounding audio
+    # (>= 4 s context) is scored for rhythmicity and regions scoring
+    # >= this threshold are dropped.  Targets the measured real-audio
+    # false-positive class (house music: 25 false events/min at the parity
+    # point, docs/QUALITY_r03_realaudio.json) after three fine-tune
+    # attempts were measured and rejected.  Recommended value when
+    # enabling: postfilter.DEFAULT_THRESHOLD (0.85), gated on the quality
+    # grid + real-audio probe before adoption.
+    music_filter: Optional[float] = None
     minimum_detection_len: float = 0.1  # settings.py:26
     min_count: int = 1                # NNDetector.py:153 (min windows per grid bin)
 

@@ -390,7 +390,15 @@ class Detector:
                 out[a0 - s0 : a1 - s0] = audio[a0 - pad : a1 - pad]
 
         logits = self._logits_from_segments(padded_len, fill, progress)
-        return self._finalize(logits, len(audio) / cfg.dsp.sample_rate)
+        result = self._finalize(logits, len(audio) / cfg.dsp.sample_rate)
+        if cfg.engine.music_filter is not None:
+            sr = cfg.dsp.sample_rate
+
+            def read_ctx(s: float, e: float) -> np.ndarray:
+                return audio[int(s * sr) : int(e * sr)]
+
+            result = self._apply_music_filter(result, read_ctx)
+        return result
 
     def detect_file(
         self, path: str, progress: Optional[Callable[[float], None]] = None
@@ -411,7 +419,43 @@ class Detector:
         resume (see engine.journal)."""
         from .fused import detect_file_fused
 
-        return detect_file_fused(self, path, progress, journal_dir)
+        result = detect_file_fused(self, path, progress, journal_dir)
+        if self.cfg.engine.music_filter is not None:
+            result = self._apply_music_filter(result, self._file_reader(path))
+        return result
+
+    def _file_reader(self, path: str):
+        """Context reader for the music post-filter: [s, e) seconds of the
+        file as internal-rate mono (None on decode failure -> region kept)."""
+        from ..io.audio import load_audio_startstop
+
+        def read_ctx(s: float, e: float):
+            audio, _sr = load_audio_startstop(
+                path, (s, e), target_sr=self.cfg.dsp.sample_rate)
+            return audio
+
+        return read_ctx
+
+    def _apply_music_filter(self, result: DetectionResult, read_ctx) -> DetectionResult:
+        """Drop regions whose context scores music-like (engine/postfilter).
+
+        Opt-in via cfg.engine.music_filter; fails open (unreadable or
+        too-short context keeps the region).  The averaged grid is left
+        untouched — only the interval list is filtered.
+        """
+        from . import postfilter
+
+        kept, scores = postfilter.filter_intervals(
+            result.intervals, read_ctx, self.cfg.dsp.sample_rate,
+            result.audio_seconds, float(self.cfg.engine.music_filter),
+        )
+        if len(kept) != len(result.intervals):
+            log.info(
+                "music filter dropped %d/%d region(s) (threshold %.2f)",
+                len(result.intervals) - len(kept), len(result.intervals),
+                float(self.cfg.engine.music_filter),
+            )
+        return dataclasses.replace(result, intervals=kept)
 
     def detect_file_streaming(
         self, path: str, progress: Optional[Callable[[float], None]] = None,
@@ -478,4 +522,7 @@ class Detector:
             out[a0 + pad - s0 : a0 + pad - s0 + len(seg)] = seg
 
         logits = self._logits_from_segments(padded_len, fill, progress)
-        return self._finalize(logits, total / cfg.dsp.sample_rate)
+        result = self._finalize(logits, total / cfg.dsp.sample_rate)
+        if cfg.engine.music_filter is not None:
+            result = self._apply_music_filter(result, self._file_reader(path))
+        return result
