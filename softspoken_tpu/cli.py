@@ -553,6 +553,14 @@ def cmd_doctor(args) -> None:
             "status": "ok" if _mp3.available() else "MISSING (MP3 undecodable)"}
     except Exception as e:  # noqa: BLE001
         report["libmpg123"] = {"status": f"ERROR: {e}"}
+    try:
+        from .io import opus as _opus
+
+        report["libopus"] = {
+            "status": "ok" if _opus.available()
+            else "MISSING (Ogg/Opus undecodable)"}
+    except Exception as e:  # noqa: BLE001
+        report["libopus"] = {"status": f"ERROR: {e}"}
 
     ckpt_path = os.path.join(cfg.paths.model_dir, cfg.paths.model_name)
     if os.path.exists(ckpt_path) or os.path.exists(ckpt_path + ".pth"):

@@ -757,6 +757,28 @@ def detect_file_fused(
         finally:
             reader.close()
 
+    if inf.subtype == "OPUS":
+        # persistent forward-only handle (backward chunk overlap is served
+        # from its history buffer): a per-chunk opus.read() would reset the
+        # decoder + re-enter with pre-roll every chunk
+        from ..io.opus import SequentialMonoReader as OpusSeq
+
+        with OpusSeq(path) as smr:
+            if _i16_kind(detector) == "mulaw8":
+                def read_opus_i16(start: int, frames: int) -> np.ndarray:
+                    data = smr.read(start, frames)
+                    return np.clip(
+                        np.rint(data * np.float32(32768.0)), -32768, 32767
+                    ).astype(np.int16)
+
+                rd, nfr, sr = _maybe_wire_decimate(
+                    detector, read_opus_i16, inf.frames, inf.samplerate,
+                    "mulaw8")
+                engine = get_fused_engine(detector, sr, "mulaw8")
+                return engine.run(rd, nfr, progress, journal)
+            engine = get_fused_engine(detector, inf.samplerate, "f32")
+            return engine.run(smr.read, inf.frames, progress, journal)
+
     if inf.subtype.startswith("MPEG"):
         # one persistent handle: a per-chunk mp3.read() would re-open and
         # re-scan the whole file every chunk (the scan is what makes seeks

@@ -45,12 +45,16 @@ def probe(path: str):
         from . import flac as flacmod
         from . import mp3 as mp3mod
         from . import oggvorbis as oggmod
+        from . import opus as opusmod
 
         if flacmod.is_flac(path):
             return flacmod.info(path)
         if aiffmod.is_aiff(path):
             return aiffmod.info(path)
         if oggmod.is_ogg(path):
+            # Opus rides the same Ogg container — sniff the BOS packet type
+            if opusmod.is_opus(path):
+                return opusmod.info(path)
             return oggmod.info(path)
         if mp3mod.is_mp3(path):
             return mp3mod.info(path)
@@ -68,12 +72,16 @@ def read_any(
         from . import flac as flacmod
         from . import mp3 as mp3mod
         from . import oggvorbis as oggmod
+        from . import opus as opusmod
 
         if flacmod.is_flac(path):
             return flacmod.read(path, start=start, frames=frames, always_2d=always_2d)
         if aiffmod.is_aiff(path):
             return aiffmod.read(path, start=start, frames=frames, always_2d=always_2d)
         if oggmod.is_ogg(path):
+            if opusmod.is_opus(path):
+                return opusmod.read(path, start=start, frames=frames,
+                                    always_2d=always_2d)
             return oggmod.read(path, start=start, frames=frames, always_2d=always_2d)
         if mp3mod.is_mp3(path):
             return mp3mod.read(path, start=start, frames=frames, always_2d=always_2d)
@@ -228,6 +236,14 @@ def stream_chunks(
         from .mp3 import SequentialMonoReader as _Mp3Seq
 
         _smr = _Mp3Seq(path)
+        read_native = _smr.read
+    elif inf.subtype == "OPUS":
+        # persistent forward-only handle: per-range opus.read() would pay
+        # a decoder reset + 80 ms pre-roll per chunk and break the
+        # bit-exact chunk-concatenation contract at the seams
+        from .opus import SequentialMonoReader as _OpusSeq
+
+        _smr = _OpusSeq(path)
         read_native = _smr.read
     elif isinstance(inf, wavio.WavInfo) and inf.subtype == "PCM_16":
         # persistent handle + sequential fadvise: reopening per chunk
