@@ -56,9 +56,32 @@ def probe(path: str):
             if opusmod.is_opus(path):
                 return opusmod.info(path)
             return oggmod.info(path)
+        for is_x, info_x, _read in _pcm_container_mods():
+            if is_x(path):
+                return info_x(path)
         if mp3mod.is_mp3(path):
             return mp3mod.info(path)
         raise
+
+
+def _pcm_container_mods():
+    """(is_x, info, read) per self-contained PCM container reader.
+
+    Checked AFTER the framed codecs but BEFORE MP3: MP3 sniffing scans for
+    a sync pattern anywhere in the lead-in, which could false-positive on
+    these containers' raw PCM payloads; their own magics are exact.
+    """
+    from . import au as aumod
+    from . import caf as cafmod
+    from . import sphere as sphmod
+    from . import w64 as w64mod
+
+    return (
+        (w64mod.is_w64, w64mod.info, w64mod.read),
+        (cafmod.is_caf, cafmod.info, cafmod.read),
+        (aumod.is_au, aumod.info, aumod.read),
+        (sphmod.is_sphere, sphmod.info, sphmod.read),
+    )
 
 
 def read_any(
@@ -83,6 +106,10 @@ def read_any(
                 return opusmod.read(path, start=start, frames=frames,
                                     always_2d=always_2d)
             return oggmod.read(path, start=start, frames=frames, always_2d=always_2d)
+        for is_x, _info, read_x in _pcm_container_mods():
+            if is_x(path):
+                return read_x(path, start=start, frames=frames,
+                              always_2d=always_2d)
         if mp3mod.is_mp3(path):
             return mp3mod.read(path, start=start, frames=frames, always_2d=always_2d)
         raise

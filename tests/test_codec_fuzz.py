@@ -1,5 +1,6 @@
 """Deterministic corruption fuzz over the codec surface (io/audio.probe +
-read_any): WAV/RF64, FLAC, AIFF, OGG, MP3.
+read_any): WAV/RF64, FLAC, AIFF, OGG/Vorbis, Ogg/Opus, MP3, W64, CAF,
+AU, NIST SPHERE.
 
 Field recorders die mid-write, SD cards bit-rot, files get re-muxed — the
 parsers must fail with a clean exception (or tolerate the damage) on ANY
@@ -97,6 +98,36 @@ def _make_originals(tmp_path):
     except Exception:
         pass
 
+    try:
+        from softspoken_tpu.io import opus as opusmod
+
+        if opusmod.available():
+            op = str(tmp_path / "a.opus")
+            opusmod.write_opus(op, x, 48000)
+            out["opus"] = op
+    except Exception:
+        pass
+
+    import struct as _s
+
+    from test_pcm_containers import write_caf, write_sphere, write_w64
+
+    w6 = str(tmp_path / "a.w64")
+    write_w64(w6, x[:, None], SR)
+    out["w64"] = w6
+    cf = str(tmp_path / "a.caf")
+    write_caf(cf, x[:, None], SR)
+    out["caf"] = cf
+    sp = str(tmp_path / "a.sph")
+    write_sphere(sp, x[:, None], 16000)
+    out["sphere"] = sp
+    auf = str(tmp_path / "a.au")
+    with open(auf, "wb") as f:
+        f.write(b".snd" + _s.pack(">5I", 24, len(x) * 2, 3, SR, 1))
+        f.write(np.clip(np.rint(x * 32767), -32768, 32767)
+                .astype(">i2").tobytes())
+    out["au"] = auf
+
     return out
 
 
@@ -123,7 +154,9 @@ def struct_error_types():
     return struct.error
 
 
-@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff", "adpcm", "mp3"])
+@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff", "adpcm",
+                                   "mp3", "opus", "w64", "caf", "sphere",
+                                   "au"])
 def test_truncations(tmp_path, codec):
     files = _make_originals(tmp_path)
     if codec not in files:
@@ -139,7 +172,9 @@ def test_truncations(tmp_path, codec):
         _attempt(p)
 
 
-@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff", "adpcm", "mp3"])
+@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff", "adpcm",
+                                   "mp3", "opus", "w64", "caf", "sphere",
+                                   "au"])
 def test_byte_mutations(tmp_path, codec):
     files = _make_originals(tmp_path)
     if codec not in files:
@@ -159,7 +194,9 @@ def test_byte_mutations(tmp_path, codec):
         _attempt(p)
 
 
-@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff", "adpcm", "mp3"])
+@pytest.mark.parametrize("codec", ["wav", "flac", "ogg", "aiff", "adpcm",
+                                   "mp3", "opus", "w64", "caf", "sphere",
+                                   "au"])
 def test_field_corruption(tmp_path, codec):
     """Size/count header fields forced to extremes (0, huge, negative)."""
     files = _make_originals(tmp_path)
@@ -190,7 +227,12 @@ def test_garbage_and_empty(tmp_path):
         f.write(rng.bytes(4096))
     _attempt(garbage)
     # magic-only prefixes (dispatchers must not over-trust magic)
+    from test_pcm_containers import _W64_RIFF, _W64_SUF
+
     for magic, ext in ((b"OggS", ".ogg"), (b"fLaC", ".flac"),
+                      (b".snd", ".au"), (b"caff", ".caf"),
+                      (b"NIST_1A", ".sph"),
+                      (_W64_RIFF + b"\x00" * 8 + b"wave" + _W64_SUF, ".w64"),
                       (b"RIFF", ".wav"), (b"FORM", ".aiff"),
                       (b"ID3", ".mp3"), (b"\xff\xfb\x90\x00", ".mp3")):
         p = str(tmp_path / f"magic{ext}")
