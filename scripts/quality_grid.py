@@ -253,7 +253,16 @@ def main():
         # the cache is only valid for ONE checkpoint: reusing another
         # run's grids would silently score the wrong weights
         marker = os.path.join(args.cache_dir, "cache_ckpt.json")
+        # identify the checkpoint by CONTENT, not just path: a retrain
+        # written to the same path (e.g. ft_music.py rerun in an existing
+        # --workdir) must invalidate the cache, or the old weights' grids
+        # would be scored under the new checkpoint's name (review r3
+        # batch 19)
+        from softspoken_tpu.engine.journal import variables_digest
+
         ident = {"ckpt": os.path.abspath(args.ckpt),
+                 "weights": (variables_digest(det.variables)
+                             if det is not None else "rescore"),
                  "files": n_files, "seconds": seconds,
                  "mel_precision": args.mel_precision}
         if os.path.exists(marker):

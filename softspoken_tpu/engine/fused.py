@@ -674,6 +674,31 @@ def _i16_kind(detector: Detector) -> str:
     return "mulaw8" if codec == "mulaw8" else "i16"
 
 
+def _run_mono_f32_source(detector: Detector, read_f32, frames: int, sr: int,
+                         progress, journal) -> DetectionResult:
+    """Run the fused engine over a mono float32 range-reader.
+
+    One home for the host-decoded formats' wire policy (OPUS, MPEG, and the
+    generic stereo-WAV/FLOAT/multichannel-FLAC/OGG/AIFF path): under the
+    mu-law wire the f32→int16 rounding (≤3e-5 FS) vanishes inside the
+    compander's quantization and the upload drops 4x vs shipping f32;
+    exact wires (parity mode / CPU) keep float32 untouched.
+    """
+    if _i16_kind(detector) == "mulaw8":
+        def read_i16(start: int, n: int) -> np.ndarray:
+            data = read_f32(start, n)
+            return np.clip(
+                np.rint(data * np.float32(32768.0)), -32768, 32767
+            ).astype(np.int16)
+
+        rd, nfr, wire_sr = _maybe_wire_decimate(
+            detector, read_i16, frames, sr, "mulaw8")
+        engine = get_fused_engine(detector, wire_sr, "mulaw8")
+        return engine.run(rd, nfr, progress, journal)
+    engine = get_fused_engine(detector, sr, "f32")
+    return engine.run(read_f32, frames, progress, journal)
+
+
 def detect_file_fused(
     detector: Detector, path: str,
     progress: Optional[Callable[[float], None]] = None,
@@ -764,20 +789,8 @@ def detect_file_fused(
         from ..io.opus import SequentialMonoReader as OpusSeq
 
         with OpusSeq(path) as smr:
-            if _i16_kind(detector) == "mulaw8":
-                def read_opus_i16(start: int, frames: int) -> np.ndarray:
-                    data = smr.read(start, frames)
-                    return np.clip(
-                        np.rint(data * np.float32(32768.0)), -32768, 32767
-                    ).astype(np.int16)
-
-                rd, nfr, sr = _maybe_wire_decimate(
-                    detector, read_opus_i16, inf.frames, inf.samplerate,
-                    "mulaw8")
-                engine = get_fused_engine(detector, sr, "mulaw8")
-                return engine.run(rd, nfr, progress, journal)
-            engine = get_fused_engine(detector, inf.samplerate, "f32")
-            return engine.run(smr.read, inf.frames, progress, journal)
+            return _run_mono_f32_source(detector, smr.read, inf.frames,
+                                        inf.samplerate, progress, journal)
 
     if inf.subtype.startswith("MPEG"):
         # one persistent handle: a per-chunk mp3.read() would re-open and
@@ -786,43 +799,14 @@ def detect_file_fused(
         from ..io.mp3 import SequentialMonoReader as Mp3Seq
 
         with Mp3Seq(path) as smr:
-            if _i16_kind(detector) == "mulaw8":
-                def read_mp3_i16(start: int, frames: int) -> np.ndarray:
-                    data = smr.read(start, frames)
-                    return np.clip(
-                        np.rint(data * np.float32(32768.0)), -32768, 32767
-                    ).astype(np.int16)
-
-                rd, nfr, sr = _maybe_wire_decimate(
-                    detector, read_mp3_i16, inf.frames, inf.samplerate,
-                    "mulaw8")
-                engine = get_fused_engine(detector, sr, "mulaw8")
-                return engine.run(rd, nfr, progress, journal)
-            engine = get_fused_engine(detector, inf.samplerate, "f32")
-            return engine.run(smr.read, inf.frames, progress, journal)
+            return _run_mono_f32_source(detector, smr.read, inf.frames,
+                                        inf.samplerate, progress, journal)
 
     from ..io import read_mono
-
-    if _i16_kind(detector) == "mulaw8":
-        # generic host-decode formats (stereo WAV, FLOAT, multichannel
-        # FLAC, OGG, AIFF) downmix to mono f32 on host; under the mu-law
-        # wire the f32→int16 rounding (≤3e-5 FS) vanishes inside the
-        # compander's quantization, and the upload drops 4x vs shipping f32
-        def read_native_i16(start: int, frames: int) -> np.ndarray:
-            data, _ = read_mono(path, start=start, frames=frames)
-            return np.clip(
-                np.rint(data * np.float32(32768.0)), -32768, 32767
-            ).astype(np.int16)
-
-        rd, nfr, sr = _maybe_wire_decimate(
-            detector, read_native_i16, inf.frames, inf.samplerate, "mulaw8")
-        engine = get_fused_engine(detector, sr, "mulaw8")
-        return engine.run(rd, nfr, progress, journal)
-
-    engine = get_fused_engine(detector, inf.samplerate, "f32")
 
     def read_native(start: int, frames: int) -> np.ndarray:
         data, _ = read_mono(path, start=start, frames=frames)
         return data
 
-    return engine.run(read_native, inf.frames, progress, journal)
+    return _run_mono_f32_source(detector, read_native, inf.frames,
+                                inf.samplerate, progress, journal)

@@ -22,7 +22,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from . import g711
+from . import rawpcm
 
 
 class AuFormatError(ValueError):
@@ -105,31 +105,10 @@ def info(path: str) -> AuInfo:
         return _parse(f)
 
 
-def _decode(raw: np.ndarray, subtype: str) -> np.ndarray:
-    if subtype == "ULAW":
-        return g711.ulaw_to_f32(raw)
-    if subtype == "ALAW":
-        return g711.alaw_to_f32(raw)
-    if subtype == "PCM_8":
-        return raw.view(np.int8).astype(np.float32) / 128.0
-    if subtype == "PCM_16":
-        return raw.view(">i2").astype(np.float32) / 32768.0
-    if subtype == "PCM_24":  # big-endian 3-byte signed
-        b = raw.reshape(-1, 3)
-        vals = (
-            (b[:, 0].astype(np.uint32) << 16)
-            | (b[:, 1].astype(np.uint32) << 8)
-            | b[:, 2].astype(np.uint32)
-        ).astype(np.int32)
-        vals = (vals << 8) >> 8
-        return vals.astype(np.float32) / 8388608.0
-    if subtype == "PCM_32":
-        return raw.view(">i4").astype(np.float32) / 2147483648.0
-    if subtype == "FLOAT":
-        return raw.view(">f4").astype(np.float32)
-    if subtype == "DOUBLE":
-        return raw.view(">f8").astype(np.float32)
-    raise AuFormatError(f"unsupported subtype {subtype}")
+def _decode(raw: np.ndarray, inf: AuInfo) -> np.ndarray:
+    # AU payloads are always big-endian
+    return rawpcm.decode_pcm(raw, inf.subtype, little_endian=False,
+                             error_cls=AuFormatError)
 
 
 def read(
@@ -139,16 +118,5 @@ def read(
     always_2d: bool = False,
 ) -> Tuple[np.ndarray, int]:
     """Float32 samples with the same EOF clamping as ``wavio.read``."""
-    with open(path, "rb") as f:
-        inf = _parse(f)
-        bpf = inf.channels * (inf.bits_per_sample // 8)
-        start = max(0, min(int(start), inf.frames))
-        if frames is None:
-            frames = inf.frames - start
-        frames = max(0, min(int(frames), inf.frames - start))
-        f.seek(inf.data_offset + start * bpf)
-        raw = np.frombuffer(f.read(frames * bpf), dtype=np.uint8)
-    data = _decode(raw, inf.subtype).reshape(-1, inf.channels)
-    if inf.channels == 1 and not always_2d:
-        data = data[:, 0]
-    return data, inf.samplerate
+    return rawpcm.read_clamped(path, _parse, _decode, start, frames,
+                               always_2d)

@@ -311,6 +311,7 @@ class _PageIndexEntry:
     offset: int      # byte offset of the page start
     end: int         # byte offset just past the page
     granule: int     # granulepos (-1 = no packet completes on this page)
+    cont: bool       # header flag 0x01: first packet continues a prior page
 
 
 _index_cache: dict = {}
@@ -356,12 +357,12 @@ def _build_page_index(path: str, serial: int) -> List[_PageIndexEntry]:
             p = _parse_page_at(buf, off)
             if p is None:
                 break
-            hsz, bsz, gran, ser, _flags = p
+            hsz, bsz, gran, ser, flags = p
             if len(buf) - off < hsz + bsz:
                 break  # truncated final page
             if ser == serial:
                 idx.append(_PageIndexEntry(base + off, base + off + hsz + bsz,
-                                           gran))
+                                           gran, bool(flags & 0x01)))
             off += hsz + bsz
     if key is not None:
         with _index_cache_lock:
@@ -616,17 +617,31 @@ class _Handle:
             # last page whose granule <= target - preroll: every packet on
             # LATER pages starts at or after that granule
             floor_g = target48 - _PREROLL48
-            best = None
-            for e in idx:
+            best_i = None
+            for i, e in enumerate(idx):
                 if e.granule < 0:
                     continue
                 if e.granule <= floor_g:
-                    best = e
+                    best_i = i
                 else:
                     break
-            if best is not None:
-                resume_off = best.end
-                base48 = best.granule
+            if best_i is not None:
+                j = best_i + 1
+                # never resume on a page whose first packet is a
+                # CONTINUATION: libogg drops the headless fragment (the
+                # one-shot hole below) and the dropped packet's duration
+                # would silently time-shift every later sample — walk back
+                # to a page that starts a fresh packet (review r3 batch 19)
+                while 0 < j < len(idx) and idx[j].cont:
+                    j -= 1
+                base = None
+                for k in range(j - 1, -1, -1):
+                    if idx[k].granule >= 0:
+                        base = idx[k].granule
+                        break
+                if j > 0 and base is not None:
+                    resume_off = idx[j].offset if j < len(idx) else idx[-1].end
+                    base48 = base
         # fresh decoder state (packet history is invalid after a jump)
         err = c_int(0)
         mapping = (c_ubyte * len(self.head.mapping))(*self.head.mapping)
@@ -646,7 +661,10 @@ class _Handle:
         else:
             self._skip_header_packets = 0
             self._decoded48 = base48
-            self._allow_hole = True  # resume page may start mid-packet
+            # the resume page never starts mid-packet (seek walks back past
+            # continued pages), but libogg still flags the page-number
+            # discontinuity as one empty hole — consume exactly that
+            self._allow_hole = True
         self._next_out = max(0, self._decoded48 - self.preskip)
         # decode-discard up to the target
         while self._next_out < frame:

@@ -25,7 +25,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from . import wavio
+from . import rawpcm, wavio
 
 _SUFFIX_RIFF = bytes.fromhex("2e91cf11a5d628db04c10000")
 _SUFFIX_W64 = bytes.fromhex("f3acd3118cd100c04f8edb8a")
@@ -141,17 +141,8 @@ def read(
     always_2d: bool = False,
 ) -> Tuple[np.ndarray, int]:
     """Float32 samples with the same EOF clamping as ``wavio.read``."""
-    with open(path, "rb") as f:
-        inf = _parse(f)
-        bpf = inf.channels * (inf.bits_per_sample // 8)
-        start = max(0, min(int(start), inf.frames))
-        if frames is None:
-            frames = inf.frames - start
-        frames = max(0, min(int(frames), inf.frames - start))
-        f.seek(inf.data_offset + start * bpf)
-        raw = np.frombuffer(f.read(frames * bpf), dtype=np.uint8)
-    # same little-endian payload encodings as WAV
-    data = wavio._decode(raw, inf.subtype).reshape(-1, inf.channels)
-    if inf.channels == 1 and not always_2d:
-        data = data[:, 0]
-    return data, inf.samplerate
+    # same little-endian payload encodings as WAV (incl. UNSIGNED 8-bit),
+    # so the sample decode is wavio's, not rawpcm's signed-PCM_8 one
+    return rawpcm.read_clamped(
+        path, _parse, lambda raw, inf: wavio._decode(raw, inf.subtype),
+        start, frames, always_2d)

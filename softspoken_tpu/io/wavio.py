@@ -115,6 +115,14 @@ def _parse_header(f: BinaryIO) -> WavInfo:
                     raise WavFormatError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
                 # SubFormat GUID: first two bytes are the real format tag
                 fmt_tag = struct.unpack("<H", body[24:26])[0]
+                # rebase the extension onto the plain-fmt layout: keep
+                # cbSize + the Samples union (== wSamplesPerBlock for block
+                # codecs) and drop dwChannelMask + SubFormat GUID, so any
+                # codec-specific trailing bytes (the MS ADPCM coefficient
+                # table) land where _ms_coefs/_adpcm_samples_per_block
+                # expect them — otherwise the channel-mask low word would
+                # be misread as wNumCoef (review r3 batch 19)
+                fmt_extra = bytes(body[16:20] + body[40:])
         elif cid == b"fact":
             body = f.read(csize + (csize & 1))
             if len(body) >= 4:
@@ -156,7 +164,7 @@ def _parse_header(f: BinaryIO) -> WavInfo:
                 f"block_align={block_align} samplerate={samplerate}")
         spb = _adpcm_samples_per_block(subtype, fmt_extra, block_align, channels)
         full, tail = divmod(data_bytes, block_align)
-        frames = full * spb + _adpcm_tail_samples(subtype, tail, channels)
+        frames = full * spb + _adpcm_tail_samples(subtype, tail, channels, spb)
         if fact_frames is not None and 0 < fact_frames < frames:
             # fact is authoritative when it TRIMS (final block padded out);
             # a fact overstating the physical payload is ignored
@@ -287,16 +295,26 @@ def _adpcm_samples_per_block(subtype: str, extra: bytes,
     return spb
 
 
-def _adpcm_tail_samples(subtype: str, tail_bytes: int, channels: int) -> int:
-    """Decodable samples in a truncated final block of ``tail_bytes``."""
+def _adpcm_tail_samples(subtype: str, tail_bytes: int, channels: int,
+                        samples_per_block: int) -> int:
+    """Decodable samples in a truncated final block of ``tail_bytes``.
+
+    Clamped to ``samples_per_block``: when the header wSamplesPerBlock is
+    smaller than the block's physical nibble capacity, the decoders emit at
+    most spb rows per block, so the capacity formula alone would overstate
+    ``info().frames`` for a truncated final block (review r3 batch 19).
+    """
     if subtype == "MS_ADPCM":
         hdr = 7 * channels
-        return 0 if tail_bytes < hdr else 2 + (tail_bytes - hdr) * 2 // channels
-    hdr = 4 * channels
-    if tail_bytes < hdr:
-        return 0
-    # IMA data arrives in 4-byte-per-channel word groups
-    return 1 + (tail_bytes - hdr) // (4 * channels) * 8
+        n = 0 if tail_bytes < hdr else 2 + (tail_bytes - hdr) * 2 // channels
+    else:
+        hdr = 4 * channels
+        if tail_bytes < hdr:
+            n = 0
+        else:
+            # IMA data arrives in 4-byte-per-channel word groups
+            n = 1 + (tail_bytes - hdr) // (4 * channels) * 8
+    return min(n, samples_per_block)
 
 
 def _ms_coefs(extra: bytes) -> np.ndarray:
@@ -319,7 +337,7 @@ def _decode_ms_adpcm(raw: bytes, inf: "WavInfo") -> np.ndarray:
     ch, ba, spb = inf.channels, inf.block_align, inf.samples_per_block
     coefs = _ms_coefs(inf.fmt_extra)
     tail = len(raw) % ba
-    nvalid = (len(raw) // ba) * spb + _adpcm_tail_samples("MS_ADPCM", tail, ch)
+    nvalid = (len(raw) // ba) * spb + _adpcm_tail_samples("MS_ADPCM", tail, ch, spb)
     if tail:
         raw = raw + b"\x00" * (ba - tail)
     nb = len(raw) // ba
@@ -359,7 +377,7 @@ def _decode_ima_adpcm(raw: bytes, inf: "WavInfo") -> np.ndarray:
     """Whole IMA-ADPCM blocks → int16 samples, shape (n, channels)."""
     ch, ba, spb = inf.channels, inf.block_align, inf.samples_per_block
     tail = len(raw) % ba
-    nvalid = (len(raw) // ba) * spb + _adpcm_tail_samples("IMA_ADPCM", tail, ch)
+    nvalid = (len(raw) // ba) * spb + _adpcm_tail_samples("IMA_ADPCM", tail, ch, spb)
     if tail:
         raw = raw + b"\x00" * (ba - tail)
     nb = len(raw) // ba

@@ -362,3 +362,67 @@ def test_detect_and_silence_on_adpcm(tmp_path):
     # outside the interval the PCM16 output equals the ADPCM decode
     np.testing.assert_allclose(sil[:int(0.5 * sr)], orig[:int(0.5 * sr)],
                                atol=1.0 / 32768.0)
+
+
+def test_ms_adpcm_extensible_wrapper(tmp_path):
+    """EXTENSIBLE-wrapped stereo MS ADPCM decodes identically to the plain
+    tag: dwChannelMask/GUID bytes must not be misread as the coefficient
+    table (review r3 batch 19)."""
+    x = np.stack([_sig(128, seed=11), _sig(128, seed=12)], axis=1)
+    spb = 64
+    plain = str(tmp_path / "plain.wav")
+    _write_ms_stereo(plain, x, spb=spb)
+    with open(plain, "rb") as f:
+        raw = f.read()
+    di = raw.index(b"data")
+    dsize = struct.unpack("<I", raw[di + 4:di + 8])[0]
+    data = raw[di + 8:di + 8 + dsize]
+
+    codec_tail = struct.pack("<H", 7)
+    for a, b in _MS_COEFS:
+        codec_tail += struct.pack("<hh", a, b)
+    guid = struct.pack("<IHH", wavio.WAVE_FORMAT_ADPCM, 0, 0x10) + \
+        bytes([0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71])
+    # cbSize + Samples.wSamplesPerBlock + dwChannelMask(0x3) + GUID + coefs
+    ext_extra = struct.pack("<HHI", 22 + len(codec_tail), spb, 0x3) \
+        + guid + codec_tail
+    block_align = 7 * 2 + (spb - 2) * 2 // 2
+    extp = str(tmp_path / "ext.wav")
+    _write_wav(extp, wavio.WAVE_FORMAT_EXTENSIBLE, 2, 11025, block_align, 4,
+               ext_extra, data)
+
+    pi, ei = wavio.info(plain), wavio.info(extp)
+    assert ei.subtype == "MS_ADPCM"
+    assert ei.samples_per_block == pi.samples_per_block == spb
+    assert ei.frames == pi.frames
+    a_, sra = wavio.read(plain)
+    b_, srb = wavio.read(extp)
+    assert sra == srb
+    np.testing.assert_array_equal(a_, b_)
+
+
+def test_adpcm_tail_clamped_to_samples_per_block(tmp_path):
+    """Header spb below the block's nibble capacity + a truncated final
+    block: info().frames must equal len(read()) — the capacity formula
+    alone overstates the tail (review r3 batch 19)."""
+    x = _sig(256, seed=13)
+    spb_cap = 128
+    blocks = []
+    for i in range(0, 256, spb_cap):
+        blk, _ = _encode_ms_block(list(x[i:i + spb_cap]), spb_cap)
+        blocks.append(blk)
+    block_align = 7 + (spb_cap - 2 + 1) // 2  # 70 bytes: capacity 128
+    extra = struct.pack("<HHH", 4 + 4 * 7, 64, 7)  # header spb=64 < capacity
+    for a, b in _MS_COEFS:
+        extra += struct.pack("<hh", a, b)
+    data = b"".join(blocks)
+    # final block truncated to 7 header + 40 data bytes: the capacity
+    # formula says 82 tail samples, but the decoder emits at most spb=64
+    data = data[:block_align + 7 + 40]
+    p = str(tmp_path / "t.wav")
+    _write_wav(p, wavio.WAVE_FORMAT_ADPCM, 1, 11025, block_align, 4,
+               extra, data)
+    inf = wavio.info(p)
+    out, _ = wavio.read(p)
+    assert inf.samples_per_block == 64
+    assert len(out) == inf.frames == 64 + 64

@@ -362,3 +362,141 @@ def test_zlib_crc_sanity():
     make sure the helper isn't accidentally the wrong one."""
     data = b"OggS\x00\x02" + bytes(20)
     assert _ogg_crc(data) != zlib.crc32(data)
+
+
+def _remux_split_packets(src: str, dst: str, lacing_per_page: int = 3) -> int:
+    """Re-laminate an Ogg/Opus file into pages of at most N lacing values,
+    IGNORING packet boundaries — i.e. produce the legal continued-packet
+    pages (RFC 3533 §6, header flag 0x01) that libogg's own lamination
+    never emits for Opus-sized packets (it always cuts after a completed
+    packet below 255 lacing values).  Returns the number of continued
+    pages written.  Headers keep their own pages per RFC 7845 §3."""
+    raw = open(src, "rb").read()
+
+    # --- parse: pages → ordered packets ---
+    off = 0
+    serial = None
+    page_list = []  # (granule, [segments...]) per page, our stream only
+    while True:
+        i = raw.find(b"OggS", off)
+        if i < 0:
+            break
+        g = int.from_bytes(raw[i + 6:i + 14], "little", signed=True)
+        ser = struct.unpack("<I", raw[i + 14:i + 18])[0]
+        nseg = raw[i + 26]
+        lac = list(raw[i + 27:i + 27 + nseg])
+        body = raw[i + 27 + nseg:i + 27 + nseg + sum(lac)]
+        off = i + 27 + nseg + sum(lac)
+        if serial is None:
+            serial = ser
+        if ser == serial:
+            page_list.append((g, lac, body))
+    packets = []
+    cur = b""
+    for g, lac, body in page_list:
+        p = 0
+        for v in lac:
+            cur += body[p:p + v]
+            p += v
+            if v < 255:
+                packets.append(cur)
+                cur = b""
+    assert not cur, "source file ends mid-packet"
+    assert len(packets) >= 4
+    head, tags, audio = packets[0], packets[1], packets[2:]
+    final_granule = page_list[-1][0]
+    granules = [(i + 1) * 960 for i in range(len(audio))]
+    granules[-1] = final_granule  # end-trim granule from the source
+
+    def page_bytes(lacing, body, granule, pageno, flags):
+        hdr = (b"OggS\x00" + bytes([flags])
+               + granule.to_bytes(8, "little", signed=True)
+               + struct.pack("<II", serial, pageno) + b"\x00\x00\x00\x00"
+               + bytes([len(lacing)]) + bytes(lacing))
+        page = bytearray(hdr + body)
+        struct.pack_into("<I", page, 22, _ogg_crc(bytes(page)))
+        return bytes(page)
+
+    def whole_packet_lacing(pkt):
+        q, r = divmod(len(pkt), 255)
+        return [255] * q + [r]  # r==0 is the required explicit terminator
+
+    out = [
+        page_bytes(whole_packet_lacing(head), head, 0, 0, 0x02),  # BOS
+        page_bytes(whole_packet_lacing(tags), tags, 0, 1, 0x00),  # OpusTags
+    ]
+
+    # flatten audio packets into (fragment, final, packet_index) pieces of
+    # <=255 bytes, then page them N lacing values at a time
+    pieces = []
+    for pi, pkt in enumerate(audio):
+        frs = [pkt[k:k + 255] for k in range(0, len(pkt), 255)]
+        if len(pkt) % 255 == 0:
+            frs.append(b"")  # explicit 0-lacing terminator
+        for j, fr in enumerate(frs):
+            pieces.append((fr, j == len(frs) - 1, pi))
+    pageno = 2
+    ncont = 0
+    k = 0
+    mid_packet = False
+    while k < len(pieces):
+        chunk = pieces[k:k + lacing_per_page]
+        k += len(chunk)
+        gran = -1
+        for fr, final, pi in chunk:
+            if final:
+                gran = granules[pi]
+        flags = 0x01 if mid_packet else 0x00
+        if k >= len(pieces):
+            flags |= 0x04  # EOS
+        if flags & 0x01:
+            ncont += 1
+        body = b"".join(fr for fr, _f, _p in chunk)
+        # one lacing value per piece: 255 marks "packet continues", the
+        # final piece carries its true length (possibly 0)
+        lacing = [(255 if not f else len(fr)) for fr, f, _p in chunk]
+        out.append(page_bytes(lacing, body, gran, pageno, flags))
+        pageno += 1
+        mid_packet = not chunk[-1][1]
+    open(dst, "wb").write(b"".join(out))
+    return ncont
+
+
+def test_seek_exact_with_continued_packet_pages(tmp_path):
+    """Seeks must not time-shift on files whose pages start mid-packet
+    (legal per RFC 3533; produced by remuxing since libogg itself never
+    splits Opus-sized packets).  A resume page whose first packet is a
+    continuation used to be decoded with that dropped packet's duration
+    unaccounted, shifting every later sample (review r3 batch 19)."""
+    sr = 48000
+    t = np.arange(sr * 5) / sr
+    # aperiodic chirp: a one-packet (20 ms) time shift cannot alias into
+    # a near-match the way a steady tone could
+    x = (0.25 * np.sin(2 * np.pi * (300.0 + 200.0 * t) * t)).astype(np.float32)
+    src = str(tmp_path / "a.opus")
+    # 500 kbps: ~650-byte packets = 3 lacing values each; 2 lacing values
+    # per page makes the page boundary drift THROUGH packets
+    opus.write_opus(src, x, sr, bitrate_kbps=500)
+    dst = str(tmp_path / "split.opus")
+    ncont = _remux_split_packets(src, dst, lacing_per_page=2)
+    assert ncont > 10, "vector must actually contain continued pages"
+
+    inf = opus.info(dst)
+    assert inf.frames == len(x)
+    base, _ = opus.read(src)
+    full, _ = opus.read(dst)
+    # remux is a pure container transform: sequential decode bit-identical
+    np.testing.assert_array_equal(full, base)
+
+    for start in (sr // 2, sr, 2 * sr + 333, 3 * sr + 7):
+        part, _ = opus.read(dst, start=start, frames=9600)
+        ref = full[start:start + 9600]
+        # CELT convergence at 500 kbps: ~2e-2 right after the 80 ms
+        # pre-roll, decaying to ~1e-4 within 0.2 s (measured; larger than
+        # the 64 kbps SILK figure in test_range_read_converged)
+        assert float(np.abs(part - ref).max()) < 0.05, f"start={start}"
+        assert float(np.abs(part[4800:] - ref[4800:]).max()) < 2e-3
+        # the pre-fix failure mode: output shifted by one dropped
+        # 960-sample packet — err ~0.5 here, far outside convergence
+        shifted = full[start + 960:start + 960 + 9600]
+        assert float(np.abs(part - shifted).max()) > 0.2
