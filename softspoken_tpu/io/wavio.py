@@ -7,6 +7,12 @@ This module reads/writes WAV directly so the framework has no audio deps.
 
 Supports:
   * PCM unsigned 8-bit, signed 16/24/32-bit, IEEE float32/float64
+  * odd PCM widths (12/20/36/45/53-bit …) stored in their 1-8 byte
+    containers (container size from nBlockAlign, per the spec; scaled at
+    container full-scale like libsndfile) and signed 64-bit integer PCM
+  * G.711 mu-law / A-law payloads (format tags 7 / 6)
+  * big-endian RIFX containers (decode; subtypes gain a ``_BE`` suffix so
+    little-endian fast paths dispatch away from them automatically)
   * MS ADPCM and IMA/DVI ADPCM 4-bit (decode; block-coded legacy recorders —
     libsndfile reads these, so the reference incidentally did too)
   * WAVE_FORMAT_EXTENSIBLE wrappers
@@ -31,9 +37,22 @@ import numpy as np
 WAVE_FORMAT_PCM = 0x0001
 WAVE_FORMAT_ADPCM = 0x0002          # Microsoft ADPCM
 WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_ALAW = 0x0006           # G.711 A-law
+WAVE_FORMAT_MULAW = 0x0007          # G.711 mu-law
 WAVE_FORMAT_IMA_ADPCM = 0x0011      # IMA/DVI ADPCM
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
+# canonical integer-PCM subtype per CONTAINER width (bytes per sample).
+# nBlockAlign sets the container; wValidBitsPerSample may be smaller (a
+# 20-bit recorder writing 3-byte samples).  Decode scales at container
+# full-scale, matching libsndfile's handling of e.g. 20-in-24-bit.
+_PCM_SUBTYPE_BY_CONTAINER = {
+    1: "PCM_U8", 2: "PCM_16", 3: "PCM_24", 4: "PCM_32",
+    5: "PCM_40", 6: "PCM_48", 7: "PCM_56", 8: "PCM_64",
+}
+
+# exact (tag, bits) table for the byte-multiple widths; w64.py keys its
+# (stricter) format dispatch on this
 _SUBTYPE_BY_FMT = {
     (WAVE_FORMAT_PCM, 8): "PCM_U8",
     (WAVE_FORMAT_PCM, 16): "PCM_16",
@@ -41,6 +60,8 @@ _SUBTYPE_BY_FMT = {
     (WAVE_FORMAT_PCM, 32): "PCM_32",
     (WAVE_FORMAT_IEEE_FLOAT, 32): "FLOAT",
     (WAVE_FORMAT_IEEE_FLOAT, 64): "DOUBLE",
+    (WAVE_FORMAT_ALAW, 8): "ALAW",
+    (WAVE_FORMAT_MULAW, 8): "ULAW",
     (WAVE_FORMAT_ADPCM, 4): "MS_ADPCM",
     (WAVE_FORMAT_IMA_ADPCM, 4): "IMA_ADPCM",
 }
@@ -66,6 +87,14 @@ class WavInfo:
     block_align: int = 0
     samples_per_block: int = 0
     fmt_extra: bytes = b""    # fmt chunk bytes past the first 16 (coef table)
+    # container bytes per sample (0 = legacy bits//8); differs from
+    # bits_per_sample//8 for odd valid-bit widths (20-in-24-bit etc.)
+    container_bytes: int = 0
+
+    @property
+    def bytes_per_sample(self) -> int:
+        """Stored bytes per sample (the container, not the valid bits)."""
+        return self.container_bytes or (self.bits_per_sample // 8)
 
     @property
     def duration(self) -> float:
@@ -74,9 +103,13 @@ class WavInfo:
 
 def _parse_header(f: BinaryIO) -> WavInfo:
     riff = f.read(12)
-    if len(riff) < 12 or riff[:4] not in (b"RIFF", b"RF64") or riff[8:12] != b"WAVE":
+    if (len(riff) < 12 or riff[:4] not in (b"RIFF", b"RF64", b"RIFX")
+            or riff[8:12] != b"WAVE"):
         raise WavFormatError("not a RIFF/WAVE file")
     is_rf64 = riff[:4] == b"RF64"
+    # RIFX: the big-endian RIFF variant (old Mac tools; libsndfile reads
+    # it) — every multi-byte header field AND the sample data are BE
+    en = ">" if riff[:4] == b"RIFX" else "<"
     rf64_data_size = None
 
     fmt_tag = None
@@ -93,7 +126,7 @@ def _parse_header(f: BinaryIO) -> WavInfo:
         hdr = f.read(8)
         if len(hdr) < 8:
             break
-        cid, csize = struct.unpack("<4sI", hdr)
+        cid, csize = struct.unpack(en + "4sI", hdr)
         if cid == b"ds64" and is_rf64:
             body = f.read(csize + (csize & 1))
             if len(body) < 16:
@@ -107,14 +140,18 @@ def _parse_header(f: BinaryIO) -> WavInfo:
             if len(body) < 16:
                 raise WavFormatError("truncated fmt chunk")
             fmt_tag, channels, samplerate, _brate, block_align, bits = struct.unpack(
-                "<HHIIHH", body[:16]
+                en + "HHIIHH", body[:16]
             )
             fmt_extra = bytes(body[16:])
             if fmt_tag == WAVE_FORMAT_EXTENSIBLE:
-                if csize < 40 or len(body) < 26:
+                if csize < 40 or len(body) < 28:
                     raise WavFormatError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
-                # SubFormat GUID: first two bytes are the real format tag
-                fmt_tag = struct.unpack("<H", body[24:26])[0]
+                # SubFormat GUID: the 4-byte Data1 field is the real format
+                # tag, stored in the container's byte order (RIFX swaps it)
+                fmt_tag = struct.unpack(en + "I", body[24:28])[0]
+                if fmt_tag > 0xFFFF:
+                    raise WavFormatError(
+                        f"unsupported EXTENSIBLE SubFormat Data1=0x{fmt_tag:08x}")
                 # rebase the extension onto the plain-fmt layout: keep
                 # cbSize + the Samples union (== wSamplesPerBlock for block
                 # codecs) and drop dwChannelMask + SubFormat GUID, so any
@@ -126,7 +163,7 @@ def _parse_header(f: BinaryIO) -> WavInfo:
         elif cid == b"fact":
             body = f.read(csize + (csize & 1))
             if len(body) >= 4:
-                fact_frames = struct.unpack("<I", body[:4])[0]
+                fact_frames = struct.unpack(en + "I", body[:4])[0]
         elif cid == b"data" and data_offset is None:
             # first-wins: a malformed/concatenated WAV with a SECOND data
             # chunk must not redirect the payload — spec-conforming readers
@@ -143,10 +180,8 @@ def _parse_header(f: BinaryIO) -> WavInfo:
 
     if fmt_tag is None or data_offset is None:
         raise WavFormatError("missing fmt or data chunk")
-    key = (fmt_tag, bits)
-    if key not in _SUBTYPE_BY_FMT:
-        raise WavFormatError(f"unsupported WAV format tag={fmt_tag} bits={bits}")
-    subtype = _SUBTYPE_BY_FMT[key]
+    subtype, container = _resolve_subtype(fmt_tag, bits, block_align,
+                                          channels, en)
     # clamp to the bytes physically present: a recorder-crash file whose
     # data-chunk header overstates the payload must decode the samples that
     # exist, not crash downstream views/reshapes with short reads
@@ -176,7 +211,7 @@ def _parse_header(f: BinaryIO) -> WavInfo:
             samples_per_block=spb, fmt_extra=fmt_extra,
         )
 
-    bytes_per_frame = channels * (bits // 8)
+    bytes_per_frame = channels * container
     if bytes_per_frame <= 0 or samplerate <= 0:  # fuzz: zeroed fmt fields
         raise WavFormatError(
             f"invalid fmt chunk: channels={channels} bits={bits} "
@@ -190,7 +225,60 @@ def _parse_header(f: BinaryIO) -> WavInfo:
         bits_per_sample=bits,
         data_offset=data_offset,
         data_bytes=frames * bytes_per_frame,
+        container_bytes=container,
     )
+
+
+def _resolve_subtype(fmt_tag: int, bits: int, block_align: int,
+                     channels: int, en: str) -> Tuple[str, int]:
+    """(subtype, container_bytes) for a parsed fmt chunk.
+
+    Integer PCM dispatches on the CONTAINER width (nBlockAlign/nChannels,
+    the stored bytes per sample) so odd valid-bit widths (12/20/36-bit …)
+    decode from their 1-8 byte containers; big-endian (RIFX) variants gain
+    a ``_BE`` suffix so subtype-keyed little-endian fast paths (fused wire,
+    top16_from_raw, native mono kernels) dispatch away from them.
+    """
+    if fmt_tag in (WAVE_FORMAT_ADPCM, WAVE_FORMAT_IMA_ADPCM):
+        if bits != 4 or en == ">":  # no big-endian ADPCM WAV exists
+            raise WavFormatError(
+                f"unsupported WAV format tag={fmt_tag} bits={bits}")
+        return ("MS_ADPCM" if fmt_tag == WAVE_FORMAT_ADPCM
+                else "IMA_ADPCM"), 0
+    if fmt_tag in (WAVE_FORMAT_MULAW, WAVE_FORMAT_ALAW):
+        if bits not in (0, 8):  # some writers leave the field 0
+            raise WavFormatError(
+                f"unsupported WAV format tag={fmt_tag} bits={bits}")
+        # byte-wide codes: no endianness
+        return ("ULAW" if fmt_tag == WAVE_FORMAT_MULAW else "ALAW"), 1
+    if fmt_tag == WAVE_FORMAT_IEEE_FLOAT:
+        if bits == 32:
+            subtype, container = "FLOAT", 4
+        elif bits == 64:
+            subtype, container = "DOUBLE", 8
+        else:
+            raise WavFormatError(
+                f"unsupported WAV format tag={fmt_tag} bits={bits}")
+    elif fmt_tag == WAVE_FORMAT_PCM and bits > 0:
+        container = 0
+        if channels > 0 and block_align > 0 and block_align % channels == 0:
+            c = block_align // channels
+            if 1 <= c <= 8 and c * 8 >= bits:
+                container = c
+        if container == 0:
+            # inconsistent/absent nBlockAlign: fall back to the valid bits
+            # (keeps reading liberal for malformed-but-decodable headers)
+            container = (bits + 7) // 8
+        subtype = _PCM_SUBTYPE_BY_CONTAINER.get(container)
+        if subtype is None:
+            raise WavFormatError(
+                f"unsupported WAV format tag={fmt_tag} bits={bits}")
+    else:
+        raise WavFormatError(
+            f"unsupported WAV format tag={fmt_tag} bits={bits}")
+    if en == ">" and container > 1:
+        subtype += "_BE"
+    return subtype, container
 
 
 def info(path: str) -> WavInfo:
@@ -200,13 +288,31 @@ def info(path: str) -> WavInfo:
 
 
 def _decode(raw: np.ndarray, subtype: str) -> np.ndarray:
-    """Bytes → float32 in [-1, 1) using libsndfile scaling."""
+    """Bytes → float32 in [-1, 1) using libsndfile scaling.
+
+    ``*_BE`` subtypes (RIFX containers) decode the same widths with the
+    byte order flipped; PCM_40/48/56/64 are the 5-8 byte integer
+    containers, scaled at container full-scale.
+    """
+    en = "<"
+    if subtype.endswith("_BE"):
+        en, subtype = ">", subtype[:-3]
     if subtype == "PCM_U8":
         return (raw.view(np.uint8).astype(np.float32) - 128.0) / 128.0
+    if subtype == "ULAW":
+        from . import g711
+
+        return g711.ulaw_to_f32(raw.view(np.uint8))
+    if subtype == "ALAW":
+        from . import g711
+
+        return g711.alaw_to_f32(raw.view(np.uint8))
     if subtype == "PCM_16":
-        return raw.view("<i2").astype(np.float32) / 32768.0
+        return raw.view(en + "i2").astype(np.float32) / 32768.0
     if subtype == "PCM_24":
         b = raw.reshape(-1, 3)
+        if en == ">":
+            b = b[:, ::-1]
         vals = (
             b[:, 0].astype(np.uint32)
             | (b[:, 1].astype(np.uint32) << 8)
@@ -215,12 +321,32 @@ def _decode(raw: np.ndarray, subtype: str) -> np.ndarray:
         vals = np.where(vals >= (1 << 23), vals - (1 << 24), vals)
         return vals.astype(np.float32) / 8388608.0
     if subtype == "PCM_32":
-        return raw.view("<i4").astype(np.float32) / 2147483648.0
+        return raw.view(en + "i4").astype(np.float32) / 2147483648.0
+    if subtype in ("PCM_40", "PCM_48", "PCM_56", "PCM_64"):
+        k = int(subtype[4:]) // 8
+        return _decode_wide_int(raw, k, en)
     if subtype == "FLOAT":
-        return raw.view("<f4").astype(np.float32)
+        return raw.view(en + "f4").astype(np.float32)
     if subtype == "DOUBLE":
-        return raw.view("<f8").astype(np.float32)
+        return raw.view(en + "f8").astype(np.float32)
     raise WavFormatError(f"unsupported subtype {subtype}")
+
+
+def _decode_wide_int(raw: np.ndarray, k: int, en: str) -> np.ndarray:
+    """Signed k-byte (5 <= k <= 8) integer containers → float32.
+
+    Assembles each sample into the TOP k bytes of an int64 (low bytes
+    zero), so the arithmetic view handles the sign and one division by
+    2^63 lands every width at container full-scale.
+    """
+    b = raw.reshape(-1, k)
+    if en == "<":
+        b = b[:, ::-1]  # most-significant byte first
+    v = np.zeros(len(b), np.uint64)
+    for i in range(k):  # b[:, 0] is the MSB → int64's top byte
+        v |= b[:, i].astype(np.uint64) << np.uint64(8 * (7 - i))
+    return (v.view(np.int64).astype(np.float64) / float(1 << 63)).astype(
+        np.float32)
 
 
 def top16_from_raw(raw: np.ndarray, subtype: str) -> np.ndarray:
@@ -451,7 +577,7 @@ def read_raw(
             # block-coded: "raw sample bytes for a frame range" doesn't
             # exist — callers decode via read() instead
             return None, inf
-        bpf = inf.channels * (inf.bits_per_sample // 8)
+        bpf = inf.channels * inf.bytes_per_sample
         start = max(0, min(int(start), inf.frames))
         if frames is None:
             frames = inf.frames - start
@@ -672,7 +798,7 @@ class RawReader:
             raise WavFormatError(
                 f"RawReader cannot frame-address block-coded "
                 f"{self.info.subtype}; use read()")
-        self._bpf = self.info.channels * (self.info.bits_per_sample // 8)
+        self._bpf = self.info.channels * self.info.bytes_per_sample
         try:
             os.posix_fadvise(self._f.fileno(), 0, 0, os.POSIX_FADV_SEQUENTIAL)
         except (AttributeError, OSError):  # non-POSIX or odd fs
