@@ -5,7 +5,9 @@ The reference gets incidental AIFF support through libsndfile
 still emit it.  Like ``io/wavio.py`` this is a from-scratch codec (no
 third-party deps): FORM/COMM/SSND chunk walk, the 80-bit extended-float
 sample rate, big-endian PCM (AIFF) and the common AIFF-C compression tags
-``NONE`` (BE) / ``sowt`` (LE PCM16) / ``fl32``/``FL32`` (BE float32).
+``NONE`` (BE) / ``sowt`` (LE PCM16) / ``fl32``/``FL32`` (BE float32) /
+``ulaw``/``alaw`` (G.711, 1 byte per sample on disk; COMM sampleSize
+describes the DECODED width, so frame addressing uses the container).
 
 API mirrors ``wavio``: ``info(path) -> AiffInfo`` (duck-types WavInfo) and
 ``read(path, start=, frames=, always_2d=) -> (float32, samplerate)`` with
@@ -31,11 +33,18 @@ class AiffInfo:
     samplerate: int
     channels: int
     frames: int
-    subtype: str              # "PCM_8" | "PCM_16" | "PCM_24" | "PCM_32" | "FLOAT"
+    subtype: str              # "PCM_8/16/24/32" | "FLOAT" | "ULAW" | "ALAW"
     bits_per_sample: int
     data_offset: int          # byte offset of the first sample frame
     data_bytes: int
     little_endian: bool = False
+    # stored bytes per sample when it differs from bits//8 (G.711: COMM
+    # sampleSize says 16 but the SSND holds 1-byte codes); 0 = bits//8
+    container_bytes: int = 0
+
+    @property
+    def bytes_per_sample(self) -> int:
+        return self.container_bytes or (self.bits_per_sample // 8)
 
     @property
     def duration(self) -> float:
@@ -112,18 +121,23 @@ def _parse(f) -> AiffInfo:
     if channels <= 0 or rate < 1.0:  # <1 Hz would round to samplerate 0
         raise AiffFormatError("missing/invalid COMM chunk")
     comp_u = comp.upper()
-    if comp_u not in (b"NONE", b"SOWT", b"FL32"):
+    if comp_u not in (b"NONE", b"SOWT", b"FL32", b"ULAW", b"ALAW"):
         raise AiffFormatError(f"unsupported AIFF-C compression {comp!r}")
     little = comp_u == b"SOWT"
+    container = 0
     if comp_u == b"FL32":
         subtype, bits = "FLOAT", 32
+    elif comp_u in (b"ULAW", b"ALAW"):
+        # G.711: COMM sampleSize names the decoded width (16); on disk
+        # each sample is one code byte
+        subtype, container = comp_u.decode(), 1
     else:
         subtype = {8: "PCM_8", 16: "PCM_16", 24: "PCM_24", 32: "PCM_32"}.get(bits)
         if subtype is None:
             raise AiffFormatError(f"unsupported sample size {bits}")
     if little and subtype != "PCM_16":
         raise AiffFormatError("sowt is only defined for 16-bit PCM")
-    bpf = channels * (bits // 8)
+    bpf = channels * (container or bits // 8)
     if data_offset is None:
         if frames > 0:
             # COMM promises audio but the file has no SSND (crash-truncated
@@ -153,6 +167,7 @@ def _parse(f) -> AiffInfo:
         samplerate=int(round(rate)), channels=channels, frames=frames,
         subtype=subtype, bits_per_sample=bits, data_offset=data_offset,
         data_bytes=data_bytes, little_endian=little,
+        container_bytes=container,
     )
 
 
@@ -162,6 +177,11 @@ def info(path: str) -> AiffInfo:
 
 
 def _decode(raw: np.ndarray, inf: AiffInfo) -> np.ndarray:
+    if inf.subtype in ("ULAW", "ALAW"):
+        from . import g711
+
+        fn = g711.ulaw_to_f32 if inf.subtype == "ULAW" else g711.alaw_to_f32
+        return fn(raw.view(np.uint8))
     if inf.subtype == "PCM_8":          # AIFF 8-bit is SIGNED (unlike WAV)
         return raw.view(np.int8).astype(np.float32) / 128.0
     if inf.subtype == "PCM_16":
@@ -193,7 +213,7 @@ def read(
     with the same EOF clamping as ``wavio.read``."""
     with open(path, "rb") as f:
         inf = _parse(f)
-        bpf = inf.channels * (inf.bits_per_sample // 8)
+        bpf = inf.channels * inf.bytes_per_sample
         start = max(0, min(int(start), inf.frames))
         if frames is None:
             frames = inf.frames - start

@@ -273,6 +273,45 @@ def test_cpython_aiff_matches_aifc(name, width):
     np.testing.assert_array_equal(d, expect)
 
 
+@pytest.mark.skipif(audioop is None, reason="audioop missing")
+@pytest.mark.parametrize("comp", [b"ulaw", b"alaw"])
+def test_aifc_g711_matches_stdlib_aifc(comp, tmp_path):
+    """stdlib aifc WRITES G.711 AIFF-C (via audioop) — an independent
+    encoder for our ULAW/ALAW AIFF decode."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import aifc
+
+    from softspoken_tpu.io import aiff as aiffmod
+
+    rng = np.random.default_rng(3)
+    pcm = rng.integers(-32768, 32767, size=2048, dtype=np.int64).astype("<i2")
+    path = str(tmp_path / f"g711_{comp.decode()}.aifc")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        a = aifc.open(path, "wb")
+        a.setnchannels(1)
+        a.setsampwidth(2)
+        a.setframerate(11025)
+        a.setcomptype(comp, b"")
+        a.writeframes(pcm.tobytes())
+        a.close()
+        codes = (audioop.lin2ulaw if comp == b"ulaw"
+                 else audioop.lin2alaw)(pcm.tobytes(), 2)
+        lin = (audioop.ulaw2lin if comp == b"ulaw"
+               else audioop.alaw2lin)(codes, 2)
+    expect = np.frombuffer(lin, "<i2").astype(np.float32) / 32768.0
+    inf = aiffmod.info(path)
+    assert inf.subtype == comp.decode().upper()
+    assert inf.frames == len(pcm) and inf.bytes_per_sample == 1
+    d, sr = aiffmod.read(path)
+    assert sr == 11025
+    np.testing.assert_array_equal(d, expect)
+    # range reads address by the 1-byte container
+    mid, _ = aiffmod.read(path, start=100, frames=64)
+    np.testing.assert_array_equal(mid, expect[100:164])
+
+
 @pytest.mark.skipif(not _HAS_CPY, reason="CPython test audio not present")
 @pytest.mark.parametrize("name,width", [
     ("pluck-pcm8.au", 1), ("pluck-pcm16.au", 2),
