@@ -67,6 +67,14 @@ def write_w64(path, data, sr, subtype="PCM_16", extensible=False):
     elif subtype == "FLOAT":
         tag, bits = 3, 32
         payload = data.astype("<f4").tobytes()
+    elif subtype == "ULAW":
+        tag, bits = 7, 8
+        lin = np.clip(np.rint(data * 32768.0), -32768, 32767)\
+            .astype("<i2").tobytes()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import audioop
+            payload = audioop.lin2ulaw(lin, 2)
     else:
         raise AssertionError(subtype)
     bpf = ch * bits // 8
@@ -104,6 +112,24 @@ def test_w64_float32_and_extensible(tmp_path):
     pe = str(tmp_path / "e.w64")
     write_w64(pe, x, SR, extensible=True)
     assert w64.info(pe).subtype == "PCM_16"
+
+
+def test_w64_ulaw_matches_g711(tmp_path):
+    """G.711 W64 (format tag 7) decodes through the pinned tables —
+    libsndfile reads these, so the reference incidentally did too."""
+    audioop = pytest.importorskip("audioop")
+    x = _sig(1200)
+    p = str(tmp_path / "u.w64")
+    write_w64(p, x, SR, subtype="ULAW")
+    inf = w64.info(p)
+    assert inf.subtype == "ULAW" and inf.frames == 1200
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        lin = np.clip(np.rint(x[:, 0] * 32768.0), -32768, 32767).astype("<i2")
+        ref = np.frombuffer(
+            audioop.ulaw2lin(audioop.lin2ulaw(lin.tobytes(), 2), 2),
+            "<i2").astype(np.float32) / 32768.0
+    np.testing.assert_array_equal(w64.read(p)[0], ref)
 
 
 def test_w64_range_read_and_eof_clamp(tmp_path):
