@@ -76,7 +76,13 @@ def read_clamped(
     """
     with open(path, "rb") as f:
         inf = parse(f)
-        bpf = inf.channels * (inf.bits_per_sample // 8)
+        # frames are addressed by the CONTAINER width when the info object
+        # carries one (G.711 with bits=16 decoded width, over-wide PCM
+        # containers); bits//8 is only the fallback for plain infos
+        bps = getattr(inf, "bytes_per_sample", None)
+        if bps is None:
+            bps = inf.bits_per_sample // 8
+        bpf = inf.channels * bps
         start = max(0, min(int(start), inf.frames))
         if frames is None:
             frames = inf.frames - start

@@ -246,7 +246,11 @@ def _resolve_subtype(fmt_tag: int, bits: int, block_align: int,
         return ("MS_ADPCM" if fmt_tag == WAVE_FORMAT_ADPCM
                 else "IMA_ADPCM"), 0
     if fmt_tag in (WAVE_FORMAT_MULAW, WAVE_FORMAT_ALAW):
-        if bits not in (0, 8):  # some writers leave the field 0
+        # wBitsPerSample is unreliable for G.711: writers put 8 (the code
+        # width), 0 (unset), or 16 (the decoded width, as AIFF-C COMM
+        # does).  libsndfile ignores the field entirely for ULAW/ALAW, so
+        # accept the observed variants; codes are bytes either way.
+        if bits not in (0, 8, 16):
             raise WavFormatError(
                 f"unsupported WAV format tag={fmt_tag} bits={bits}")
         # byte-wide codes: no endianness
@@ -260,6 +264,15 @@ def _resolve_subtype(fmt_tag: int, bits: int, block_align: int,
             raise WavFormatError(
                 f"unsupported WAV format tag={fmt_tag} bits={bits}")
     elif fmt_tag == WAVE_FORMAT_PCM and bits > 0:
+        # Precedence: a consistent nBlockAlign (divisible by channels,
+        # container 1-8 bytes, wide enough for the valid bits) defines the
+        # container, because over-wide containers (24-valid-bits-in-4-byte,
+        # 12-in-2, 20-in-3 …) are only expressible through nBlockAlign.
+        # The cost is that a garbage nBlockAlign that happens to divide
+        # evenly (16-bit mono with nBlockAlign=3) decodes as the wider
+        # container rather than erroring — deliberate: the header is
+        # internally self-consistent and the frames/data-size math then
+        # follows the container, matching how we size every other subtype.
         container = 0
         if channels > 0 and block_align > 0 and block_align % channels == 0:
             c = block_align // channels

@@ -75,17 +75,21 @@ def test_scipy_corpus_oracle(name):
         scipy_ok = False
 
     if not scipy_ok:
-        if name.endswith("ulaw.wav"):
-            # scipy has no G.711; we decode it (checked against audioop
-            # in test_ulaw_wav_matches_audioop)
-            d, sr = wavio.read(path)
-            assert sr == 8000 and len(d) > 0
-            return
-        if "inconsistent" in name:
-            # scipy rejects the lying nAvgBytesPerSec; we read liberally
-            # (libsndfile also reads it) — sanity-check the shape only
+        # exact known filenames only — a new scipy corpus file that scipy
+        # rejects must land in the corrupt-header branch below, not be
+        # silently waved through a substring match
+        if name in ("test-8000Hz-le-1ch-1byte-ulaw.wav",
+                    "test-8000Hz-le-3ch-5S-24bit-inconsistent.wav"):
+            # scipy has no G.711 / rejects the lying header fields; we
+            # read liberally (libsndfile also reads these).  Expected
+            # shape comes from our own header probe, which the exact
+            # decode oracles elsewhere pin down (test_ulaw_wav_matches_
+            # audioop, the PCM container tests).
+            inf = wavio.info(path)
             d, sr = wavio.read(path, always_2d=True)
-            assert d.shape == (5, 3)
+            assert sr == inf.samplerate
+            assert d.shape == (inf.frames, inf.channels)
+            assert inf.frames > 0
             return
         # corrupt headers: we must reject cleanly with the format error
         with pytest.raises(wavio.WavFormatError):
@@ -173,6 +177,34 @@ def test_rifx_pcm16_equals_le_read(tmp_path):
     # range reads go through the same container-aware byte addressing
     mid, _ = wavio.read(be, start=100, frames=50, always_2d=True)
     np.testing.assert_array_equal(mid, dl[100:150])
+
+
+@pytest.mark.skipif(audioop is None, reason="audioop missing")
+def test_ulaw_wav_bits16_header(tmp_path):
+    """G.711 WAV with wBitsPerSample=16 (the DECODED width, as some
+    encoders write, mirroring AIFF-C COMM) must still decode; libsndfile
+    ignores the bits field for ULAW/ALAW."""
+    sr = 8000
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        codes = audioop.lin2ulaw(
+            (np.linspace(-0.8, 0.8, 500) * 32767).astype("<i2").tobytes(), 2)
+    for bits in (0, 8, 16):
+        path = str(tmp_path / f"u{bits}.wav")
+        with open(path, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", 36 + len(codes)) + b"WAVE")
+            f.write(b"fmt " + struct.pack(
+                "<IHHIIHH", 16, 7, 1, sr, sr, 1, bits))
+            f.write(b"data" + struct.pack("<I", len(codes)) + codes)
+        inf = wavio.info(path)
+        assert inf.subtype == "ULAW" and inf.frames == 500
+        assert inf.bytes_per_sample == 1
+        d, osr = wavio.read(path)
+        assert osr == sr and len(d) == 500
+    # all three headers decode identically (codes are the same bytes)
+    d0 = wavio.read(str(tmp_path / "u0.wav"))[0]
+    d16 = wavio.read(str(tmp_path / "u16.wav"))[0]
+    np.testing.assert_array_equal(d0, d16)
 
 
 @pytest.mark.skipif(audioop is None, reason="audioop missing")
