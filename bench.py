@@ -174,41 +174,67 @@ def main() -> None:
     # best-of-N headline + median/spread for honesty: the remote-TPU tunnel
     # has multi-second stalls unrelated to this workload (measured
     # 156x..589x for identical runs); the best run reflects the pipeline,
-    # the spread reflects the shared link
-    # 7 repeats: the shared tunnel stalls multi-second at random (measured
-    # 1,551–2,637x for identical runs this round); each extra repeat costs
-    # <1 s and tightens the best-of estimate the headline uses
+    # the spread reflects the shared link.
+    #
+    # Link-aware repeats (round-4): every repeat is bracketed by a cheap
+    # 4 MB link probe and STAMPED with min(pre,post) — a repeat whose
+    # bracket shows a degraded link measured the shared tunnel, not the
+    # framework.  Degraded repeats are kept in the raw stats but excluded
+    # from ``median_healthy``; up to BENCH_DEGRADED_RETRIES extra repeats
+    # replace them (bounded, budget-respecting).  Nothing is discarded
+    # silently: per-repeat rates + link stamps ship in ``repeat_stats``.
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "7")))
+    max_extra = int(os.environ.get("BENCH_DEGRADED_RETRIES", "4"))
     trace_dir = os.environ.get("BENCH_TRACE", "")
 
-    walls = []
-    for i in range(repeats):
-        if walls and over_budget():
-            break  # keep what we have; best-of stays honest, just smaller N
-        if trace_dir and i == repeats - 1:
+    def _timed_repeat(trace: bool):
+        if trace:
             import jax
 
             with jax.profiler.trace(trace_dir):
                 t0 = time.perf_counter()
-                result = det.detect_file_streaming(bench_path)
-                walls.append(time.perf_counter() - t0)
-        else:
-            t0 = time.perf_counter()
-            result = det.detect_file_streaming(bench_path)
-            walls.append(time.perf_counter() - t0)
-    repeats = len(walls)
+                res = det.detect_file_streaming(bench_path)
+                return res, time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = det.detect_file_streaming(bench_path)
+        return res, time.perf_counter() - t0
+
+    repeat_stats = []  # {rate, link_mbps} per completed repeat, in order
+    extra_used = 0
+    link_post = _probe_link_mbps(15.0)
+    i = 0
+    while i < repeats + extra_used:
+        if repeat_stats and over_budget():
+            break  # keep what we have; best-of stays honest, just smaller N
+        link_pre = link_post
+        result, wall = _timed_repeat(
+            bool(trace_dir) and i == repeats + extra_used - 1)
+        link_post = _probe_link_mbps(15.0)
+        stamp = min(link_pre, link_post)
+        repeat_stats.append(
+            {"rate": round(result.audio_seconds / wall, 2),
+             "link_mbps": round(stamp, 1)}
+        )
+        if stamp < link_min and extra_used < max_extra:
+            extra_used += 1  # replace the degraded repeat (it stays logged)
+        i += 1
 
     from softspoken_tpu.runtime.metrics import (
         analytic_flops_per_window, mfu,
     )
 
+    def _median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
     # headline fields first: the watchdog can emit a valid (truncated)
     # JSON line from this point on
-    rates = sorted(result.audio_seconds / w for w in walls)
+    rates = sorted(r["rate"] for r in repeat_stats)
+    healthy = [r["rate"] for r in repeat_stats if r["link_mbps"] >= link_min]
     value = rates[-1]
-    median = rates[len(rates) // 2] if repeats % 2 else (
-        0.5 * (rates[len(rates) // 2 - 1] + rates[len(rates) // 2])
-    )
+    median = _median(rates)
+    median_healthy = _median(healthy) if healthy else median
     payload.update(
         {
             "metric": "audio_sec_per_wall_sec_per_chip",
@@ -216,11 +242,14 @@ def main() -> None:
             "unit": "audio-sec/wall-sec/chip (e2e: 32kHz WAV → intervals)",
             "vs_baseline": round(value / BASELINE_X_REALTIME, 3),
             "median": round(median, 2),
+            "median_healthy": round(median_healthy, 2),
             "spread": [round(rates[0], 2), round(rates[-1], 2)],
-            "repeats": repeats,
+            "repeats": len(repeat_stats),
+            "repeats_healthy": len(healthy),
+            "repeat_stats": repeat_stats,
             "gflop_per_window": round(analytic_flops_per_window() / 1e9, 3),
             "mfu": round(mfu(value), 4),
-            "mfu_median": round(mfu(median), 4),
+            "mfu_median": round(mfu(median_healthy), 4),
         }
     )
     if link_waited > 1.0 or link_probe_initial < link_min:
@@ -301,29 +330,45 @@ def main() -> None:
         }
     )
 
-    # multi-file aggregate: 2 files in flight (runtime/workers.py
+    # multi-file aggregate: K files in flight (runtime/workers.py
     # file_concurrency) — another file's independent transfers interleave
     # into the per-chunk transfer↔compute serialization gaps the single-file
-    # number pays (docs/PROFILE_r03.md session-4); best of 2 rounds.
+    # number pays (docs/PROFILE_r03.md session-9: K=2-4 reaches 2,400-2,725
+    # aggregate on a healthy link).  This is the aggregate-throughput story
+    # a batch user actually gets (`--file-concurrency 2`), so it ships
+    # alongside the single-file headline, link-stamped the same way.
     # Optional phase: skipped when the soft budget is spent.
     if not over_budget():
-        bench2_path = os.path.join(tmp, f"bench_{int(bench_seconds)}s_b.wav")
-        if not os.path.exists(bench2_path):
-            make_recording(bench2_path, bench_seconds, seed=7)
-        det.detect_file_streaming(bench2_path)  # warm 2nd file's shapes
+        k_files = max(2, int(os.environ.get("BENCH_MULTIFILE_K", "2")))
+        paths = [bench_path]
+        for j in range(1, k_files):
+            p = os.path.join(tmp, f"bench_{int(bench_seconds)}s_{j}.wav")
+            if not os.path.exists(p):
+                make_recording(p, bench_seconds, seed=7 + j)
+            paths.append(p)
+        det.detect_file_streaming(paths[1])  # warm extra files' shapes
         multi = []
         for _ in range(2):
+            if multi and over_budget():
+                break
+            pre = _probe_link_mbps(15.0)
             t0 = time.perf_counter()
             ths = [
                 threading.Thread(target=det.detect_file_streaming, args=(p,))
-                for p in (bench_path, bench2_path)
+                for p in paths
             ]
             for th in ths:
                 th.start()
             for th in ths:
                 th.join()
-            multi.append(2 * bench_seconds / (time.perf_counter() - t0))
-        payload["multifile_rate"] = round(max(multi), 2)
+            wall = time.perf_counter() - t0
+            multi.append(
+                {"rate": round(k_files * bench_seconds / wall, 2),
+                 "link_mbps": round(min(pre, _probe_link_mbps(15.0)), 1)}
+            )
+        payload["multifile_rate"] = round(max(m["rate"] for m in multi), 2)
+        payload["multifile_k"] = k_files
+        payload["multifile_stats"] = multi
 
     print(json.dumps(payload))
 
