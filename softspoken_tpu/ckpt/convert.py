@@ -260,10 +260,13 @@ def export_pth(path: str, variables: Dict, epoch: int = -1,
 def load_pth(path: str) -> Tuple[Dict, int]:
     """Load the reference checkpoint format: {'model_state_dict', 'epoch'}.
 
-    Torch-free by default: the zip-serialization format (torch >= 1.6) is
-    read by :mod:`.pth_reader` with stdlib + numpy only, so ``convert-ckpt``
-    works in images without torch.  Legacy (non-zip) .pth files fall back to
-    real torch when it is installed.
+    Torch-free by default: BOTH serializations — the zip format (torch >=
+    1.6) and the legacy flat stream (pre-1.6 /
+    ``_use_new_zipfile_serialization=False``) — are read by
+    :mod:`.pth_reader` with stdlib + numpy only, so ``convert-ckpt`` works
+    in images without torch.  Files outside both formats (or carrying
+    globals beyond the tensor safelist) fall back to real torch when it is
+    installed.
     """
     import pickle
 

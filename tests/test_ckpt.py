@@ -391,3 +391,147 @@ def test_pth_reader_shared_storage_views(tmp_path):
                                   np.arange(4, 8, dtype=np.float32))
     # both views share one cached base buffer — a single read of data/0
     assert got["a"].base is not None and got["b"].base is not None
+
+
+# ---------------------------------------------------------------------------
+# Legacy (pre-zipfile) .pth: the round-4 VERDICT item — a field user's old
+# checkpoint (torch < 1.6, or _use_new_zipfile_serialization=False) must
+# load torch-free.  NNDetector.py:42-53 is the contract.
+# ---------------------------------------------------------------------------
+
+
+def _write_legacy_pth(path: str, sd, epoch: int) -> None:
+    """torch legacy-format stream, stdlib only (no torch import).
+
+    Layout per torch/serialization.py _legacy_save: magic pickle, protocol
+    pickle, sys-info pickle, object pickle (storages as 6-element
+    persistent ids with view_metadata=None), key-manifest pickle, then per
+    storage an int64 element count + raw little-endian bytes.
+    """
+    import pickle as _p
+
+    contiguous_strides = lambda shape: [
+        int(np.prod(shape[i + 1:], dtype=np.int64)) for i in range(len(shape))
+    ]
+    body = b"\x80\x02" + b"}" + b"("
+    body += _pk_str("model_state_dict") + b"}" + b"("
+    storages = {}
+    for i, (key, arr) in enumerate(sd.items()):
+        arr = np.ascontiguousarray(arr, np.float32)
+        skey = str(i)
+        storages[skey] = arr
+        pid = _pk_tuple(
+            _pk_str("storage"), _pk_global("torch", "FloatStorage"),
+            _pk_str(skey), _pk_str("cpu"), _pk_int(arr.size),
+            b"N",  # view_metadata=None — the legacy pid's 6th element
+        )
+        tensor = (
+            _pk_global("torch._utils", "_rebuild_tensor_v2")
+            + _pk_tuple(
+                pid + b"Q",
+                _pk_int(0),
+                _pk_tuple(*[_pk_int(d) for d in arr.shape]),
+                _pk_tuple(*[_pk_int(s) for s in contiguous_strides(arr.shape)]),
+                b"\x89",
+                _pk_global("collections", "OrderedDict") + b")R",
+            )
+            + b"R"
+        )
+        body += _pk_str(key) + tensor
+    body += b"u"
+    body += _pk_str("epoch") + _pk_int(epoch)
+    body += b"u" + b"."
+
+    with open(path, "wb") as f:
+        f.write(_p.dumps(0x1950A86A20F9469CFC6C, protocol=2))
+        f.write(_p.dumps(1001, protocol=2))
+        f.write(_p.dumps({"protocol_version": 1001, "little_endian": True,
+                          "type_sizes": {"short": 2, "int": 4, "long": 4}},
+                         protocol=2))
+        f.write(body)
+        f.write(_p.dumps(sorted(storages, key=int), protocol=2))
+        for skey in sorted(storages, key=int):
+            arr = storages[skey]
+            f.write(struct.pack("<q", arr.size))
+            f.write(arr.astype("<f4").tobytes())
+
+
+def test_legacy_pth_without_torch(tmp_path, monkeypatch):
+    """stdlib-written LEGACY .pth → load_pth → Flax variables, torch blocked."""
+    sd = ckpt.fixture_state_dict(seed=11)
+    sd = {k: v for k, v in sd.items() if not k.endswith("num_batches_tracked")}
+    pth = str(tmp_path / "legacy.pth")
+    _write_legacy_pth(pth, sd, epoch=33)
+
+    monkeypatch.setitem(sys.modules, "torch", None)
+    variables, epoch = ckpt.load_pth(pth)
+    assert epoch == 33
+    direct = ckpt.convert_torch_state_dict(
+        {k: np.ascontiguousarray(v, np.float32) for k, v in sd.items()})
+    got, want = sorted(_leaves(variables)), sorted(_leaves(direct))
+    assert [k for k, _ in got] == [k for k, _ in want]
+    for (_, va), (_, vb) in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_legacy_pth_matches_real_torch(tmp_path):
+    """Real torch writes the legacy stream (shared storages + transposed
+    views included); the torch-free reader must reproduce torch.load."""
+    torch = pytest.importorskip("torch")
+    from softspoken_tpu.ckpt import pth_reader
+
+    base = torch.arange(24, dtype=torch.float32)
+    ck = {
+        "model_state_dict": {
+            "tied_a": base.view(4, 6),
+            "tied_b": base[6:18].view(3, 4),       # same storage, offset 6
+            "noncontig": torch.randn(6, 4).t(),    # stride-swapped view
+            "plain": torch.randn(5, 7),
+            "ints": torch.arange(10, dtype=torch.int64),
+        },
+        "epoch": 12,
+        "metrics": [1.5, "best"],
+    }
+    pth = str(tmp_path / "legacy_real.pth")
+    torch.save(ck, pth, _use_new_zipfile_serialization=False)
+
+    got = pth_reader.load(pth)
+    assert got["epoch"] == 12 and got["metrics"] == [1.5, "best"]
+    for k, t in ck["model_state_dict"].items():
+        np.testing.assert_array_equal(
+            np.asarray(got["model_state_dict"][k]), t.numpy())
+
+
+def test_legacy_pth_reject_paths(tmp_path):
+    from softspoken_tpu.ckpt import pth_reader
+
+    sd = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    good = str(tmp_path / "good.pth")
+    _write_legacy_pth(good, sd, epoch=1)
+    raw = open(good, "rb").read()
+
+    # truncated mid-payload
+    trunc = str(tmp_path / "trunc.pth")
+    open(trunc, "wb").write(raw[:-8])
+    with pytest.raises(pth_reader.UnsupportedPthError):
+        pth_reader.load(trunc)
+
+    # wrong magic: not the torch legacy stream
+    import pickle as _p
+    bad = str(tmp_path / "bad.pth")
+    open(bad, "wb").write(_p.dumps(123456, protocol=2) + raw[15:])
+    with pytest.raises(pth_reader.UnsupportedPthError):
+        pth_reader.load(bad)
+
+    # arbitrary-code global inside the object pickle is blocked
+    evil_obj = (b"\x80\x02" + _pk_global("os", "system")
+                + _pk_tuple(_pk_str("true")) + b"R.")
+    evil = str(tmp_path / "evil.pth")
+    with open(evil, "wb") as f:
+        f.write(_p.dumps(0x1950A86A20F9469CFC6C, protocol=2))
+        f.write(_p.dumps(1001, protocol=2))
+        f.write(_p.dumps({"little_endian": True}, protocol=2))
+        f.write(evil_obj)
+        f.write(_p.dumps([], protocol=2))
+    with pytest.raises(pth_reader.UnsupportedPthError):
+        pth_reader.load(evil)
