@@ -1,4 +1,4 @@
-"""Out-of-family quality grid (VERDICT r2 next #1) → docs/QUALITY_r03.json.
+"""Out-of-family quality grid → docs/QUALITY_r04.json (VERDICT r2 #1, r3 #2).
 
 Runs the committed trained checkpoint over labeled eval sets from BOTH
 synthetic generators (v1 = training family, v2 = independently-written
@@ -9,7 +9,7 @@ reports frame/event F1 at the parity operating point (threshold 0.1, merge
 sensitivity curve recomputed host-side from each file's averaged score grid
 (one detection pass per file, many operating points).
 
-Usage:  python scripts/quality_grid.py [--out docs/QUALITY_r03.json]
+Usage:  python scripts/quality_grid.py [--out docs/QUALITY_r04.json]
         [--files 8] [--seconds 120] [--quick]
 """
 
@@ -53,6 +53,15 @@ CONDITIONS = [
     ("dropout", dict(degradations=["dropout"])),
     ("rolloff4k+mulaw", dict(degradations=["rolloff4k", "mulaw"])),
     ("snr5+rolloff4k", dict(snr_db=(5.0, 5.0), degradations=["rolloff4k"])),
+    # round-4 additions (VERDICT r3 next #2): reverberation at three RT60s
+    # via an eval-independent image-source + Schroeder-tail RIR (NOT the
+    # log-spaced-tap reverb the model trained on), a slow-fading channel,
+    # and a combined mid-SNR reverberant condition
+    ("reverb03", dict(degradations=["reverb03"])),
+    ("reverb08", dict(degradations=["reverb08"])),
+    ("reverb15", dict(degradations=["reverb15"])),
+    ("fading", dict(degradations=["fading"])),
+    ("snr10+reverb08", dict(snr_db=(10.0, 10.0), degradations=["reverb08"])),
 ]
 
 
@@ -177,7 +186,7 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="docs/QUALITY_r03.json")
+    ap.add_argument("--out", default="docs/QUALITY_r04.json")
     ap.add_argument("--files", type=int, default=8)
     ap.add_argument("--seconds", type=float, default=120.0)
     # resolved against the REPO ROOT, not the cwd: a cwd-relative default
@@ -213,8 +222,12 @@ def main():
     # updates the committed evidence file (review r3 batch 13)
     if not os.path.isabs(args.out):
         args.out = os.path.join(REPO_ROOT, args.out)
-    if args.quick and os.path.abspath(args.out) == os.path.join(
-            REPO_ROOT, "docs/QUALITY_r03.json"):
+    import re as _re
+
+    if args.quick and _re.fullmatch(
+            r"QUALITY_r\d+\.json", os.path.basename(args.out)) and \
+            os.path.dirname(os.path.abspath(args.out)) == os.path.join(
+                REPO_ROOT, "docs"):
         # the smoke run must never clobber the committed evidence file,
         # regardless of how the default path was spelled
         args.out = "/tmp/quality_grid_quick.json"
