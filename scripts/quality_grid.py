@@ -81,6 +81,7 @@ def detect_set(det, labeled):
             "dur": float(res.audio_seconds),
             "truth": [(float(s), float(e)) for s, e in truth],
             "intervals": tuple(res.intervals),
+            "path": os.path.abspath(path),
         })
     return per_file
 
@@ -90,12 +91,14 @@ def metrics_from(per_file, pad_seconds):
     from softspoken_tpu.engine import regions as R
     from softspoken_tpu.train import evaluate as E
 
-    def metrics_at(threshold, break_duration, exit_threshold=None):
+    def metrics_at(threshold, break_duration, exit_threshold=None,
+                   smooth_bins=0, iou=0.5):
         ft, et, gt = {}, {}, {}
         for pf_ in per_file:
             avg, dur, truth = pf_["avg"], pf_["dur"], pf_["truth"]
             regs = R.find_speech_regions(avg, threshold, break_duration,
-                                         exit_threshold=exit_threshold)
+                                         exit_threshold=exit_threshold,
+                                         smooth_bins=smooth_bins)
             regs = R.shift_regions(regs, -pad_seconds)
             # clamp into [0, dur] at BOTH edges FIRST so the min-length
             # filter judges the audible span (review r3 batch 13: the end
@@ -106,9 +109,9 @@ def metrics_from(per_file, pad_seconds):
                     if e > 0 and s < dur]
             pred = R.filter_min_length(regs, 0.1)
             E._accumulate(ft, E.frame_metrics(pred, truth, dur))
-            E._accumulate(et, E.event_metrics(pred, truth, 0.5))
+            E._accumulate(et, E.event_metrics(pred, truth, iou))
             E._accumulate(gt, E.event_metrics_granularity(
-                pred, truth, break_duration, 0.5))
+                pred, truth, break_duration, iou))
         return E._finalize(ft), E._finalize(et), E._finalize(gt)
 
     pf, pe, pg = metrics_at(**PARITY)
@@ -127,6 +130,25 @@ def metrics_from(per_file, pad_seconds):
                              exit_threshold=ex)
         hyst[str(ex)] = {"frame_f1": round(f["f1"], 4),
                          "event_f1": round(e["f1"], 4)}
+    # round-4 event-F1 levers (VERDICT r3 #3), all host-side re-scores of
+    # the same cached grids: median smoothing widths, smoothing+hysteresis
+    # combinations, and an IoU sweep so the 0.5 cutoff can't hide
+    # near-miss boundary fragmentation
+    smooth = {}
+    for w in (3, 5, 7):
+        f, e, _ = metrics_at(PARITY["threshold"], PARITY["break_duration"],
+                             smooth_bins=w)
+        smooth[f"s{w}"] = {"frame_f1": round(f["f1"], 4),
+                           "event_f1": round(e["f1"], 4)}
+        f, e, _ = metrics_at(PARITY["threshold"], PARITY["break_duration"],
+                             exit_threshold=0.05, smooth_bins=w)
+        smooth[f"s{w}+hyst0.05"] = {"frame_f1": round(f["f1"], 4),
+                                    "event_f1": round(e["f1"], 4)}
+    iou_sweep = {}
+    for iou in (0.3, 0.5, 0.7):
+        _, e, _ = metrics_at(PARITY["threshold"], PARITY["break_duration"],
+                             iou=iou)
+        iou_sweep[str(iou)] = round(e["f1"], 4)
     return {
         "parity": {"frame_f1": round(pf["f1"], 4),
                    "frame_precision": round(pf["precision"], 4),
@@ -145,7 +167,68 @@ def metrics_from(per_file, pad_seconds):
                   "event_f1_granularity": round(tg["f1"], 4)},
         "threshold_sweep": sweep,
         "hysteresis_sweep": hyst,
+        "smooth_sweep": smooth,
+        "event_f1_iou_sweep": iou_sweep,
         "n_files": len(per_file),
+    }
+
+
+def postfilter_parity_metrics(per_file, pad_seconds, threshold):
+    """Parity-point metrics WITH the music post-filter applied (the full-
+    grid on-vs-off A/B the round-3 verdict asked for, #4).
+
+    Reuses each file's cached score grid for the predictions and reads the
+    eval WAV itself for the filter's context windows — exactly the
+    engine's application point (engine/detector.py::_apply_music_filter
+    runs on the merged interval list).  Files whose audio is gone (pure
+    rescore from another machine) are skipped and counted.
+    """
+    from softspoken_tpu.engine import postfilter as PF
+    from softspoken_tpu.engine import regions as R
+    from softspoken_tpu.io.audio import load_audio_startstop
+    from softspoken_tpu import Config
+    from softspoken_tpu.train import evaluate as E
+
+    sr = Config().dsp.sample_rate
+    ft, et = {}, {}
+    scored = skipped = dropped = total = 0
+    for pf_ in per_file:
+        path = pf_.get("path")
+        if not path or not os.path.exists(path):
+            skipped += 1
+            continue
+        avg, dur, truth = pf_["avg"], pf_["dur"], pf_["truth"]
+        regs = R.find_speech_regions(avg, PARITY["threshold"],
+                                     PARITY["break_duration"])
+        regs = R.shift_regions(regs, -pad_seconds)
+        regs = [(max(0.0, s), min(dur, e)) for s, e in regs
+                if e > 0 and s < dur]
+        pred = R.filter_min_length(regs, 0.1)
+
+        def read_ctx(s, e, _p=path):
+            audio, _sr = load_audio_startstop(_p, (s, e), target_sr=sr)
+            return audio
+
+        kept, _scores = PF.filter_intervals(pred, read_ctx, sr, dur,
+                                            threshold)
+        dropped += len(pred) - len(kept)
+        total += len(pred)
+        scored += 1
+        E._accumulate(ft, E.frame_metrics(kept, truth, dur))
+        E._accumulate(et, E.event_metrics(kept, truth, 0.5))
+    if scored == 0:
+        return {"skipped_files": skipped, "note": "no audio on disk"}
+    f, e = E._finalize(ft), E._finalize(et)
+    return {
+        "threshold": threshold,
+        "frame_f1": round(f["f1"], 4),
+        "frame_recall": round(f["recall"], 4),
+        "event_f1": round(e["f1"], 4),
+        "event_recall": round(e["recall"], 4),
+        "regions_dropped": dropped,
+        "regions_total": total,
+        "files_scored": scored,
+        "skipped_files": skipped,
     }
 
 
@@ -163,7 +246,8 @@ def save_cache(path, per_file):
     TPU detection pass (rescore mode)."""
     arrs = {f"avg{i}": pf["avg"] for i, pf in enumerate(per_file)}
     meta = [{"dur": pf["dur"], "truth": pf["truth"],
-             "intervals": [list(map(float, iv)) for iv in pf["intervals"]]}
+             "intervals": [list(map(float, iv)) for iv in pf["intervals"]],
+             "path": pf.get("path")}
             for pf in per_file]
     arrs["meta_json"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
@@ -178,6 +262,7 @@ def load_cache(path):
             "dur": m["dur"],
             "truth": [tuple(t) for t in m["truth"]],
             "intervals": tuple(tuple(iv) for iv in m["intervals"]),
+            "path": m.get("path"),
         } for i, m in enumerate(meta)]
 
 
@@ -206,6 +291,11 @@ def main():
     ap.add_argument("--rescore", default=None, metavar="CACHE_DIR",
                     help="skip detection; recompute all metrics host-side "
                          "from a --cache-dir produced by a previous run")
+    ap.add_argument("--no-postfilter-ab", action="store_true",
+                    help="skip the per-condition music-postfilter A/B")
+    ap.add_argument("--postfilter-threshold", type=float, default=None,
+                    help="music-filter threshold for the A/B (default: "
+                         "engine/postfilter.DEFAULT_THRESHOLD)")
     args = ap.parse_args()
 
     from softspoken_tpu import Config
@@ -216,7 +306,7 @@ def main():
     conditions = CONDITIONS
     if args.quick:
         n_files, seconds = 2, 60.0
-        conditions = CONDITIONS[:2] + [CONDITIONS[7]]
+        conditions = CONDITIONS[:2] + [CONDITIONS[7], CONDITIONS[14]]
 
     # resolve --out against the repo root so running from elsewhere still
     # updates the committed evidence file (review r3 batch 13)
@@ -301,7 +391,8 @@ def main():
                     print(f"{tag}: no cache at {cache}, skipping", flush=True)
                     continue
                 t0 = time.time()
-                result = metrics_from(load_cache(cache), pad)
+                per_file = load_cache(cache)
+                result = metrics_from(per_file, pad)
                 result["rescore_seconds"] = round(time.time() - t0, 1)
             else:
                 cache = (os.path.join(args.cache_dir, f"{tag}.npz")
@@ -312,7 +403,8 @@ def main():
                     # cache already holds everything metrics need
                     print(f"{tag}: reusing cached score grids ({cache})",
                           flush=True)
-                    result = metrics_from(load_cache(cache), pad)
+                    per_file = load_cache(cache)
+                    result = metrics_from(per_file, pad)
                     result["from_cache"] = True
                 else:
                     d = os.path.join(base, tag)
@@ -329,6 +421,15 @@ def main():
                     result = metrics_from(per_file, pad)
                     result["synth_seconds"] = round(synth_s, 1)
                     result["detect_seconds"] = round(time.time() - t0, 1)
+            if not args.no_postfilter_ab:
+                # full-grid music-postfilter A/B (VERDICT r3 #4): same
+                # grids, predictions re-filtered with audio contexts
+                from softspoken_tpu.engine import postfilter as _PF
+
+                result["parity_postfilter"] = postfilter_parity_metrics(
+                    per_file, pad, args.postfilter_threshold
+                    if args.postfilter_threshold is not None
+                    else _PF.DEFAULT_THRESHOLD)
             out["conditions"][tag] = result
             print(f"{tag}: parity frame F1 {result['parity']['frame_f1']} "
                   f"event F1 {result['parity']['event_f1']} "

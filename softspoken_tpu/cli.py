@@ -41,6 +41,8 @@ def _load_config(args) -> Config:
         cfg = cfg.with_engine(break_duration=args.break_duration)
     if getattr(args, "exit_threshold", None) is not None:
         cfg = cfg.with_engine(exit_threshold=args.exit_threshold)
+    if getattr(args, "grid_smooth", None) is not None:
+        cfg = cfg.with_engine(grid_smooth=args.grid_smooth)
     if getattr(args, "music_filter", None) is not None:
         from .engine import postfilter
 
@@ -673,6 +675,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="hysteresis exit level (< --threshold): regions "
                           "still need a bin above the main threshold but "
                           "extend over bins above this (default: off)")
+    pd_.add_argument("--grid-smooth", type=int,
+                     help="odd median-smoothing width (bins) applied to the "
+                          "averaged grid before thresholding (default: off; "
+                          "gated on docs/QUALITY_r04.json)")
     pd_.add_argument("--music-filter", type=float, nargs="?", const=-1.0,
                      help="drop regions whose surrounding audio scores "
                           "rhythmic/music-like (engine/postfilter.py; "
@@ -793,6 +799,8 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--seed", type=int, default=1234)
     pe.add_argument("--exit-threshold", type=float,
                     help="hysteresis exit level (< --threshold); default off")
+    pe.add_argument("--grid-smooth", type=int,
+                    help="grid median-smoothing width (see detect)")
     pe.add_argument("--music-filter", type=float, nargs="?", const=-1.0,
                     help="music post-filter (see detect --music-filter)")
     pe.add_argument("--threshold", type=float,

@@ -79,6 +79,14 @@ class EngineConfig:
     # enabling: postfilter.DEFAULT_THRESHOLD (0.85), gated on the quality
     # grid + real-audio probe before adoption.
     music_filter: Optional[float] = None
+    # Grid median smoothing (engine/regions.py::smooth_grid) — NOT
+    # reference behavior, 0 (off) by default.  Odd bin count (3/5/7 ≈
+    # 35/59/82 ms at dt = 3/256 s) of a centered running median applied to
+    # the averaged grid before thresholding; removes the single-bin
+    # threshold flicker that fragments events at region boundaries.
+    # Selected width gated on the quality grid (docs/QUALITY_r04.json)
+    # before use.
+    grid_smooth: int = 0
     minimum_detection_len: float = 0.1  # settings.py:26
     min_count: int = 1                # NNDetector.py:153 (min windows per grid bin)
 

@@ -366,6 +366,7 @@ class Detector:
         regions = R.find_speech_regions(
             avg, cfg.engine.threshold, cfg.engine.break_duration,
             exit_threshold=cfg.engine.exit_threshold,
+            smooth_bins=cfg.engine.grid_smooth,
         )
         regions = R.shift_regions(regions, -cfg.engine.pad_seconds)
         return DetectionResult(regions, avg, logits.shape[0], audio_seconds)

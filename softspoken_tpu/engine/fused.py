@@ -551,6 +551,7 @@ class FusedStreamingEngine:
         regions = R.find_speech_regions(
             avg_values, cfg.engine.threshold, cfg.engine.break_duration,
             exit_threshold=cfg.engine.exit_threshold,
+            smooth_bins=cfg.engine.grid_smooth,
         )
         regions = R.shift_regions(regions, -cfg.engine.pad_seconds)
         audio_seconds = (

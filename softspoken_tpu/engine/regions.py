@@ -61,12 +61,38 @@ def average_grid_host(mask_logits: np.ndarray, step_seconds: float = 0.6):
     return s, c
 
 
+def smooth_grid(avg_values: np.ndarray, width: int) -> np.ndarray:
+    """Centered running-median of the averaged score grid.
+
+    ``width`` odd bins (evens rounded up); edges replicate.  A width-5
+    median spans ~59 ms (dt = 3/256 s) — far below the 100 ms minimum
+    detection length, so it cannot erase a legal event; what it removes is
+    single-bin threshold flicker at event boundaries, the dominant cause
+    of event fragmentation at the parity operating point (VERDICT r3 #3).
+    NOT reference behavior — opt-in via EngineConfig.grid_smooth.  Note:
+    with min_count masking (-inf bins) a median can resurrect an isolated
+    masked bin; acceptable because both knobs are non-parity opt-ins.
+    """
+    if width <= 1:
+        return np.asarray(avg_values)
+    av = np.asarray(avg_values, np.float64)
+    if len(av) == 0:
+        return av
+    w = min(int(width) | 1, 2 * len(av) - 1)
+    pad = w // 2
+    padded = np.pad(av, pad, mode="edge")
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    return np.median(sliding_window_view(padded, w), axis=1)
+
+
 def find_speech_regions(
     avg_values: np.ndarray,
     threshold: float = 0.1,
     break_duration: float = 0.5,
     first_bin: int = 0,
     exit_threshold: float | None = None,
+    smooth_bins: int = 0,
 ) -> List[Tuple[float, float]]:
     """Threshold + run-find + gap-merge over the averaged grid.
 
@@ -84,8 +110,13 @@ def find_speech_regions(
     whose interior dips just under it; see config.EngineConfig.
     NOT the reference contract (NNDetector.py:109-127) — off by default,
     and ignored when >= threshold (no-op by definition).
+
+    ``smooth_bins`` (0/1 = reference behavior) applies :func:`smooth_grid`
+    to the grid before thresholding.
     """
     av = np.asarray(avg_values)
+    if smooth_bins > 1:
+        av = smooth_grid(av, smooth_bins)
     above = av > threshold
     if not above.any():
         return []

@@ -186,3 +186,60 @@ def test_process_batch_empty_and_int32_guard(detector):
     assert spec.shape == (0, 2, 128, 256) and mask.shape == (0, 1, 256)
     with pytest.raises(ValueError, match="int32"):
         detector.process_batch(np.zeros(66150, np.float32), [2**31])
+
+
+# ---------------------------------------------------------------------------
+# grid median smoothing (round-4 event-F1 lever; engine/regions.smooth_grid)
+# ---------------------------------------------------------------------------
+
+
+def test_smooth_grid_properties():
+    from softspoken_tpu.engine import regions as R
+
+    av = np.array([0.0, 0.0, 0.5, 0.0, 0.5, 0.5, 0.5, 0.0, 0.0])
+    # width<=1 and empty input are identity
+    np.testing.assert_array_equal(R.smooth_grid(av, 0), av)
+    np.testing.assert_array_equal(R.smooth_grid(av, 1), av)
+    assert len(R.smooth_grid(np.array([]), 5)) == 0
+    # a single-bin spike (threshold flicker) is removed by width 3
+    sm = R.smooth_grid(av, 3)
+    assert sm[2] == 0.0          # isolated spike gone
+    assert sm[5] == 0.5          # the solid run survives
+    # a constant grid is a fixed point at any width
+    const = np.full(32, 0.3)
+    for w in (3, 5, 7):
+        np.testing.assert_array_equal(R.smooth_grid(const, w), const)
+    # even widths round up to the next odd (centered window stays centered)
+    np.testing.assert_array_equal(R.smooth_grid(av, 4), R.smooth_grid(av, 5))
+
+
+def test_smooth_bins_bridges_single_bin_dip():
+    from softspoken_tpu.engine import regions as R
+
+    # a long run with one single-bin dip below threshold: parity splits it
+    # into two regions merged only by break_duration; smoothing width 3
+    # closes the dip so the run is ONE region even with break_duration=0
+    av = np.r_[np.zeros(10), np.full(20, 0.4), [0.05], np.full(20, 0.4),
+               np.zeros(10)]
+    plain = R.find_speech_regions(av, 0.1, 0.0)
+    smoothed = R.find_speech_regions(av, 0.1, 0.0, smooth_bins=3)
+    assert len(plain) == 2
+    assert len(smoothed) == 1
+
+
+def test_detector_grid_smooth_config(detector):
+    """grid_smooth plumbs through _finalize without changing avg_values."""
+    from softspoken_tpu.engine import regions as R
+
+    rng = np.random.default_rng(2)
+    audio = (0.1 * rng.normal(size=22050 * 8)).astype(np.float32)
+    base = detector.detect_waveform(audio)
+    det2 = Detector(TEST_CFG.with_engine(grid_smooth=5),
+                    variables=ckpt.fixture_variables(seed=0))
+    res2 = det2.detect_waveform(audio)
+    # the stored grid is untouched; only regionization sees the median
+    np.testing.assert_allclose(res2.avg_values, base.avg_values, atol=1e-6)
+    want = R.shift_regions(
+        R.find_speech_regions(base.avg_values, 0.1, 0.5, smooth_bins=5),
+        -3.0)
+    assert res2.intervals == want
