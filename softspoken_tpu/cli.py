@@ -763,12 +763,14 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--augment", nargs="*", default=["add_reverb", "reduce_volume"])
     pt.add_argument("--mesh", action="store_true", help="dp×sp over all devices")
     pt.add_argument("--noise-extra", nargs="*", default=[],
-                    choices=["music"],
+                    choices=["music", "granular", "drone", "impact_chain",
+                             "crackle"],
                     help="(--synthetic) opt-in confuser textures mixed into "
                          "the noise pool (synth.EXTRA_ENVIRONMENT_KINDS): "
                          "'music' targets the measured real-audio "
                          "false-positive class "
-                         "(docs/QUALITY_r03_realaudio.json)")
+                         "(docs/QUALITY_r03_realaudio.json); the other four "
+                         "are the third-family textures (train/synth3.py)")
     pt.add_argument("--resume", metavar="CKPT",
                     help="warm-start params/batch_stats from an orbax checkpoint")
     pt.add_argument("--dtype", default="float32",

@@ -174,7 +174,11 @@ ENVIRONMENT_KINDS = ("wind", "rain", "stream", "birds", "insects", "rumble",
 # fine-tune against them passes the full quality gate.
 #   "music": the real-audio probe (docs/QUALITY_r03_realaudio.json) showed
 #   the checkpoint flags ~50% of a house-music loop as speech.
-EXTRA_ENVIRONMENT_KINDS = ("music",)
+#   The third-family kinds (train/synth3.py: granular/drone/impact_chain/
+#   crackle — independent DSP from both generators; VERDICT r3 #7) are
+#   likewise opt-in TRAIN-ONLY confusers.
+EXTRA_ENVIRONMENT_KINDS = ("music", "granular", "drone", "impact_chain",
+                           "crackle")
 
 
 def _colored_noise(rng, n: int, alpha: float) -> np.ndarray:
@@ -191,6 +195,10 @@ def synth_environment(
     """One environmental texture (or a random one) of length ``n_samples``."""
     if kind is None:
         kind = ENVIRONMENT_KINDS[rng.integers(len(ENVIRONMENT_KINDS))]
+    if kind in ("granular", "drone", "impact_chain", "crackle"):
+        from . import synth3
+
+        return synth3.texture3(rng, n_samples, kind)
 
     if kind == "wind":
         base = _colored_noise(rng, n_samples, 2.0)
