@@ -422,6 +422,7 @@ def cmd_train(args) -> None:
             resume=args.resume,
             train_dtype=args.dtype,
             noise_extra_kinds=tuple(args.noise_extra or ()),
+            boundary_weight=args.boundary_weight,
         )
     else:
         if not (args.speech_dir and args.noise_dir):
@@ -771,6 +772,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "false-positive class "
                          "(docs/QUALITY_r03_realaudio.json); the other four "
                          "are the third-family textures (train/synth3.py)")
+    pt.add_argument("--boundary-weight", type=float, default=0.0,
+                    help="extra BCE weight within ~47 ms of speech "
+                         "onsets/offsets (mean-normalized; 0 = off). "
+                         "Event-F1 lever, gate on the quality grid "
+                         "before adoption")
     pt.add_argument("--resume", metavar="CKPT",
                     help="warm-start params/batch_stats from an orbax checkpoint")
     pt.add_argument("--dtype", default="float32",

@@ -261,13 +261,14 @@ def make_synth_batch_fn(
     return synth
 
 
-def make_fused_train_step(model, tx, synth_fn, n_inner: int = 8):
+def make_fused_train_step(model, tx, synth_fn, n_inner: int = 8,
+                          boundary_weight: float = 0.0):
     """One device call = ``n_inner`` full {synthesize → forward → backward →
     update} steps via lax.scan. Returns ``step(state, pools, key)`` →
     (state, metrics averaged over the inner steps)."""
     from .loop import make_train_step
 
-    base_step = make_train_step(model, tx)
+    base_step = make_train_step(model, tx, boundary_weight)
 
     def fused(state, speech_pool, noise_pool, key):
         def body(state, k):
@@ -282,7 +283,8 @@ def make_fused_train_step(model, tx, synth_fn, n_inner: int = 8):
     return jax.jit(fused, donate_argnums=(0,))
 
 
-def make_sharded_fused_train_step(model, tx, synth_fn, mesh, n_inner: int = 8):
+def make_sharded_fused_train_step(model, tx, synth_fn, mesh, n_inner: int = 8,
+                                  boundary_weight: float = 0.0):
     """Mesh variant: pools replicated, the synthesized batch dp-sharded.
 
     The synthesizer's output is constrained to ``P('data', …)`` so GSPMD
@@ -294,7 +296,7 @@ def make_sharded_fused_train_step(model, tx, synth_fn, mesh, n_inner: int = 8):
 
     from .loop import batch_partition_specs, make_train_step
 
-    base_step = make_train_step(model, tx)
+    base_step = make_train_step(model, tx, boundary_weight)
 
     def constrain(batch):
         # same layout as the host sharded trainer, from the one shared

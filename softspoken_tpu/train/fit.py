@@ -82,6 +82,7 @@ def fit(
     on_metrics=None,
     resume: Optional[str] = None,
     train_dtype: str = "float32",
+    boundary_weight: float = 0.0,
 ) -> Dict[str, float]:
     """Run training; returns the final metrics dict."""
     rng = np.random.default_rng(seed)
@@ -95,9 +96,11 @@ def fit(
                                           compute_dtype=jnp.dtype(train_dtype))
     step0 = int(state.step)
     if mesh is not None:
-        step_fn, shardings = make_sharded_train_step(model, tx, mesh)
+        step_fn, shardings = make_sharded_train_step(
+            model, tx, mesh, boundary_weight=boundary_weight)
     else:
-        step_fn = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+        step_fn = jax.jit(make_train_step(model, tx, boundary_weight),
+                          donate_argnums=(0,))
         shardings = None
     key = jax.random.PRNGKey(seed + 1)
 
@@ -159,6 +162,7 @@ def fit_synthetic(
     resume: Optional[str] = None,
     train_dtype: str = "float32",
     noise_extra_kinds: tuple = (),
+    boundary_weight: float = 0.0,
 ) -> Dict[str, float]:
     """Train from the synthetic corpus with fully on-device batch synthesis.
 
@@ -191,10 +195,12 @@ def fit_synthetic(
     step0 = int(state.step)
     synth_fn = make_synth_batch_fn(batch_size, augmentations)
     if mesh is not None:
-        step_fn = make_sharded_fused_train_step(model, tx, synth_fn, mesh,
-                                                n_inner=n_inner)
+        step_fn = make_sharded_fused_train_step(
+            model, tx, synth_fn, mesh, n_inner=n_inner,
+            boundary_weight=boundary_weight)
     else:
-        step_fn = make_fused_train_step(model, tx, synth_fn, n_inner=n_inner)
+        step_fn = make_fused_train_step(model, tx, synth_fn, n_inner=n_inner,
+                                        boundary_weight=boundary_weight)
 
     outer_total = -(-steps // n_inner)
     key = jax.random.PRNGKey(seed + 1)

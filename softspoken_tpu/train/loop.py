@@ -76,12 +76,40 @@ def create_train_state(
     return model, state, tx
 
 
+def boundary_weights(mask: jnp.ndarray, boundary_weight: float,
+                     halo: int = 4) -> jnp.ndarray:
+    """Per-frame loss weights emphasizing speech onsets/offsets.
+
+    ``mask`` (B, T) in {0,1} → weights (B, T): 1 everywhere, plus
+    ``boundary_weight`` within ``halo`` frames (~47 ms at dt = 3/256 s for
+    halo=4) of any 0↔1 transition.  Event-level F1 lags frame F1 because
+    boundaries fragment (VERDICT r3 #3); this concentrates gradient on the
+    frames that decide where an interval starts and ends.  Weights are
+    mean-normalized so the loss scale (and the learned threshold landscape)
+    is unchanged — only the emphasis moves.
+    """
+    trans = jnp.abs(jnp.diff(mask, axis=-1)) > 0.5  # (B, T-1)
+    trans = jnp.concatenate(
+        [trans, jnp.zeros_like(trans[..., :1])], axis=-1).astype(jnp.float32)
+    # dilate the transition indicator by ±halo with a max-pool
+    near = trans
+    for _ in range(halo):
+        shifted_l = jnp.concatenate(
+            [near[..., 1:], jnp.zeros_like(near[..., :1])], axis=-1)
+        shifted_r = jnp.concatenate(
+            [jnp.zeros_like(near[..., :1]), near[..., :-1]], axis=-1)
+        near = jnp.maximum(near, jnp.maximum(shifted_l, shifted_r))
+    w = 1.0 + boundary_weight * near
+    return w / jnp.mean(w, axis=-1, keepdims=True)
+
+
 def loss_fn(
     model: SpecUNet2D,
     params,
     batch_stats,
     batch: Dict[str, jnp.ndarray],
     dropout_rng: jax.Array,
+    boundary_weight: float = 0.0,
 ):
     """batch: mel (B,128,256,1), mask (B,256) in {0,1},
     spec (B,128,256,2) targets."""
@@ -92,20 +120,25 @@ def loss_fn(
         mutable=["batch_stats"],
         rngs={"dropout": dropout_rng},
     )
-    mask_loss = optax.sigmoid_binary_cross_entropy(mask_logits, batch["mask"]).mean()
+    bce = optax.sigmoid_binary_cross_entropy(mask_logits, batch["mask"])
+    if boundary_weight > 0.0:
+        bce = bce * boundary_weights(batch["mask"], boundary_weight)
+    mask_loss = bce.mean()
     spec_loss = jnp.mean((spec_out - batch["spec"]) ** 2)
     loss = mask_loss + spec_loss
     metrics = {"loss": loss, "mask_loss": mask_loss, "spec_loss": spec_loss}
     return loss, (updates["batch_stats"], metrics)
 
 
-def make_train_step(model: SpecUNet2D, tx: optax.GradientTransformation):
+def make_train_step(model: SpecUNet2D, tx: optax.GradientTransformation,
+                    boundary_weight: float = 0.0):
     """Returns jit-able ``step(state, batch, rng) -> (state, metrics)``."""
 
     def train_step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
         grad_fn = jax.value_and_grad(
-            lambda p: loss_fn(model, p, state.batch_stats, batch, dropout_rng),
+            lambda p: loss_fn(model, p, state.batch_stats, batch, dropout_rng,
+                              boundary_weight),
             has_aux=True,
         )
         (_, (new_stats, metrics)), grads = grad_fn(state.params)
@@ -135,7 +168,8 @@ def batch_partition_specs(mesh, shard_time: bool = True):
     }
 
 
-def make_sharded_train_step(model, tx, mesh, shard_time: bool = True):
+def make_sharded_train_step(model, tx, mesh, shard_time: bool = True,
+                            boundary_weight: float = 0.0):
     """Train step jitted with dp (batch) × sp (mel time) shardings."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -145,7 +179,7 @@ def make_sharded_train_step(model, tx, mesh, shard_time: bool = True):
     }
     repl = NamedSharding(mesh, P())
     step = jax.jit(
-        make_train_step(model, tx),
+        make_train_step(model, tx, boundary_weight),
         in_shardings=(None, batch_sharding, repl),
         donate_argnums=(0,),
     )

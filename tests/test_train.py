@@ -521,3 +521,51 @@ def test_build_batch_augment_params_are_per_clip():
     assert not np.array_equal(a, base["mel"][..., 0])  # augmentation ran
     row_spread = np.std(a.sum(axis=(1, 2)))
     assert row_spread > 1e-3, a.sum(axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# boundary-weighted loss (round-4 event-F1 lever; train/loop.py)
+# ---------------------------------------------------------------------------
+
+
+def test_boundary_weights_shape_and_normalization():
+    import jax.numpy as jnp
+
+    from softspoken_tpu.train.loop import boundary_weights
+
+    mask = jnp.zeros((2, 64)).at[0, 20:40].set(1.0).at[1, 0:5].set(1.0)
+    w = boundary_weights(mask, 2.0, halo=4)
+    assert w.shape == (2, 64)
+    # mean-normalized per row: the loss scale is unchanged
+    np.testing.assert_allclose(np.asarray(w.mean(axis=-1)), 1.0, atol=1e-6)
+    w0 = np.asarray(w[0])
+    # frames near the 20/40 transitions outweigh far-interior/far-exterior
+    assert w0[20] > w0[55] and w0[39] > w0[55]
+    assert w0[20] > w0[30] and w0[39] > w0[30]
+    assert w0[29] == w0[30]  # interior plateau between the two halos
+    # an all-zero mask (no transitions) gives uniform weights
+    wz = boundary_weights(jnp.zeros((1, 64)), 2.0)
+    np.testing.assert_allclose(np.asarray(wz), 1.0, atol=1e-6)
+
+
+def test_boundary_weight_changes_gradient_emphasis_not_scale():
+    import jax
+    import jax.numpy as jnp
+
+    from softspoken_tpu.train.loop import create_train_state, loss_fn
+
+    model, state, _ = create_train_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = {
+        "mel": jnp.asarray(rng.uniform(0, 1, (2, 128, 64, 1)), jnp.float32),
+        "mask": jnp.zeros((2, 64)).at[:, 10:40].set(1.0),
+        "spec": jnp.zeros((2, 128, 64, 2), jnp.float32),
+    }
+    l0, _ = loss_fn(model, state.params, state.batch_stats, batch,
+                    jax.random.PRNGKey(1), boundary_weight=0.0)
+    l2, _ = loss_fn(model, state.params, state.batch_stats, batch,
+                    jax.random.PRNGKey(1), boundary_weight=2.0)
+    # same order of magnitude (weights are mean-normalized) but not equal
+    assert np.isfinite(float(l0)) and np.isfinite(float(l2))
+    assert abs(float(l2) - float(l0)) > 1e-7
+    assert 0.2 < float(l2) / float(l0) < 5.0
