@@ -97,6 +97,8 @@ def main():
         if args.quick:
             cmd.append("--quick")
             grid_q = "/tmp/quality_grid_quick.json"
+            if os.path.exists(grid_q):  # stale from another checkpoint's
+                os.remove(grid_q)       # quick run would clobber ours
             run(cmd, os.path.join(wd, "grid.log"))
             if os.path.exists(grid_q):
                 os.replace(grid_q, grid_json)
@@ -112,6 +114,8 @@ def main():
         if args.quick:
             cmd.append("--quick")
             rq = "/tmp/real_audio_quick.json"
+            if os.path.exists(rq):
+                os.remove(rq)
             run(cmd, os.path.join(wd, "real.log"))
             if os.path.exists(rq):
                 os.replace(rq, real_json)

@@ -440,6 +440,7 @@ def cmd_train(args) -> None:
             mesh=mesh,
             resume=args.resume,
             train_dtype=args.dtype,
+            boundary_weight=args.boundary_weight,
         )
     print(json.dumps(metrics))
 

@@ -198,8 +198,8 @@ def reverb15(audio, sr, rng):
 
 def fading(audio: np.ndarray, sr: int, rng: np.random.Generator) -> np.ndarray:
     """Slow-fading channel: gain envelope (8–20 s period random walk mapped
-    to [0.15, 1]) times the recording, plus a constant −32 dBFS lowpassed
-    noise floor.  The envelope scales signal AND its recorded background
+    to a −24..0 dB track, i.e. linear 0.063–1) times the recording, plus a
+    constant −32 dBFS lowpassed noise floor.  The envelope scales signal AND its recorded background
     together while the added floor stays fixed, so the effective SNR drifts
     slowly — the moving-source / wind-shadow case the static snr conditions
     cannot represent."""
