@@ -422,6 +422,7 @@ def cmd_train(args) -> None:
             resume=args.resume,
             train_dtype=args.dtype,
             noise_extra_kinds=tuple(args.noise_extra or ()),
+            noise_extra_frac=args.noise_extra_frac,
             boundary_weight=args.boundary_weight,
         )
     else:
@@ -773,6 +774,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "false-positive class "
                          "(docs/QUALITY_r03_realaudio.json); the other four "
                          "are the third-family textures (train/synth3.py)")
+    pt.add_argument("--noise-extra-frac", type=float, default=0.2,
+                    help="fraction of the noise pool drawn from "
+                         "--noise-extra kinds (default 0.2)")
     pt.add_argument("--boundary-weight", type=float, default=0.0,
                     help="extra BCE weight within ~47 ms of speech "
                          "onsets/offsets (mean-normalized; 0 = off). "

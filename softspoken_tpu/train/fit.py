@@ -162,6 +162,7 @@ def fit_synthetic(
     resume: Optional[str] = None,
     train_dtype: str = "float32",
     noise_extra_kinds: tuple = (),
+    noise_extra_frac: float = 0.2,
     boundary_weight: float = 0.0,
 ) -> Dict[str, float]:
     """Train from the synthetic corpus with fully on-device batch synthesis.
@@ -184,7 +185,8 @@ def fit_synthetic(
     log.info("generating initial clip pools (%d speech + %d noise)…",
              pool_speech, pool_noise)
     sp_np, nz_np = synth.make_pools(rng, pool_speech, pool_noise,
-                                    extra_kinds=tuple(noise_extra_kinds))
+                                    extra_kinds=tuple(noise_extra_kinds),
+                                    extra_frac=noise_extra_frac)
     speech_pool, noise_pool = jax.device_put(sp_np), jax.device_put(nz_np)
 
     import jax.numpy as jnp
@@ -238,6 +240,7 @@ def fit_synthetic(
                 pool_pending = _DaemonJob(
                     synth.make_pools, pool_rng, pool_speech, pool_noise,
                     extra_kinds=tuple(noise_extra_kinds),
+                    extra_frac=noise_extra_frac,
                 )
         key, sub = jax.random.split(key)
         if mesh is not None:
