@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--workdir", default="/tmp/ft_synth3")
     ap.add_argument("--steps", type=int, default=8000)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--extra-frac", type=float, default=0.2,
+                    help="fraction of the noise pool drawn from the "
+                         "third-family kinds (train --noise-extra-frac)")
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--quick", action="store_true",
                     help="tiny steps + --quick grids (plumbing smoke)")
@@ -80,6 +83,7 @@ def main():
                "--resume", COMMITTED, "--out", cand,
                "--steps", str(steps), "--batch-size", str(bs),
                "--lr", str(args.lr), "--noise-extra", *EXTRAS,
+               "--noise-extra-frac", str(args.extra_frac),
                "--seed", "88042"]
         if args.quick:
             cmd += ["--n-inner", "2", "--pool-size", "16"]
