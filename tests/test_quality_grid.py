@@ -79,3 +79,53 @@ def test_metrics_include_granularity_key():
     assert 0.0 <= out["parity"]["event_f1_granularity"] <= 1.0
     # engine intervals still surface for the codec gate
     assert out["intervals"][0] == ((1.0, 3.0),)
+
+
+def test_cache_preserves_paths_and_new_sweeps(tmp_path):
+    """Round-4 additions: the cache carries the eval WAV path (postfilter
+    A/B needs the audio), and metrics include the smoothing + IoU sweeps."""
+    det, labeled = _labeled()
+    per_file = QG.detect_set(det, labeled)
+    assert all(pf["path"].endswith(".wav") for pf in per_file)
+    p = str(tmp_path / "c.npz")
+    QG.save_cache(p, per_file)
+    back = QG.load_cache(p)
+    assert [pf["path"] for pf in back] == [pf["path"] for pf in per_file]
+    out = QG.metrics_from(per_file, pad_seconds=3.0)
+    assert set(out["smooth_sweep"]) == {
+        "s3", "s5", "s7", "s3+hyst0.05", "s5+hyst0.05", "s7+hyst0.05"}
+    assert set(out["event_f1_iou_sweep"]) == {"0.3", "0.5", "0.7"}
+    # IoU is monotone: looser overlap can only match more events
+    sw = out["event_f1_iou_sweep"]
+    assert sw["0.3"] >= sw["0.5"] >= sw["0.7"]
+
+
+def test_postfilter_parity_metrics_skips_missing_audio(tmp_path):
+    """Pure-rescore mode (audio gone): the A/B degrades to a skip count,
+    never crashes or invents numbers."""
+    det, labeled = _labeled()
+    per_file = QG.detect_set(det, labeled)  # paths are fake f*.wav
+    out = QG.postfilter_parity_metrics(per_file, 3.0, 0.85)
+    assert out["skipped_files"] == len(per_file)
+    assert "frame_f1" not in out
+
+
+def test_postfilter_parity_metrics_with_real_audio(tmp_path):
+    """With the eval WAVs on disk the A/B scores real contexts; speech-free
+    tone files produce finite metrics and non-negative drop counts."""
+    from softspoken_tpu.io import wavio
+
+    det, labeled = _labeled()
+    per_file = QG.detect_set(det, labeled)
+    sr = 22050
+    t = np.arange(30 * sr) / sr
+    for i, pf in enumerate(per_file):
+        path = str(tmp_path / f"f{i}.wav")
+        wavio.write(path, (0.1 * np.sin(2 * np.pi * 500 * t)).astype(
+            np.float32), sr, subtype="PCM_16")
+        pf["path"] = path
+    out = QG.postfilter_parity_metrics(per_file, 3.0, 0.85)
+    assert out["files_scored"] == len(per_file)
+    assert out["skipped_files"] == 0
+    assert 0.0 <= out["frame_f1"] <= 1.0
+    assert 0 <= out["regions_dropped"] <= out["regions_total"]
