@@ -6,7 +6,7 @@ marginal on the round-4 grid (docs/QUALITY_r04.json smooth/hysteresis
 sweeps): events fragment because of detection quality at boundaries, not
 threshold flicker.  This experiment moves the gradient there instead:
 fine-tune the committed checkpoint with
-``train --boundary-weight 2.0`` (train/loop.py::boundary_weights — extra
+``train --boundary-weight W`` (train/loop.py::boundary_weights — extra
 BCE weight within ~47 ms of every onset/offset, mean-normalized so the
 threshold landscape is unchanged), then gate on the FULL round-4 grid.
 
@@ -16,6 +16,10 @@ out-of-family worst-case EVENT F1 improves by at least +0.02, and (c)
 mean v2 frame F1 does not drop.  Otherwise recorded as a measured
 negative result.
 
+Stages are fingerprinted (scripts/ftlib.py): rerunning with different
+hyperparameters in the same workdir refuses instead of silently reusing
+the stale candidate.
+
 Usage:  python scripts/ft_boundary.py --workdir /tmp/ft_boundary
         [--steps 6000] [--lr 1e-4] [--weight 2.0] [--quick]
 """
@@ -23,22 +27,14 @@ Usage:  python scripts/ft_boundary.py --workdir /tmp/ft_boundary
 import argparse
 import json
 import os
-import subprocess
 import sys
-import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ftlib import run, stage  # noqa: E402
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 COMMITTED = os.path.join(REPO_ROOT, "root/models/spec_unet_2d/model_checkpoint")
-
-
-def run(cmd, log_path):
-    print(f"+ {' '.join(cmd)}  (log: {log_path})", flush=True)
-    with open(log_path, "a") as lf:
-        p = subprocess.run(cmd, stdout=lf, stderr=subprocess.STDOUT,
-                           cwd=REPO_ROOT)
-    if p.returncode != 0:
-        raise SystemExit(
-            f"stage failed ({p.returncode}): {' '.join(cmd)} — see {log_path}")
 
 
 def main():
@@ -60,11 +56,10 @@ def main():
 
     steps = 4 if args.quick else args.steps
     bs = 2 if args.quick else args.batch_size
+    recipe = {"steps": steps, "lr": args.lr, "boundary_weight": args.weight,
+              "batch_size": bs, "quick": bool(args.quick), "seed": 99077}
 
-    if os.path.exists(os.path.join(cand, "manifest.ocdbt")):
-        print(f"stage 1 skipped: {cand} exists", flush=True)
-    else:
-        t0 = time.time()
+    def train():
         cmd = [py, "-m", "softspoken_tpu.cli", "train", "--synthetic",
                "--resume", COMMITTED, "--out", cand,
                "--steps", str(steps), "--batch-size", str(bs),
@@ -74,11 +69,11 @@ def main():
         if args.quick:
             cmd += ["--n-inner", "2", "--pool-size", "16"]
         run(cmd, os.path.join(wd, "train.log"))
-        print(f"stage 1 done in {time.time() - t0:.0f} s", flush=True)
 
-    if os.path.exists(grid_json):
-        print(f"stage 2 skipped: {grid_json} exists", flush=True)
-    else:
+    stage("stage 1 (train)", os.path.join(cand, "manifest.ocdbt"),
+          recipe, train)
+
+    def grid():
         cmd = [py, "scripts/quality_grid.py", "--ckpt", cand,
                "--out", grid_json,
                "--cache-dir", os.path.join(wd, "grid_cache"),
@@ -86,14 +81,9 @@ def main():
                "--no-postfilter-ab"]
         if args.quick:
             cmd.append("--quick")
-            grid_q = "/tmp/quality_grid_quick.json"
-            if os.path.exists(grid_q):
-                os.remove(grid_q)
-            run(cmd, os.path.join(wd, "grid.log"))
-            if os.path.exists(grid_q):
-                os.replace(grid_q, grid_json)
-        else:
-            run(cmd, os.path.join(wd, "grid.log"))
+        run(cmd, os.path.join(wd, "grid.log"))
+
+    stage("stage 2 (grid)", grid_json, recipe, grid)
 
     with open(grid_json) as f:
         conds_c = json.load(f).get("conditions") or {}
@@ -143,8 +133,7 @@ def main():
                              "candidate": round(mfr_c, 4)},
         "regressed_conditions": regressions,
         "per_condition": per_condition,
-        "boundary_weight": args.weight,
-        "quick": bool(args.quick),
+        "recipe": recipe,
         "candidate": cand,
         "rule": "adopt iff no condition drops >0.005 frame F1, v2 worst "
                 "event F1 improves >= +0.02, and v2 mean frame F1 holds",

@@ -25,22 +25,14 @@ Usage:  python scripts/ft_music.py --workdir /tmp/ft_music
 import argparse
 import json
 import os
-import subprocess
 import sys
-import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ftlib import run, stage  # noqa: E402
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 COMMITTED = os.path.join(REPO_ROOT, "root/models/spec_unet_2d/model_checkpoint")
-
-
-def run(cmd, log_path):
-    print(f"+ {' '.join(cmd)}  (log: {log_path})", flush=True)
-    with open(log_path, "a") as lf:
-        p = subprocess.run(cmd, stdout=lf, stderr=subprocess.STDOUT,
-                           cwd=REPO_ROOT)
-    if p.returncode != 0:
-        raise SystemExit(
-            f"stage failed ({p.returncode}): {' '.join(cmd)} — see {log_path}")
 
 
 def main():
@@ -63,12 +55,10 @@ def main():
 
     steps = 4 if args.quick else args.steps
     bs = 2 if args.quick else args.batch_size
+    recipe = {"steps": steps, "lr": args.lr, "extras": ["music"],
+              "batch_size": bs, "quick": bool(args.quick), "seed": 77019}
 
-    # ---- stage 1: fine-tune ------------------------------------------------
-    if os.path.exists(os.path.join(cand, "manifest.ocdbt")):
-        print(f"stage 1 skipped: {cand} exists", flush=True)
-    else:
-        t0 = time.time()
+    def train():
         cmd = [py, "-m", "softspoken_tpu.cli", "train", "--synthetic",
                "--resume", COMMITTED, "--out", cand,
                "--steps", str(steps), "--batch-size", str(bs),
@@ -77,42 +67,30 @@ def main():
         if args.quick:
             cmd += ["--n-inner", "2", "--pool-size", "16"]
         run(cmd, os.path.join(wd, "train.log"))
-        print(f"stage 1 done in {time.time() - t0:.0f} s", flush=True)
 
-    # ---- stage 2: synthetic quality grid ------------------------------------
-    if os.path.exists(grid_json):
-        print(f"stage 2 skipped: {grid_json} exists", flush=True)
-    else:
+    stage("stage 1 (train)", os.path.join(cand, "manifest.ocdbt"),
+          recipe, train)
+
+    def grid():
+        # explicit --out: quality_grid's --quick /tmp redirect only fires
+        # for its default docs path, so the output lands here directly
         cmd = [py, "scripts/quality_grid.py", "--ckpt", cand,
                "--out", grid_json,
                "--cache-dir", os.path.join(wd, "grid_cache")]
         if args.quick:
             cmd.append("--quick")
-            grid_q = "/tmp/quality_grid_quick.json"
-            if os.path.exists(grid_q):  # stale from another checkpoint's
-                os.remove(grid_q)       # quick run would clobber ours
-            run(cmd, os.path.join(wd, "grid.log"))
-            if os.path.exists(grid_q):
-                os.replace(grid_q, grid_json)
-        else:
-            run(cmd, os.path.join(wd, "grid.log"))
+        run(cmd, os.path.join(wd, "grid.log"))
 
-    # ---- stage 3: real-audio probe ------------------------------------------
-    if os.path.exists(real_json):
-        print(f"stage 3 skipped: {real_json} exists", flush=True)
-    else:
+    stage("stage 2 (grid)", grid_json, recipe, grid)
+
+    def real():
         cmd = [py, "scripts/real_audio_check.py", "--ckpt", cand,
                "--out", real_json]
         if args.quick:
             cmd.append("--quick")
-            rq = "/tmp/real_audio_quick.json"
-            if os.path.exists(rq):
-                os.remove(rq)
-            run(cmd, os.path.join(wd, "real.log"))
-            if os.path.exists(rq):
-                os.replace(rq, real_json)
-        else:
-            run(cmd, os.path.join(wd, "real.log"))
+        run(cmd, os.path.join(wd, "real.log"))
+
+    stage("stage 3 (real-audio)", real_json, recipe, real)
 
     # ---- stage 4: verdict ----------------------------------------------------
     def conditions_of(grid: dict) -> dict:
@@ -165,7 +143,7 @@ def main():
         "music_false_fraction": {"committed": music_0, "candidate": music_c},
         "regressed_conditions": regressions,
         "per_condition": per_condition,
-        "quick": bool(args.quick),
+        "recipe": recipe,
         "candidate": cand,
         "rule": "adopt iff no condition drops >0.01, worst v2 within 0.005 "
                 "of committed, and music false_fraction at least halves",

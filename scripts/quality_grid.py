@@ -333,6 +333,21 @@ def main():
     pad = cfg.engine.pad_seconds
 
     out = {
+        "round": 4,
+        "transfer_risk": (
+            "Both eval generators are synthetic; neither proves performance "
+            "on real field audio. Round 4 closed the two axes the round-3 "
+            "statement named as unbounded: reverberation (eval-independent "
+            "image-source RIR conditions) and time-varying channels "
+            "(slow-fading). Remaining unbounded axes: real speech "
+            "phonotactics, real weather (wind buffeting the mic element), "
+            "overlapping speakers. Fine-tune attempts and their "
+            "pre-registered gates: docs/FT_SYNTH3_r04.json, "
+            "docs/FT_MUSIC_r03.json."),
+        "postfilter_ab": (
+            "parity_postfilter per condition is the full-grid on-vs-off "
+            "A/B of the music post-filter; decision and worst collateral "
+            "in docs/MUSIC_FILTER_GATE_r04.json."),
         "checkpoint": args.ckpt,
         "operating_points": {
             "parity": PARITY,

@@ -402,6 +402,8 @@ def make_pools(
     not interleaved, so the default pools are bit-identical to the
     pre-``extra_kinds`` builder for the same seed (the committed
     checkpoint's training stream stays reproducible)."""
+    if not 0.0 <= extra_frac <= 1.0:
+        raise ValueError(f"extra_frac must be in [0, 1], got {extra_frac}")
     speech = np.stack([synth_speech(rng, CLIP)[0] for _ in range(n_speech)])
     n_extra = int(n_noise * extra_frac) if extra_kinds else 0
     noise = [synth_environment(rng, CLIP) for _ in range(n_noise - n_extra)]

@@ -104,7 +104,11 @@ def test_postfilter_parity_metrics_skips_missing_audio(tmp_path):
     """Pure-rescore mode (audio gone): the A/B degrades to a skip count,
     never crashes or invents numbers."""
     det, labeled = _labeled()
-    per_file = QG.detect_set(det, labeled)  # paths are fake f*.wav
+    per_file = QG.detect_set(det, labeled)
+    # pin the fake paths under tmp_path: detect_set abspaths the stub
+    # names against the CWD, and a real f0.wav there would be scored
+    for i, pf in enumerate(per_file):
+        pf["path"] = str(tmp_path / f"gone_{i}.wav")
     out = QG.postfilter_parity_metrics(per_file, 3.0, 0.85)
     assert out["skipped_files"] == len(per_file)
     assert "frame_f1" not in out
