@@ -424,6 +424,7 @@ def cmd_train(args) -> None:
             noise_extra_kinds=tuple(args.noise_extra or ()),
             noise_extra_frac=args.noise_extra_frac,
             boundary_weight=args.boundary_weight,
+            snr_db_range=(args.snr_min, args.snr_max),
         )
     else:
         if not (args.speech_dir and args.noise_dir):
@@ -774,6 +775,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "false-positive class "
                          "(docs/QUALITY_r03_realaudio.json); the other four "
                          "are the third-family textures (train/synth3.py)")
+    pt.add_argument("--snr-min", type=float, default=-5.0,
+                    help="(--synthetic) training mix SNR floor in dB "
+                         "(device_data.make_synth_batch_fn)")
+    pt.add_argument("--snr-max", type=float, default=20.0)
     pt.add_argument("--noise-extra-frac", type=float, default=0.2,
                     help="fraction of the noise pool drawn from "
                          "--noise-extra kinds (default 0.2)")

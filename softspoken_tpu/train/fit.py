@@ -164,6 +164,7 @@ def fit_synthetic(
     noise_extra_kinds: tuple = (),
     noise_extra_frac: float = 0.2,
     boundary_weight: float = 0.0,
+    snr_db_range: tuple = (-5.0, 20.0),
 ) -> Dict[str, float]:
     """Train from the synthetic corpus with fully on-device batch synthesis.
 
@@ -195,7 +196,8 @@ def fit_synthetic(
                                           resume=resume,
                                           compute_dtype=jnp.dtype(train_dtype))
     step0 = int(state.step)
-    synth_fn = make_synth_batch_fn(batch_size, augmentations)
+    synth_fn = make_synth_batch_fn(batch_size, augmentations,
+                                   snr_db_range=tuple(snr_db_range))
     if mesh is not None:
         step_fn = make_sharded_fused_train_step(
             model, tx, synth_fn, mesh, n_inner=n_inner,
