@@ -301,3 +301,22 @@ def test_grid_covers_final_chunk_carry_slice():
     step = CFG.engine.step_seconds
     final_fin = int(round((eng.chunk_w - 1) * step / R.TIME_RESOLUTION)) + 256
     assert final_fin + CARRY <= eng.glen
+
+
+def test_fused_grid_smooth_config(tmp_path):
+    """grid_smooth applies identically on the fused path: intervals equal
+    the host-side smoothed regionization of the fused avg grid, and the
+    stored grid itself is untouched."""
+    from softspoken_tpu.engine import regions as R
+
+    p = _wav(tmp_path, 22050, 8.0, seed=5)
+    base_det = Detector(CFG, variables=ckpt.fixture_variables(seed=0))
+    base = detect_file_fused(base_det, p)
+    det5 = Detector(CFG.with_engine(grid_smooth=5),
+                    variables=ckpt.fixture_variables(seed=0))
+    res5 = detect_file_fused(det5, p)
+    np.testing.assert_allclose(res5.avg_values, base.avg_values, atol=1e-6)
+    want = R.shift_regions(
+        R.find_speech_regions(base.avg_values, 0.1, 0.5, smooth_bins=5),
+        -3.0)
+    assert res5.intervals == want
