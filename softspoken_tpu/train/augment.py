@@ -56,6 +56,14 @@ PARAM_RANGES: Dict[str, Dict[str, Tuple[float, float]]] = {
         "compression_ratio": (1.5, 6.0),
         "threshold_level": (-40.0, -10.0),
     },
+    # NOT a reference augmentation (voice_activity.py has no channel-gain
+    # aug): round-4 addition — the within-clip analog of the slow-fading
+    # channel the round-4 eval grid measures (train/degrade.py::fading).
+    # Endpoints drawn independently so a clip can fade in, out, or sit at
+    # a random low level; opt-in only (never in the default aug list)
+    # pending a gated from-scratch train (docs/FT_SNRFLOOR_r04.json
+    # round5_reading).
+    "gain_ramp": {"start_db": (-18.0, 0.0), "end_db": (-18.0, 0.0)},
 }
 
 
@@ -200,6 +208,13 @@ def reduce_volume(audio, sr=SR, reduction_level=0.5):
     return (audio * reduction_level).astype(jnp.float32)
 
 
+def gain_ramp(audio, sr=SR, start_db=0.0, end_db=0.0):
+    """Linear-in-dB gain ramp across the clip (round-4, non-reference)."""
+    n = audio.shape[-1]
+    db = jnp.linspace(start_db, end_db, n)
+    return (audio * 10.0 ** (db / 20.0)).astype(jnp.float32)
+
+
 def add_echo(audio, sr=SR, echo_delay=0.5, decay_factor=0.5):
     n = audio.shape[-1]
     d = int(echo_delay * sr)
@@ -254,6 +269,7 @@ FUNC_MAP = {
     "change_speed": change_speed,
     "add_reverb": add_reverb,
     "reduce_volume": reduce_volume,
+    "gain_ramp": gain_ramp,
     "add_echo": add_echo,
     "bandpass_filter": bandpass_filter,
     "add_harmonic_distortion": add_harmonic_distortion,

