@@ -42,7 +42,23 @@ CONDS = [
 ]
 
 
-def score(ckpt_dir, workdir, n_files, seconds):
+def build_eval_sets(workdir, n_files, seconds):
+    """Synthesize the six eval sets ONCE (both arms score identical data;
+    regenerating per arm duplicated the synthesis+convolution cost)."""
+    from softspoken_tpu.train import evaluate as E
+
+    sets = {}
+    for gen in ("v1", "v2"):
+        for ci, (cname, kw) in enumerate(CONDS):
+            tag = f"{gen}_{cname}"
+            d = os.path.join(workdir, f"eval_{tag}")
+            sets[tag] = E.make_eval_set(
+                d, n_files=n_files, seconds=seconds,
+                seed=7600 + ci, generator=gen, **kw)
+    return sets
+
+
+def score(ckpt_dir, eval_sets):
     import quality_grid as QG
     from softspoken_tpu import Config
     from softspoken_tpu.engine import Detector
@@ -53,17 +69,12 @@ def score(ckpt_dir, workdir, n_files, seconds):
     if getattr(det, "epoch", -1) < 0:
         raise SystemExit(f"checkpoint {ckpt_dir} did not load")
     out = {}
-    for gen in ("v1", "v2"):
-        for ci, (cname, kw) in enumerate(CONDS):
-            tag = f"{gen}_{cname}"
-            d = os.path.join(workdir, f"eval_{tag}")
-            labels = E.make_eval_set(d, n_files=n_files, seconds=seconds,
-                                     seed=7600 + ci, generator=gen, **kw)
-            per_file = QG.detect_set(det, E.load_labels(labels))
-            m = QG.metrics_from(per_file, cfg.engine.pad_seconds)
-            out[tag] = {"frame_f1": m["parity"]["frame_f1"],
-                        "event_f1": m["parity"]["event_f1"]}
-            print(f"  {tag}: frame {out[tag]['frame_f1']}", flush=True)
+    for tag, labels in eval_sets.items():
+        per_file = QG.detect_set(det, E.load_labels(labels))
+        m = QG.metrics_from(per_file, cfg.engine.pad_seconds)
+        out[tag] = {"frame_f1": m["parity"]["frame_f1"],
+                    "event_f1": m["parity"]["event_f1"]}
+        print(f"  {tag}: frame {out[tag]['frame_f1']}", flush=True)
     return out
 
 
@@ -87,6 +98,7 @@ def main():
         "A_lineage": ["add_reverb", "reduce_volume"],
         "B_channels": ["add_reverb", "reduce_volume", "gain_ramp"],
     }
+    eval_sets = build_eval_sets(wd, n_files, seconds)
     results = {}
     for arm, augs in arms.items():
         ckpt_dir = os.path.join(wd, f"ckpt_{arm}")
@@ -106,7 +118,7 @@ def main():
         stage(f"train {arm}", os.path.join(ckpt_dir, "manifest.ocdbt"),
               recipe, train)
         print(f"scoring {arm} ({augs})", flush=True)
-        results[arm] = score(ckpt_dir, wd, n_files, seconds)
+        results[arm] = score(ckpt_dir, eval_sets)
 
     deltas = {tag: {
         "frame_f1_A": results["A_lineage"][tag]["frame_f1"],

@@ -124,10 +124,16 @@ def make_device_augment_fn(augmentations: Sequence[str], sr: int = SR):
 
         def gain_ramp(mix):
             # linear-in-dB ramp; endpoints independent per row (round-4
-            # fading analog; ranges = augment.PARAM_RANGES["gain_ramp"])
+            # fading analog).  Ranges READ from augment.PARAM_RANGES —
+            # unlike the reference-frozen augs this is a round-5 tuning
+            # knob, and a hardcoded copy here would silently diverge from
+            # the host path when it is retuned (review r4)
+            from .augment import PARAM_RANGES
+
+            rng_spec = PARAM_RANGES["gain_ramp"]
             k1, k2 = jax.random.split(keys["gain_ramp"])
-            a = u(k1, (-18.0, 0.0))
-            b = u(k2, (-18.0, 0.0))
+            a = u(k1, rng_spec["start_db"])
+            b = u(k2, rng_spec["end_db"])
             t = jnp.linspace(0.0, 1.0, n)[None, :]
             return mix * 10.0 ** ((a + (b - a) * t) / 20.0)
 

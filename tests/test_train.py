@@ -594,15 +594,25 @@ def test_gain_ramp_host_and_device_agree():
     np.testing.assert_allclose(float(y[0, 0] / x[0, 0]),
                                10 ** (-12 / 20.0), rtol=1e-3)
 
-    # device path runs traced without recompiling per draw and changes
-    # the signal (a ramp is never identity for continuous draws)
+    # device path: reimplement its exact draw (fold_in on the aug's stable
+    # _DEVICE_AUGS index, split, uniform over PARAM_RANGES) and assert the
+    # output equals the HOST formula with those endpoints — a dB-scale or
+    # endpoint-swap bug cannot hide behind shape/sign checks (review r4)
+    from softspoken_tpu.train.device_data import _DEVICE_AUGS
+
+    key = jax.random.PRNGKey(3)
     fn = make_device_augment_fn(["gain_ramp"])
-    out = fn(x, jax.random.PRNGKey(3))
-    assert out.shape == x.shape
+    out = fn(x, key)
+    k = jax.random.fold_in(key, _DEVICE_AUGS.index("gain_ramp"))
+    k1, k2 = jax.random.split(k)
+    rng_spec = augment.PARAM_RANGES["gain_ramp"]
+    a = float(jax.random.uniform(k1, (1, 1), minval=rng_spec["start_db"][0],
+                                 maxval=rng_spec["start_db"][1])[0, 0])
+    b = float(jax.random.uniform(k2, (1, 1), minval=rng_spec["end_db"][0],
+                                 maxval=rng_spec["end_db"][1])[0, 0])
+    want = augment.gain_ramp(x, start_db=a, end_db=b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-5)
     assert not np.allclose(np.asarray(out), np.asarray(x))
-    # pure gain: zero crossings/sign pattern preserved
-    np.testing.assert_array_equal(np.sign(np.asarray(out)),
-                                  np.sign(np.asarray(x)))
     # PARAM_RANGES registered so the host sampler can draw it
     assert "gain_ramp" in augment.PARAM_RANGES
     assert "gain_ramp" in augment.FUNC_MAP
