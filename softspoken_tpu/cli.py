@@ -423,6 +423,10 @@ def cmd_train(args) -> None:
             train_dtype=args.dtype,
             noise_extra_kinds=tuple(args.noise_extra or ()),
             noise_extra_frac=args.noise_extra_frac,
+            noise_extra_policy=args.noise_extra_policy,
+            noise_extra_snr_range=(args.noise_extra_snr_min,
+                                   args.noise_extra_snr_max),
+            noise_extra_silent_prob=args.noise_extra_silent_prob,
             boundary_weight=args.boundary_weight,
             snr_db_range=(args.snr_min, args.snr_max),
         )
@@ -782,6 +786,23 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--noise-extra-frac", type=float, default=0.2,
                     help="fraction of the noise pool drawn from "
                          "--noise-extra kinds (default 0.2)")
+    pt.add_argument("--noise-extra-policy", default="mixed",
+                    choices=["mixed", "protected"],
+                    help="'mixed' (default): extras behave like any other "
+                         "noise clip. 'protected': extras appear as pure "
+                         "negatives on silent rows and only at "
+                         "--noise-extra-snr-min..max dB under speech, so "
+                         "the marginal-SNR speech distribution stays "
+                         "texture-free (the collateral signature of the "
+                         "four round-4 fine-tunes, "
+                         "docs/FT_SNRFLOOR_r04.json round5_reading)")
+    pt.add_argument("--noise-extra-snr-min", type=float, default=10.0,
+                    help="(protected policy) SNR floor in dB for extras "
+                         "under speech")
+    pt.add_argument("--noise-extra-snr-max", type=float, default=20.0)
+    pt.add_argument("--noise-extra-silent-prob", type=float, default=0.5,
+                    help="(protected policy) probability a silent row "
+                         "draws its noise from the extras region")
     pt.add_argument("--boundary-weight", type=float, default=0.0,
                     help="extra BCE weight within ~47 ms of speech "
                          "onsets/offsets (mean-normalized; 0 = off). "

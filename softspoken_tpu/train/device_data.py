@@ -224,21 +224,87 @@ def make_device_augment_fn(augmentations: Sequence[str], sr: int = SR):
     return augment
 
 
+def sample_mix_rows(
+    key: jax.Array,
+    batch_size: int,
+    n_speech: int,
+    n_noise: int,
+    snr_db_range: Tuple[float, float],
+    silence_prob: float,
+    extras_start: int | None = None,
+    extras_snr_range: Tuple[float, float] = (10.0, 20.0),
+    extras_silent_prob: float = 0.5,
+):
+    """Per-row draw of ``(si, ni, keep, snr_db, k_roll, k_aug)``.
+
+    With ``extras_start=None`` this reproduces the historical sampling
+    stream bit-for-bit (same key splits, same order), so existing recipes
+    are unchanged.  ``extras_start`` marks where the opt-in confuser
+    textures begin in the noise pool (synth.make_pools appends them at the
+    tail) and switches on the **protected placement policy** — the round-4
+    reading of the four rejected fine-tunes (docs/FT_SNRFLOOR_r04.json
+    ``round5_reading``): texture confusers must teach "texture alone is not
+    speech" WITHOUT polluting the marginal-SNR speech distribution.
+
+      * silent rows draw from the extras region with probability
+        ``extras_silent_prob`` — pure negatives at natural level (the
+        "music playing, nobody talking" case the real-audio probe measures)
+      * speech rows that drew an extras clip get their SNR redrawn from
+        ``extras_snr_range`` — speech over a texture stays clearly audible,
+        so the hard low-SNR mixes remain exclusively in-distribution
+        environment noise (the conditions all four fine-tunes regressed)
+    """
+    B = batch_size
+    k_si, k_ni, k_roll, k_sil, k_snr, k_aug = jax.random.split(key, 6)
+
+    si = jax.random.randint(k_si, (B,), 0, n_speech)
+    ni = jax.random.randint(k_ni, (B,), 0, n_noise)
+    keep = (jax.random.uniform(k_sil, (B, 1)) >= silence_prob).astype(jnp.float32)
+    snr_db = jax.random.uniform(
+        k_snr, (B, 1), minval=snr_db_range[0], maxval=snr_db_range[1]
+    )
+
+    if extras_start is not None and 0 < extras_start < n_noise:
+        # fresh fold_in keys: the six historical splits above stay
+        # byte-identical for the default path
+        k_nx = jax.random.fold_in(key, 101)
+        k_ux = jax.random.fold_in(key, 102)
+        k_sx = jax.random.fold_in(key, 103)
+        ni_extra = jax.random.randint(k_nx, (B,), extras_start, n_noise)
+        silent = keep[:, 0] < 0.5
+        force = (jax.random.uniform(k_ux, (B,)) < extras_silent_prob) & silent
+        ni = jnp.where(force, ni_extra, ni)
+        is_extra = (ni >= extras_start)[:, None]
+        snr_hi = jax.random.uniform(
+            k_sx, (B, 1), minval=extras_snr_range[0], maxval=extras_snr_range[1]
+        )
+        snr_db = jnp.where(is_extra & (keep > 0.5), snr_hi, snr_db)
+
+    return si, ni, keep, snr_db, k_roll, k_aug
+
+
 def make_synth_batch_fn(
     batch_size: int,
     augmentations: Sequence[str] = (),
     snr_db_range: Tuple[float, float] = (-5.0, 20.0),
     silence_prob: float = 0.2,
+    extras_start: int | None = None,
+    extras_snr_range: Tuple[float, float] = (10.0, 20.0),
+    extras_silent_prob: float = 0.5,
 ):
-    """Returns jit-able ``synth(speech_pool, noise_pool, key) -> batch``."""
+    """Returns jit-able ``synth(speech_pool, noise_pool, key) -> batch``.
+
+    ``extras_start`` (optional) enables the protected confuser-placement
+    policy — see :func:`sample_mix_rows`."""
     augment_fn = make_device_augment_fn(augmentations)
 
     def synth(speech_pool: jnp.ndarray, noise_pool: jnp.ndarray, key: jax.Array):
         B = batch_size
-        k_si, k_ni, k_roll, k_sil, k_snr, k_aug = jax.random.split(key, 6)
-
-        si = jax.random.randint(k_si, (B,), 0, speech_pool.shape[0])
-        ni = jax.random.randint(k_ni, (B,), 0, noise_pool.shape[0])
+        si, ni, keep, snr_db, k_roll, k_aug = sample_mix_rows(
+            key, B, speech_pool.shape[0], noise_pool.shape[0],
+            snr_db_range, silence_prob,
+            extras_start=extras_start, extras_snr_range=extras_snr_range,
+            extras_silent_prob=extras_silent_prob)
         speech = speech_pool[si]
         noise = noise_pool[ni]
 
@@ -247,12 +313,7 @@ def make_synth_batch_fn(
         speech = jax.vmap(jnp.roll)(speech, shift)
 
         # true negatives: drop speech entirely on some rows
-        keep = (jax.random.uniform(k_sil, (B, 1)) >= silence_prob).astype(jnp.float32)
         speech = speech * keep
-
-        snr_db = jax.random.uniform(
-            k_snr, (B, 1), minval=snr_db_range[0], maxval=snr_db_range[1]
-        )
         sp_rms = jnp.sqrt(jnp.mean(speech**2, axis=1, keepdims=True) + 1e-12)
         nz_rms = jnp.sqrt(jnp.mean(noise**2, axis=1, keepdims=True) + 1e-12)
         gain = sp_rms / (nz_rms * 10.0 ** (snr_db / 20.0))

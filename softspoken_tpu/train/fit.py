@@ -163,6 +163,9 @@ def fit_synthetic(
     train_dtype: str = "float32",
     noise_extra_kinds: tuple = (),
     noise_extra_frac: float = 0.2,
+    noise_extra_policy: str = "mixed",
+    noise_extra_snr_range: tuple = (10.0, 20.0),
+    noise_extra_silent_prob: float = 0.5,
     boundary_weight: float = 0.0,
     snr_db_range: tuple = (-5.0, 20.0),
 ) -> Dict[str, float]:
@@ -182,6 +185,8 @@ def fit_synthetic(
         make_synth_batch_fn,
     )
 
+    if noise_extra_policy not in ("mixed", "protected"):
+        raise ValueError(f"unknown noise_extra_policy {noise_extra_policy!r}")
     rng = np.random.default_rng(seed)
     log.info("generating initial clip pools (%d speech + %d noise)…",
              pool_speech, pool_noise)
@@ -196,8 +201,17 @@ def fit_synthetic(
                                           resume=resume,
                                           compute_dtype=jnp.dtype(train_dtype))
     step0 = int(state.step)
+    # protected placement: synth.make_pools appends the extra kinds as the
+    # LAST extra_frac of the noise pool, so the region boundary is static
+    n_extra = int(pool_noise * noise_extra_frac) if noise_extra_kinds else 0
+    extras_start = (pool_noise - n_extra
+                    if noise_extra_policy == "protected" and n_extra > 0
+                    else None)
     synth_fn = make_synth_batch_fn(batch_size, augmentations,
-                                   snr_db_range=tuple(snr_db_range))
+                                   snr_db_range=tuple(snr_db_range),
+                                   extras_start=extras_start,
+                                   extras_snr_range=tuple(noise_extra_snr_range),
+                                   extras_silent_prob=noise_extra_silent_prob)
     if mesh is not None:
         step_fn = make_sharded_fused_train_step(
             model, tx, synth_fn, mesh, n_inner=n_inner,

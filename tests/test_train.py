@@ -337,6 +337,89 @@ def test_synth_batch_fn_shapes_and_targets():
     assert set(np.unique(m)).issubset({0.0, 1.0})
 
 
+def test_sample_mix_rows_default_is_the_legacy_stream():
+    """extras_start=None must reproduce the historical sampling stream
+    bit-for-bit (committed-checkpoint recipes stay replayable): the test
+    re-derives the draws from the documented six-way key split."""
+    from softspoken_tpu.train.device_data import sample_mix_rows
+
+    key = jax.random.PRNGKey(42)
+    B, n_sp, n_nz = 64, 100, 80
+    snr_rng, sil = (-5.0, 20.0), 0.2
+    si, ni, keep, snr, k_roll, k_aug = sample_mix_rows(
+        key, B, n_sp, n_nz, snr_rng, sil)
+
+    k_si, k_ni, k_roll_e, k_sil, k_snr, k_aug_e = jax.random.split(key, 6)
+    np.testing.assert_array_equal(
+        np.asarray(si), np.asarray(jax.random.randint(k_si, (B,), 0, n_sp)))
+    np.testing.assert_array_equal(
+        np.asarray(ni), np.asarray(jax.random.randint(k_ni, (B,), 0, n_nz)))
+    np.testing.assert_array_equal(
+        np.asarray(keep),
+        np.asarray((jax.random.uniform(k_sil, (B, 1)) >= sil).astype(jnp.float32)))
+    np.testing.assert_array_equal(
+        np.asarray(snr),
+        np.asarray(jax.random.uniform(k_snr, (B, 1), minval=-5.0, maxval=20.0)))
+    np.testing.assert_array_equal(np.asarray(k_roll), np.asarray(k_roll_e))
+    np.testing.assert_array_equal(np.asarray(k_aug), np.asarray(k_aug_e))
+
+
+def test_sample_mix_rows_protected_policy_semantics():
+    """Protected placement: extras under speech only at the protected SNR
+    range; non-extra rows keep their default-stream SNR; silent rows are
+    steered into the extras region at ~extras_silent_prob."""
+    from softspoken_tpu.train.device_data import sample_mix_rows
+
+    key = jax.random.PRNGKey(7)
+    B, n_sp, n_nz, start = 4096, 100, 100, 80
+    si, ni, keep, snr, _, _ = sample_mix_rows(
+        key, B, n_sp, n_nz, (-5.0, 20.0), 0.5,
+        extras_start=start, extras_snr_range=(10.0, 20.0),
+        extras_silent_prob=0.5)
+    si0, ni0, keep0, snr0, _, _ = sample_mix_rows(
+        key, B, n_sp, n_nz, (-5.0, 20.0), 0.5)
+
+    ni, keep, snr = np.asarray(ni), np.asarray(keep)[:, 0], np.asarray(snr)[:, 0]
+    ni0, snr0 = np.asarray(ni0), np.asarray(snr0)[:, 0]
+    is_extra, speechy = ni >= start, keep > 0.5
+
+    # si / keep untouched by the policy
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(si0))
+    np.testing.assert_array_equal(keep, np.asarray(keep0)[:, 0])
+    # speech rows never see an extra below the protected floor
+    assert (snr[is_extra & speechy] >= 10.0).all()
+    assert (is_extra & speechy).sum() > 10  # the case actually occurs
+    # non-extra rows keep the default-stream SNR draw
+    np.testing.assert_array_equal(snr[~is_extra], snr0[~is_extra])
+    # speech rows' noise index is the default draw (policy only redirects
+    # silent rows)
+    np.testing.assert_array_equal(ni[speechy], ni0[speechy])
+    # silent rows land in the extras region at roughly
+    # p + (1-p)·frac = 0.5 + 0.5·0.2 = 0.6
+    frac_silent_extra = is_extra[~speechy].mean()
+    assert 0.5 < frac_silent_extra < 0.7
+
+
+def test_synth_batch_fn_protected_compiles_and_is_finite():
+    from softspoken_tpu.train.device_data import make_synth_batch_fn
+
+    rng = np.random.default_rng(11)
+    speech = rng.uniform(-0.5, 0.5, (6, 66150)).astype(np.float32)
+    noise = rng.uniform(-0.1, 0.1, (10, 66150)).astype(np.float32)
+    fn = jax.jit(make_synth_batch_fn(4, (), extras_start=8))
+    batch = fn(jnp.asarray(speech), jnp.asarray(noise), jax.random.PRNGKey(1))
+    assert batch["mel"].shape == (4, 128, 256, 1)
+    for v in batch.values():
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_fit_synthetic_rejects_unknown_extra_policy():
+    from softspoken_tpu.train.fit import fit_synthetic
+
+    with pytest.raises(ValueError, match="noise_extra_policy"):
+        fit_synthetic(steps=1, noise_extra_policy="bogus")
+
+
 @pytest.mark.slow
 def test_fused_train_step_runs_and_advances():
     """One fused device call = n_inner full optimizer steps.
