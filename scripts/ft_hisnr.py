@@ -1,0 +1,189 @@
+"""Protected-placement confuser fine-tune: the round-4 cross-experiment
+hypothesis, gated.
+
+All four round-4 fine-tunes were rejected with one collateral signature:
+marginal-SNR and reverberant conditions regress when texture confusers
+enter the noise pool (docs/FT_SYNTH3_r04.json, docs/FT_SNRFLOOR_r04.json
+``round5_reading``).  The surviving finding is that the third-family
+textures transfer to real music remarkably well (house-music
+false_fraction 0.502 → 0.028 in the mild recipe) — the music class IS
+reachable from training; placement is what failed.
+
+This experiment isolates placement: the SAME extras and exposure as the
+rejected ft_synth3 recipe, but under the **protected policy**
+(train/device_data.sample_mix_rows): extras appear as pure negatives on
+silent rows and only at >=10 dB SNR under speech, so the marginal-SNR
+speech distribution the collateral lives in stays texture-free.  If the
+collateral persists anyway, placement is ruled out as the mechanism; if
+it vanishes, the music class closes.
+
+Stages (fingerprinted, scripts/ftlib.py):
+
+  1. fine-tune the committed checkpoint with
+     `--noise-extra granular drone impact_chain crackle
+      --noise-extra-policy protected`
+  2. full 36-condition quality grid on the candidate
+  3. real-audio probe on the candidate (the music number)
+  4. verdict JSON vs committed docs/QUALITY_r04.json
+
+ADOPTION RULE (decided before measuring — this experiment's goal is
+closing the music false-positive class WITHOUT collateral, not moving
+the out-of-family worst case, so the rule differs from ft_synth3's):
+adopt only if (a) NO grid condition's parity frame F1 regresses more
+than 0.005, (b) the real-audio music false_fraction falls below 0.10
+(committed: 0.502), and (c) the out-of-family worst case does not
+regress (>= committed - 0.005).  Otherwise the candidate is recorded as
+a measured negative and the committed checkpoint stays.
+
+Usage:  python scripts/ft_hisnr.py --workdir /tmp/ft_hisnr
+        [--steps 8000] [--lr 1e-4] [--quick]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ftlib import run, stage  # noqa: E402
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+COMMITTED = os.path.join(REPO_ROOT, "root/models/spec_unet_2d/model_checkpoint")
+EXTRAS = ["granular", "drone", "impact_chain", "crackle"]
+
+RULE = ("adopt iff no condition drops >0.005 frame F1, real-audio music "
+        "false_fraction < 0.10, and the v2 worst case does not regress "
+        "more than 0.005")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/ft_hisnr")
+    ap.add_argument("--steps", type=int, default=8000)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--extra-frac", type=float, default=0.2)
+    ap.add_argument("--snr-floor", type=float, default=10.0,
+                    help="protected SNR floor for extras under speech")
+    ap.add_argument("--silent-prob", type=float, default=0.5,
+                    help="probability a silent row draws an extras clip")
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny steps + --quick grids (plumbing smoke)")
+    args = ap.parse_args()
+
+    wd = os.path.abspath(args.workdir)
+    os.makedirs(wd, exist_ok=True)
+    cand = os.path.join(wd, "candidate_ckpt")
+    grid_json = os.path.join(wd, "grid_candidate.json")
+    real_json = os.path.join(wd, "realaudio_candidate.json")
+    verdict_json = os.path.join(wd, "VERDICT_ft_hisnr.json")
+    py = sys.executable
+
+    steps = 4 if args.quick else args.steps
+    bs = 2 if args.quick else args.batch_size
+    recipe = {"steps": steps, "lr": args.lr, "extras": EXTRAS,
+              "extra_frac": args.extra_frac, "policy": "protected",
+              "snr_floor": args.snr_floor, "silent_prob": args.silent_prob,
+              "batch_size": bs, "quick": bool(args.quick), "seed": 91504}
+
+    def train():
+        cmd = [py, "-m", "softspoken_tpu.cli", "train", "--synthetic",
+               "--resume", COMMITTED, "--out", cand,
+               "--steps", str(steps), "--batch-size", str(bs),
+               "--lr", str(args.lr), "--noise-extra", *EXTRAS,
+               "--noise-extra-frac", str(args.extra_frac),
+               "--noise-extra-policy", "protected",
+               "--noise-extra-snr-min", str(args.snr_floor),
+               "--noise-extra-silent-prob", str(args.silent_prob),
+               "--seed", "91504"]
+        if args.quick:
+            cmd += ["--n-inner", "2", "--pool-size", "16"]
+        run(cmd, os.path.join(wd, "train.log"), retries=2)
+
+    stage("stage 1 (train)", os.path.join(cand, "manifest.ocdbt"),
+          recipe, train)
+
+    def grid():
+        cmd = [py, "scripts/quality_grid.py", "--ckpt", cand,
+               "--out", grid_json,
+               "--cache-dir", os.path.join(wd, "grid_cache"),
+               "--workdir", os.path.join(wd, "grid_work")]
+        if args.quick:
+            cmd.append("--quick")
+        run(cmd, os.path.join(wd, "grid.log"))
+
+    stage("stage 2 (grid)", grid_json, recipe, grid)
+
+    def real():
+        cmd = [py, "scripts/real_audio_check.py", "--ckpt", cand,
+               "--out", real_json]
+        if args.quick:
+            cmd.append("--quick")
+        run(cmd, os.path.join(wd, "real.log"))
+
+    stage("stage 3 (real-audio)", real_json, recipe, real)
+
+    # ---- stage 4: verdict ---------------------------------------------------
+    with open(grid_json) as f:
+        grid_c = json.load(f)
+    with open(real_json) as f:
+        real_c = json.load(f)
+    with open(os.path.join(REPO_ROOT, "docs/QUALITY_r04.json")) as f:
+        grid_0 = json.load(f)
+    with open(os.path.join(REPO_ROOT, "docs/QUALITY_r03_realaudio.json")) as f:
+        real_0 = json.load(f)
+
+    conds_c = grid_c.get("conditions") or {}
+    conds_0 = grid_0.get("conditions") or {}
+    regressions, per_condition = [], {}
+    worst_c = 1.0
+    for tag, res_c in conds_c.items():
+        f1_c = res_c["parity"]["frame_f1"]
+        if tag.startswith("v2"):
+            worst_c = min(worst_c, f1_c)
+        res_0 = conds_0.get(tag)
+        if res_0 is None:
+            continue
+        f1_0 = res_0["parity"]["frame_f1"]
+        per_condition[tag] = {"committed": f1_0, "candidate": f1_c,
+                              "delta": round(f1_c - f1_0, 4)}
+        if f1_c < f1_0 - 0.005:
+            regressions.append(tag)
+
+    music_0 = real_0["false_positives_on_real_audio"]["music_house"][
+        "false_fraction"]
+    music_c = real_c["false_positives_on_real_audio"]["music_house"][
+        "false_fraction"]
+    worst_0 = min(r["parity"]["frame_f1"]
+                  for t, r in conds_0.items() if t.startswith("v2"))
+
+    gate_grid = not regressions
+    gate_music = music_c < 0.10
+    gate_worst = worst_c >= worst_0 - 0.005
+    verdict = {
+        "adopt": bool(gate_grid and gate_music and gate_worst),
+        "gate_no_regression_ok": gate_grid,
+        "gate_music_ok": gate_music,
+        "gate_worst_no_regress_ok": gate_worst,
+        "worst_out_of_family": {"committed": worst_0, "candidate": worst_c},
+        "music_false_fraction": {"committed": music_0, "candidate": music_c},
+        "regressed_conditions": regressions,
+        "per_condition": per_condition,
+        "recipe": recipe,
+        "candidate": cand,
+        "extras": EXTRAS,
+        "rule": RULE,
+    }
+    with open(verdict_json, "w") as f:
+        json.dump(verdict, f, indent=2)
+    print(json.dumps({k: verdict[k] for k in
+                      ("adopt", "gate_no_regression_ok", "gate_music_ok",
+                       "gate_worst_no_regress_ok", "worst_out_of_family",
+                       "music_false_fraction", "regressed_conditions")},
+                     indent=2), flush=True)
+    print(f"wrote {verdict_json}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

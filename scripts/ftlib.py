@@ -21,13 +21,24 @@ import subprocess
 import sys
 
 
-def run(cmd, log_path):
-    print(f"+ {' '.join(cmd)}  (log: {log_path})", flush=True)
+def run(cmd, log_path, retries=0, retry_rcs=(86,)):
+    """Run a stage command, retrying (bounded) on retryable exit codes.
+
+    86 is the trainer's stall-abort code (fit_synthetic stall watchdog):
+    the remote-TPU session died silently, so rerunning the same command on
+    a fresh connection is the correct recovery."""
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(log_path, "a") as lf:
-        p = subprocess.run(cmd, stdout=lf, stderr=subprocess.STDOUT,
-                           cwd=repo_root)
-    if p.returncode != 0:
+    for attempt in range(retries + 1):
+        print(f"+ {' '.join(cmd)}  (log: {log_path})", flush=True)
+        with open(log_path, "a") as lf:
+            p = subprocess.run(cmd, stdout=lf, stderr=subprocess.STDOUT,
+                               cwd=repo_root)
+        if p.returncode == 0:
+            return
+        if attempt < retries and p.returncode in retry_rcs:
+            print(f"stage exited {p.returncode} (retryable stall) — retry "
+                  f"{attempt + 1}/{retries}", flush=True)
+            continue
         raise SystemExit(
             f"stage failed ({p.returncode}): {' '.join(cmd)} — see {log_path}")
 

@@ -113,7 +113,7 @@ def main():
                    "--augment", *augs]
             if args.quick:
                 cmd += ["--n-inner", "2", "--pool-size", "16"]
-            run(cmd, os.path.join(wd, f"train_{arm}.log"))
+            run(cmd, os.path.join(wd, f"train_{arm}.log"), retries=2)
 
         stage(f"train {arm}", os.path.join(ckpt_dir, "manifest.ocdbt"),
               recipe, train)

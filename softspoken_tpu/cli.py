@@ -429,6 +429,7 @@ def cmd_train(args) -> None:
             noise_extra_silent_prob=args.noise_extra_silent_prob,
             boundary_weight=args.boundary_weight,
             snr_db_range=(args.snr_min, args.snr_max),
+            stall_abort_s=args.stall_abort,
         )
     else:
         if not (args.speech_dir and args.noise_dir):
@@ -808,6 +809,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "onsets/offsets (mean-normalized; 0 = off). "
                          "Event-F1 lever, gate on the quality grid "
                          "before adoption")
+    pt.add_argument("--stall-abort", type=float, default=900.0,
+                    help="(--synthetic) abort with exit code 86 when no "
+                         "training step completes for this many seconds — "
+                         "a silently-dead remote-TPU session otherwise "
+                         "hangs forever (checkpoints make retries cheap); "
+                         "0 disables")
     pt.add_argument("--resume", metavar="CKPT",
                     help="warm-start params/batch_stats from an orbax checkpoint")
     pt.add_argument("--dtype", default="float32",

@@ -168,6 +168,7 @@ def fit_synthetic(
     noise_extra_silent_prob: float = 0.5,
     boundary_weight: float = 0.0,
     snr_db_range: tuple = (-5.0, 20.0),
+    stall_abort_s: float = 900.0,
 ) -> Dict[str, float]:
     """Train from the synthetic corpus with fully on-device batch synthesis.
 
@@ -227,6 +228,9 @@ def fit_synthetic(
     metrics: Dict[str, float] = {}
     t0 = time.perf_counter()
 
+    watchdog = (_StallWatchdog(stall_abort_s)
+                if stall_abort_s and stall_abort_s > 0 else None)
+
     for outer in range(1, outer_total + 1):
         if pool_refresh_outer:
             # never block the device on the host synthesizer: swap in a
@@ -264,6 +268,11 @@ def fit_synthetic(
                 state, m = step_fn(state, speech_pool, noise_pool, sub)
         else:
             state, m = step_fn(state, speech_pool, noise_pool, sub)
+        if watchdog is not None:
+            # dispatch is async but JAX bounds in-flight device calls, so
+            # the loop blocks inside step_fn once the pipeline fills — this
+            # heartbeat tracks real device progress to within ~2 outer steps
+            watchdog.beat(outer)
         step = outer * n_inner
         if outer % log_every_outer == 0 or outer == outer_total:
             metrics = {k: float(v) for k, v in m.items()}
@@ -279,7 +288,60 @@ def fit_synthetic(
         if ckpt_out and (outer % save_every_outer == 0 or outer == outer_total):
             _save_checkpoint(ckpt_out, state, step0 + step,
                              fatal=outer == outer_total)
+    if watchdog is not None:
+        watchdog.stop()
     return metrics
+
+
+class _StallWatchdog:
+    """Abort the process when training stops making progress.
+
+    A remote-TPU session can die SILENTLY — the connection thread blocks in
+    ``tcp_recvmsg`` on a response that never comes and the training loop
+    futex-waits forever (observed live in round 4: 14+ min frozen at step
+    6600/8000 while a fresh connection to the same server worked fine).  A
+    hang is strictly worse than a crash here: checkpoints make restarts
+    cheap, so when no heartbeat arrives within ``timeout_s`` we abort the
+    PROCESS with exit code 86 — the blocked thread is inside a C recv and
+    cannot be unwound from Python.  Supervisors treat 86 as retryable
+    (scripts/ftlib.py ``run(retries=)``).  The 900 s default clears the
+    worst observed first-execution compile+load over the tunnel (502 s,
+    .claude/skills/verify).
+    """
+
+    EXIT_CODE = 86
+
+    def __init__(self, timeout_s: float, abort=None):
+        import threading
+
+        self.timeout_s = timeout_s
+        self._abort = abort if abort is not None else os._exit
+        self._beat = {"t": time.monotonic(), "step": 0}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._watch, daemon=True, name="train-stall-watchdog")
+        self._thread.start()
+
+    def beat(self, step: int) -> None:
+        self._beat = {"t": time.monotonic(), "step": step}
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _watch(self) -> None:
+        poll = max(0.05, min(30.0, self.timeout_s / 4))
+        while not self._stop.wait(poll):
+            beat = self._beat
+            quiet = time.monotonic() - beat["t"]
+            if quiet > self.timeout_s:
+                log.error(
+                    "no training progress for %.0f s (device/link stall?) "
+                    "— aborting with exit code %d so a supervisor can "
+                    "retry; last completed outer step %d, latest "
+                    "checkpoint is resumable",
+                    quiet, self.EXIT_CODE, beat["step"])
+                self._abort(self.EXIT_CODE)
+                return
 
 
 class _DaemonJob:
