@@ -52,9 +52,21 @@ def build_eval_sets(workdir, n_files, seconds):
         for ci, (cname, kw) in enumerate(CONDS):
             tag = f"{gen}_{cname}"
             d = os.path.join(workdir, f"eval_{tag}")
-            sets[tag] = E.make_eval_set(
-                d, n_files=n_files, seconds=seconds,
-                seed=7600 + ci, generator=gen, **kw)
+            labels = os.path.join(d, "labels.csv")
+            reusable = False
+            if os.path.exists(labels):
+                # seeded + deterministic, so a restarted probe can reuse
+                # sets a previous (possibly stalled) run already built —
+                # but only when the file count matches this invocation
+                with open(labels) as f:
+                    n_have = len({ln.split(",", 1)[0]
+                                  for ln in f if ln.strip()} - {"file"})
+                reusable = n_have == n_files
+            if not reusable:
+                labels = E.make_eval_set(
+                    d, n_files=n_files, seconds=seconds,
+                    seed=7600 + ci, generator=gen, **kw)
+            sets[tag] = labels
     return sets
 
 
