@@ -136,6 +136,15 @@ def main():
 
     conds_c = grid_c.get("conditions") or {}
     conds_0 = grid_0.get("conditions") or {}
+    # a partial candidate grid must not pass: worst_c starts at 1.0 and the
+    # per-condition loop only compares common tags, so missing v2 conditions
+    # would trivially satisfy gate_worst and hide regressions (review r4)
+    missing = sorted(set(conds_0) - set(conds_c))
+    if missing:
+        raise SystemExit(
+            f"candidate grid is missing {len(missing)} committed conditions "
+            f"({missing[:5]}…) — refusing to gate on incomplete data; rerun "
+            "stage 2 with the full condition set")
     regressions, per_condition = [], {}
     worst_c = 1.0
     for tag, res_c in conds_c.items():

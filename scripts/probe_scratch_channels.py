@@ -53,19 +53,25 @@ def build_eval_sets(workdir, n_files, seconds):
             tag = f"{gen}_{cname}"
             d = os.path.join(workdir, f"eval_{tag}")
             labels = os.path.join(d, "labels.csv")
+            # seeded + deterministic, so a restarted probe can reuse sets a
+            # previous (possibly stalled) run already built — but only when
+            # EVERY generation parameter matches this invocation: a count-
+            # only check silently reused wrong-duration sets when --seconds
+            # changed between runs (review r4), skewing the A/B comparison
+            fp = {"n_files": n_files, "seconds": seconds, "seed": 7600 + ci,
+                  "generator": gen, "kwargs": {k: list(v) if isinstance(v, list)
+                                               else v for k, v in kw.items()}}
+            fp_path = labels + ".fp.json"
             reusable = False
-            if os.path.exists(labels):
-                # seeded + deterministic, so a restarted probe can reuse
-                # sets a previous (possibly stalled) run already built —
-                # but only when the file count matches this invocation
-                with open(labels) as f:
-                    n_have = len({ln.split(",", 1)[0]
-                                  for ln in f if ln.strip()} - {"file"})
-                reusable = n_have == n_files
+            if os.path.exists(labels) and os.path.exists(fp_path):
+                with open(fp_path) as f:
+                    reusable = json.load(f) == json.loads(json.dumps(fp))
             if not reusable:
                 labels = E.make_eval_set(
                     d, n_files=n_files, seconds=seconds,
                     seed=7600 + ci, generator=gen, **kw)
+                with open(fp_path, "w") as f:
+                    json.dump(fp, f)
             sets[tag] = labels
     return sets
 

@@ -188,6 +188,14 @@ def fit_synthetic(
 
     if noise_extra_policy not in ("mixed", "protected"):
         raise ValueError(f"unknown noise_extra_policy {noise_extra_policy!r}")
+    if (noise_extra_policy == "protected" and noise_extra_kinds
+            and int(pool_noise * noise_extra_frac) >= pool_noise):
+        # extras_start would be 0 and device_data would silently fall back
+        # to the legacy mixed path — the opposite of what was requested
+        raise ValueError(
+            "noise_extra_policy='protected' requires noise_extra_frac < 1.0 "
+            "(some non-extra noise must remain to mix under speech); got "
+            f"noise_extra_frac={noise_extra_frac}")
     rng = np.random.default_rng(seed)
     log.info("generating initial clip pools (%d speech + %d noise)…",
              pool_speech, pool_noise)
@@ -231,65 +239,70 @@ def fit_synthetic(
     watchdog = (_StallWatchdog(stall_abort_s)
                 if stall_abort_s and stall_abort_s > 0 else None)
 
-    for outer in range(1, outer_total + 1):
-        if pool_refresh_outer:
-            # never block the device on the host synthesizer: swap in a
-            # fresh pool the moment its background generation finishes
-            # (on this 1-core host a 768+768 pool takes ~15 min, far
-            # longer than pool_refresh_outer steps); meanwhile keep
-            # training on the current pool — shifts/mixing/augs keep
-            # batches varied. Generations run on a DAEMON thread (an
-            # executor's non-daemon worker would block process exit up to a
-            # full pool generation whose result is discarded) and are not
-            # started near the end of the run.
-            if pool_pending is not None and pool_pending.failed():
-                # don't let a failed generation silently end pool refresh
-                # for the rest of training: log and allow a later retry
-                log.warning("background pool refresh failed (%s); will retry",
-                            pool_pending.error)
-                pool_pending = None
-            elif pool_pending is not None and pool_pending.done():
-                speech_pool = jax.device_put(pool_pending.result[0])
-                noise_pool = jax.device_put(pool_pending.result[1])
-                log.info("swapped in a fresh clip pool at step %d",
-                         outer * n_inner)
-                pool_pending = None
-            if (pool_pending is None
-                    and outer % pool_refresh_outer == 0
-                    and outer_total - outer >= pool_refresh_outer):
-                pool_pending = _DaemonJob(
-                    synth.make_pools, pool_rng, pool_speech, pool_noise,
-                    extra_kinds=tuple(noise_extra_kinds),
-                    extra_frac=noise_extra_frac,
-                )
-        key, sub = jax.random.split(key)
-        if mesh is not None:
-            with mesh:
+    # the watchdog daemon must not outlive the loop: on an exception it
+    # would os._exit(86) the whole process up to stall_abort_s later,
+    # killing in-process callers and mislabelling a crash as a stall
+    try:
+        for outer in range(1, outer_total + 1):
+            if pool_refresh_outer:
+                # never block the device on the host synthesizer: swap in a
+                # fresh pool the moment its background generation finishes
+                # (on this 1-core host a 768+768 pool takes ~15 min, far
+                # longer than pool_refresh_outer steps); meanwhile keep
+                # training on the current pool — shifts/mixing/augs keep
+                # batches varied. Generations run on a DAEMON thread (an
+                # executor's non-daemon worker would block process exit up to a
+                # full pool generation whose result is discarded) and are not
+                # started near the end of the run.
+                if pool_pending is not None and pool_pending.failed():
+                    # don't let a failed generation silently end pool refresh
+                    # for the rest of training: log and allow a later retry
+                    log.warning("background pool refresh failed (%s); will retry",
+                                pool_pending.error)
+                    pool_pending = None
+                elif pool_pending is not None and pool_pending.done():
+                    speech_pool = jax.device_put(pool_pending.result[0])
+                    noise_pool = jax.device_put(pool_pending.result[1])
+                    log.info("swapped in a fresh clip pool at step %d",
+                             outer * n_inner)
+                    pool_pending = None
+                if (pool_pending is None
+                        and outer % pool_refresh_outer == 0
+                        and outer_total - outer >= pool_refresh_outer):
+                    pool_pending = _DaemonJob(
+                        synth.make_pools, pool_rng, pool_speech, pool_noise,
+                        extra_kinds=tuple(noise_extra_kinds),
+                        extra_frac=noise_extra_frac,
+                    )
+            key, sub = jax.random.split(key)
+            if mesh is not None:
+                with mesh:
+                    state, m = step_fn(state, speech_pool, noise_pool, sub)
+            else:
                 state, m = step_fn(state, speech_pool, noise_pool, sub)
-        else:
-            state, m = step_fn(state, speech_pool, noise_pool, sub)
+            if watchdog is not None:
+                # dispatch is async but JAX bounds in-flight device calls, so
+                # the loop blocks inside step_fn once the pipeline fills — this
+                # heartbeat tracks real device progress to within ~2 outer steps
+                watchdog.beat(outer)
+            step = outer * n_inner
+            if outer % log_every_outer == 0 or outer == outer_total:
+                metrics = {k: float(v) for k, v in m.items()}
+                rate = step * batch_size / (time.perf_counter() - t0)
+                log.info(
+                    "step %d/%d  loss=%.4f  mask=%.4f  spec=%.4f  (%.1f clips/s, %.2f s/step)",
+                    step, outer_total * n_inner, metrics["loss"],
+                    metrics["mask_loss"], metrics["spec_loss"], rate,
+                    (time.perf_counter() - t0) / step,
+                )
+                if on_metrics:
+                    on_metrics(step, metrics)
+            if ckpt_out and (outer % save_every_outer == 0 or outer == outer_total):
+                _save_checkpoint(ckpt_out, state, step0 + step,
+                                 fatal=outer == outer_total)
+    finally:
         if watchdog is not None:
-            # dispatch is async but JAX bounds in-flight device calls, so
-            # the loop blocks inside step_fn once the pipeline fills — this
-            # heartbeat tracks real device progress to within ~2 outer steps
-            watchdog.beat(outer)
-        step = outer * n_inner
-        if outer % log_every_outer == 0 or outer == outer_total:
-            metrics = {k: float(v) for k, v in m.items()}
-            rate = step * batch_size / (time.perf_counter() - t0)
-            log.info(
-                "step %d/%d  loss=%.4f  mask=%.4f  spec=%.4f  (%.1f clips/s, %.2f s/step)",
-                step, outer_total * n_inner, metrics["loss"],
-                metrics["mask_loss"], metrics["spec_loss"], rate,
-                (time.perf_counter() - t0) / step,
-            )
-            if on_metrics:
-                on_metrics(step, metrics)
-        if ckpt_out and (outer % save_every_outer == 0 or outer == outer_total):
-            _save_checkpoint(ckpt_out, state, step0 + step,
-                             fatal=outer == outer_total)
-    if watchdog is not None:
-        watchdog.stop()
+            watchdog.stop()
     return metrics
 
 
