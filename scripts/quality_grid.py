@@ -92,7 +92,7 @@ def metrics_from(per_file, pad_seconds):
     from softspoken_tpu.train import evaluate as E
 
     def metrics_at(threshold, break_duration, exit_threshold=None,
-                   smooth_bins=0, iou=0.5):
+                   smooth_bins=0, iou=0.5, taxonomy=None):
         ft, et, gt = {}, {}, {}
         for pf_ in per_file:
             avg, dur, truth = pf_["avg"], pf_["dur"], pf_["truth"]
@@ -112,9 +112,15 @@ def metrics_from(per_file, pad_seconds):
             E._accumulate(et, E.event_metrics(pred, truth, iou))
             E._accumulate(gt, E.event_metrics_granularity(
                 pred, truth, break_duration, iou))
+            if taxonomy is not None:
+                E.merge_taxonomy(taxonomy, E.event_error_taxonomy(
+                    pred, truth, iou))
         return E._finalize(ft), E._finalize(et), E._finalize(gt)
 
-    pf, pe, pg = metrics_at(**PARITY)
+    # per-event error taxonomy at the parity point (VERDICT r4 next #3):
+    # names WHICH failure mode dominates the event-F1 gap per condition
+    tax = {}
+    pf, pe, pg = metrics_at(taxonomy=tax, **PARITY)
     tf, te, tg = metrics_at(**TUNED)
     sweep = {}
     for thr in THRESHOLDS:
@@ -161,7 +167,8 @@ def metrics_from(per_file, pad_seconds):
                    # legitimately spanning several close truth events at
                    # merge 0.5 s) from real misses — reported alongside,
                    # never instead of, the plain event metric
-                   "event_f1_granularity": round(pg["f1"], 4)},
+                   "event_f1_granularity": round(pg["f1"], 4),
+                   "event_error_taxonomy": E.finalize_taxonomy(tax)},
         "tuned": {"frame_f1": round(tf["f1"], 4),
                   "event_f1": round(te["f1"], 4),
                   "event_f1_granularity": round(tg["f1"], 4)},

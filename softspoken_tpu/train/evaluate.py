@@ -96,6 +96,115 @@ def event_metrics(
             "precision": prec, "recall": rec, "f1": f1}
 
 
+def event_error_taxonomy(
+    pred: Sequence[Interval], truth: Sequence[Interval], iou: float = 0.5
+) -> Dict[str, float]:
+    """Classify every event-level failure so the dominant mode is NAMED.
+
+    Event F1 lags frame F1 across the whole grid (VERDICT r4 #5) but a
+    single number cannot say whether the detector *misses* events, *merges*
+    neighbours into one span, *splits* one event into fragments, or finds
+    them with *boundaries* too far off to clear the IoU bar — and each of
+    those points at a different lever (recall/threshold, break_duration,
+    smoothing, boundary localization).  Mirrors the reference's event
+    granularity: its regionization emits one row per merged region
+    (NNDetector.py:103-143), so event identity is region identity.
+
+    Runs the same greedy matching as :func:`event_metrics`, then classifies
+    each unmatched TRUTH event (the FNs):
+
+      * ``miss``     — no predicted interval overlaps it at all
+      * ``merged``   — an overlapping prediction also overlaps other truth
+                       events (one span swallowed several; checked first —
+                       a merged span is usually also the only overlap)
+      * ``split``    — ≥2 predictions overlap this truth alone (fragmented)
+      * ``boundary`` — exactly one 1:1 overlapping prediction, IoU < bar:
+                       the event was found, its edges were not
+
+    and each unmatched PREDICTION (the FPs):
+
+      * ``false_alarm`` — overlaps no truth at all (a real false fire)
+      * ``fragment``    — overlaps truth but lost the match (the pred-side
+                          shadow of merged/split/boundary; kept separate so
+                          false-alarm counts stay honest)
+
+    Matched pairs contribute onset/offset absolute errors (seconds) so a
+    dominant ``boundary`` class can be read as trim magnitude.  Counts sum
+    across files; combine with :func:`merge_taxonomy`.
+    """
+
+    def _inter(a: Interval, b: Interval) -> float:
+        return max(0.0, min(a[1], b[1]) - max(a[0], b[0]))
+
+    pairs = sorted(
+        ((_iou(p, t), i, j) for i, p in enumerate(pred) for j, t in enumerate(truth)),
+        reverse=True,
+    )
+    used_p, used_t = set(), set()
+    matched: List[Tuple[int, int]] = []
+    for score, i, j in pairs:
+        if score < iou:
+            break
+        if i in used_p or j in used_t:
+            continue
+        used_p.add(i)
+        used_t.add(j)
+        matched.append((i, j))
+
+    out = {"miss": 0.0, "merged": 0.0, "split": 0.0, "boundary": 0.0,
+           "false_alarm": 0.0, "fragment": 0.0,
+           "onset_abs_err_sum": 0.0, "offset_abs_err_sum": 0.0,
+           "matched": float(len(matched))}
+    # truth events each prediction touches (for the merged test)
+    touches = {i: [j for j, t in enumerate(truth) if _inter(p, t) > 0]
+               for i, p in enumerate(pred)}
+    for j, t in enumerate(truth):
+        if j in used_t:
+            continue
+        over = [i for i, p in enumerate(pred) if _inter(p, t) > 0]
+        if not over:
+            out["miss"] += 1
+        elif any(len(touches[i]) >= 2 for i in over):
+            out["merged"] += 1
+        elif len(over) >= 2:
+            out["split"] += 1
+        else:
+            out["boundary"] += 1
+    for i, p in enumerate(pred):
+        if i in used_p:
+            continue
+        if touches[i]:
+            out["fragment"] += 1
+        else:
+            out["false_alarm"] += 1
+    for i, j in matched:
+        out["onset_abs_err_sum"] += abs(pred[i][0] - truth[j][0])
+        out["offset_abs_err_sum"] += abs(pred[i][1] - truth[j][1])
+    return out
+
+
+def merge_taxonomy(total: Dict[str, float], part: Dict[str, float]) -> None:
+    """Accumulate :func:`event_error_taxonomy` outputs across files."""
+    for k, v in part.items():
+        total[k] = total.get(k, 0.0) + v
+
+
+def finalize_taxonomy(total: Dict[str, float]) -> Dict[str, float]:
+    """Counts → report: per-class FN fractions + mean boundary errors."""
+    fn = sum(total.get(k, 0.0) for k in ("miss", "merged", "split", "boundary"))
+    n_match = total.get("matched", 0.0)
+    out = {k: total.get(k, 0.0)
+           for k in ("miss", "merged", "split", "boundary",
+                     "false_alarm", "fragment")}
+    for k in ("miss", "merged", "split", "boundary"):
+        out[f"{k}_frac_of_fn"] = round(out[k] / fn, 4) if fn else 0.0
+    out["onset_mae_s"] = (round(total["onset_abs_err_sum"] / n_match, 4)
+                          if n_match else 0.0)
+    out["offset_mae_s"] = (round(total["offset_abs_err_sum"] / n_match, 4)
+                           if n_match else 0.0)
+    return out
+
+
 def event_metrics_granularity(
     pred: Sequence[Interval],
     truth: Sequence[Interval],

@@ -205,3 +205,67 @@ def test_load_labels_txt_missing_audio(tmp_path):
         assert False, "expected FileNotFoundError"
     except FileNotFoundError:
         pass
+
+
+# ---- event-error taxonomy (round-5: name the dominant event-F1 failure) ----
+
+
+def test_taxonomy_miss():
+    out = E.event_error_taxonomy([], [(1.0, 2.0), (5.0, 6.0)])
+    assert out["miss"] == 2 and out["merged"] == out["split"] == 0
+    assert out["boundary"] == 0 and out["matched"] == 0
+
+
+def test_taxonomy_merged():
+    # one prediction spanning two truth events: neither matches at IoU 0.5,
+    # both classify as merged (not miss, not boundary)
+    out = E.event_error_taxonomy([(1.0, 6.0)], [(1.0, 2.0), (5.0, 6.0)])
+    assert out["merged"] == 2 and out["miss"] == 0
+    # the spanning prediction is pred-side "fragment", not a false alarm
+    assert out["fragment"] == 1 and out["false_alarm"] == 0
+
+
+def test_taxonomy_split():
+    # two fragments over one truth event; each covers too little for IoU 0.5
+    out = E.event_error_taxonomy(
+        [(1.0, 1.4), (1.6, 2.0)], [(1.0, 2.0)])
+    assert out["split"] == 1 and out["boundary"] == 0
+    assert out["fragment"] == 2
+
+
+def test_taxonomy_boundary_trim():
+    # one 1:1 overlap that fails the IoU bar: boundary, with the trim
+    # magnitude visible in the offset error of... no match, so classify only
+    out = E.event_error_taxonomy([(1.0, 1.3)], [(1.0, 2.0)])
+    assert out["boundary"] == 1
+    assert out["fragment"] == 1 and out["false_alarm"] == 0
+
+
+def test_taxonomy_false_alarm_and_match_errors():
+    out = E.event_error_taxonomy(
+        [(1.05, 2.1), (8.0, 9.0)], [(1.0, 2.0)])
+    assert out["matched"] == 1 and out["false_alarm"] == 1
+    assert abs(out["onset_abs_err_sum"] - 0.05) < 1e-9
+    assert abs(out["offset_abs_err_sum"] - 0.1) < 1e-9
+
+
+def test_taxonomy_counts_reconcile_with_event_metrics():
+    pred = [(0.0, 1.0), (2.0, 2.2), (2.4, 3.0), (10.0, 11.0), (20.0, 24.0)]
+    truth = [(0.0, 1.0), (2.0, 3.0), (5.0, 6.0), (20.0, 21.0), (23.0, 24.0)]
+    em = E.event_metrics(pred, truth)
+    tx = E.event_error_taxonomy(pred, truth)
+    fn_classes = tx["miss"] + tx["merged"] + tx["split"] + tx["boundary"]
+    fp_classes = tx["false_alarm"] + tx["fragment"]
+    assert fn_classes == em["fn"]
+    assert fp_classes == em["fp"]
+    assert tx["matched"] == em["tp"]
+
+
+def test_taxonomy_finalize_fractions():
+    tot = {}
+    E.merge_taxonomy(tot, E.event_error_taxonomy([], [(0.0, 1.0)]))
+    E.merge_taxonomy(tot, E.event_error_taxonomy([(1.0, 1.3)], [(1.0, 2.0)]))
+    fin = E.finalize_taxonomy(tot)
+    assert fin["miss"] == 1 and fin["boundary"] == 1
+    assert fin["miss_frac_of_fn"] == 0.5 and fin["boundary_frac_of_fn"] == 0.5
+    assert fin["onset_mae_s"] == 0.0  # no matched pairs
