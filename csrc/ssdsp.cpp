@@ -240,4 +240,139 @@ void ss_mulaw_encode_i16(const int16_t* x, int64_t n, const int8_t* lut,
     for (auto& th : threads) th.join();
 }
 
+// 4-bit IMA-ADPCM transport encode for the fused upload wire
+// (softspoken_tpu/ops/adpcm.py — see its docstring for the wire format).
+// Blocks are independent (per-block header carries predictor seed + initial
+// step index), so blocks could thread, but the 1-core host runs this at
+// ~300 M samples/s scalar anyway: the loop is ~15 int ops per sample, no
+// memory traffic beyond the sequential int16 read and nibble write.
+// Semantics are kept bit-identical to the numpy path in ops/adpcm.py
+// (tests assert byte equality): same quantizer, same decoder-mirrored
+// reconstruction, same per-block mean-|delta| initial index.
+static const int32_t SS_IMA_INDEX[16] = {-1, -1, -1, -1, 2, 4, 6, 8,
+                                         -1, -1, -1, -1, 2, 4, 6, 8};
+static const int32_t SS_IMA_STEPS[89] = {
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767};
+
+// x: n int16 samples (conceptually zero-padded to a whole block);
+// out: n_blocks * (4 + spb/2) bytes.  spb must be even and >= 2.
+// one sample of the branchless quantize + reconstruct (shared by the
+// scalar and the interleaved group paths so semantics cannot diverge):
+// data-dependent branches on audio mispredict constantly (measured 84 ms
+// -> 58 ms per 4.8M samples going branchless); every conditional is a
+// mask or cmov.
+static inline uint8_t ss_ima_step1(int32_t v, int32_t& pred, int32_t& idx) {
+    const int32_t step = SS_IMA_STEPS[idx];
+    const int32_t delta = v - pred;
+    const int32_t sm = delta >> 31;           // -1 if negative
+    int32_t mag = (delta ^ sm) - sm;          // |delta|
+    int32_t nib = sm & 8;
+    int32_t temp = step;
+    int32_t ge = -(int32_t)(mag >= temp);
+    nib |= ge & 4; mag -= temp & ge;
+    temp >>= 1;
+    ge = -(int32_t)(mag >= temp);
+    nib |= ge & 2; mag -= temp & ge;
+    temp >>= 1;
+    nib |= (int32_t)(mag >= temp);
+    // reconstruct exactly like the decoder
+    int32_t diff = (step >> 3)
+        + ((step >> 2) & -(nib & 1))
+        + ((step >> 1) & -((nib >> 1) & 1))
+        + (step & -((nib >> 2) & 1));
+    const int32_t ds = -((nib >> 3) & 1);     // -1 to subtract
+    pred += (diff ^ ds) - ds;
+    if (pred > 32767) pred = 32767;           // g++ emits cmovs
+    if (pred < -32768) pred = -32768;
+    idx += SS_IMA_INDEX[nib];
+    if (idx < 0) idx = 0;
+    if (idx > 88) idx = 88;
+    return (uint8_t)nib;
+}
+
+// header for one block whose samples are in buf[spb]: writes pred/idx seed,
+// returns the initial index (first step >= mean |delta|, matching
+// np.searchsorted(STEP_TABLE, mean, side='left') on a float mean).
+static inline int32_t ss_ima_header(const int32_t* buf, int32_t spb,
+                                    uint8_t* blk) {
+    int64_t sum_d = 0;
+    for (int64_t k = 1; k < spb; ++k) {
+        int32_t d = buf[k] - buf[k - 1];
+        sum_d += (d ^ (d >> 31)) - (d >> 31);
+    }
+    const double mean_d = (double)sum_d / (double)(spb - 1);
+    int32_t lo = 0, hi = 89;
+    while (lo < hi) {
+        int32_t mid = (lo + hi) / 2;
+        if ((double)SS_IMA_STEPS[mid] >= mean_d) hi = mid;
+        else lo = mid + 1;
+    }
+    const int32_t idx = lo > 88 ? 88 : lo;
+    blk[0] = (uint8_t)(buf[0] & 0xFF);
+    blk[1] = (uint8_t)((buf[0] >> 8) & 0xFF);
+    blk[2] = (uint8_t)idx;
+    blk[3] = 0;
+    return idx;
+}
+
+void ss_ima_encode_i16(const int16_t* x, int64_t n, int32_t spb,
+                       uint8_t* out) {
+    const int64_t nb = (n + spb - 1) / spb;
+    const int64_t block_bytes = 4 + spb / 2;
+    // Blocks are fully independent, and one block's quantizer is a serial
+    // pred->nib->pred dependency chain (~36 cycles/sample on its own).
+    // Interleaving G blocks in the inner loop runs G chains in parallel in
+    // registers, hiding the chain latency behind ILP (measured 58 ms ->
+    // ~17 ms per 4.8M noise samples on the 1-core host).  Scratch is a
+    // dense int32 copy: the lambda-with-EOF-branch version was 4x slower.
+    constexpr int G = 8;
+    static thread_local std::vector<int32_t> buf;
+    buf.resize((size_t)G * spb);
+    int64_t b = 0;
+    for (; b + G <= nb && (b + G) * spb <= n; b += G) {
+        int32_t pred[G], idx[G];
+        uint8_t* data[G];
+        for (int g = 0; g < G; ++g) {
+            const int16_t* src = x + (b + g) * spb;
+            int32_t* bg = buf.data() + (size_t)g * spb;
+            for (int32_t k = 0; k < spb; ++k) bg[k] = (int32_t)src[k];
+            uint8_t* blk = out + (b + g) * block_bytes;
+            idx[g] = ss_ima_header(bg, spb, blk);
+            pred[g] = bg[0];
+            data[g] = blk + 4;
+            for (int64_t i = 0; i < spb / 2; ++i) data[g][i] = 0;
+        }
+        for (int32_t k = 0; k < spb - 1; ++k) {
+            const int32_t sh = (k & 1) << 2;
+            const int64_t byte = k >> 1;
+            for (int g = 0; g < G; ++g) {
+                const uint8_t nib = ss_ima_step1(
+                    buf[(size_t)g * spb + k + 1], pred[g], idx[g]);
+                data[g][byte] |= (uint8_t)(nib << sh);
+            }
+        }
+    }
+    for (; b < nb; ++b) {   // tail blocks (incl. the zero-padded last one)
+        const int64_t s0 = b * spb;
+        const int64_t nvalid = (s0 + spb <= n) ? spb : (n - s0);
+        for (int64_t k = 0; k < nvalid; ++k) buf[k] = (int32_t)x[s0 + k];
+        for (int64_t k = nvalid; k < spb; ++k) buf[k] = 0;
+        uint8_t* blk = out + b * block_bytes;
+        int32_t idx = ss_ima_header(buf.data(), spb, blk);
+        int32_t pred = buf[0];
+        uint8_t* data = blk + 4;
+        for (int64_t i = 0; i < spb / 2; ++i) data[i] = 0;
+        for (int32_t k = 0; k < spb - 1; ++k) {
+            const uint8_t nib = ss_ima_step1(buf[k + 1], pred, idx);
+            data[k >> 1] |= (uint8_t)(nib << ((k & 1) << 2));
+        }
+    }
+}
+
 }  // extern "C"

@@ -129,7 +129,8 @@ class EngineConfig:
     # (~40 ms/chunk measured) and the tunnel idles between uploads; depth 4
     # keeps the wire busy end-to-end at ~3×29 MB extra staging + HBM.
     readahead_chunks: int = 4
-    # Transport codec for the fused pipeline's PCM upload (ops/mulaw.py):
+    # Transport codec for the fused pipeline's PCM upload (ops/mulaw.py,
+    # ops/adpcm.py):
     #   "pcm16"  — exact int16 samples (or f32 for non-16-bit sources)
     #   "mulaw8" — 8-bit mu-law compander: half the wire bytes on a
     #              link-bound path; round-trip error ≤ 0.022 full-scale
@@ -137,6 +138,11 @@ class EngineConfig:
     #              Quality-gated by the degradation grid's mulaw condition
     #              (frame F1 above clean in BOTH generators,
     #              docs/QUALITY_r03.json) and the codec gate run.
+    #   "adpcm4" — 4-bit IMA ADPCM: ~0.52 bytes/sample, half the mu-law
+    #              wire again on the link-bound path.  Predictive residual
+    #              coding, NOT the rejected block-float bfp4 (which
+    #              fragmented event boundaries — docs/BFP4_GATE.json);
+    #              gated by scripts/codec_gate.py before any default flip.
     # "auto" = mulaw8 on TPU when precision != "parity" and the source is
     # 16-bit PCM; exact pcm16 everywhere else (parity mode never lossy).
     upload_codec: str = "auto"

@@ -79,7 +79,7 @@ class FusedStreamingEngine:
 
     def __init__(self, detector: Detector, native_sr: int, kind: str = "i16",
                  mesh=None):
-        if kind not in ("i16", "f32", "mulaw8"):
+        if kind not in ("i16", "f32", "mulaw8", "adpcm4"):
             raise ValueError(f"unknown wire kind {kind!r}")
         # weak: the engine lives in a WeakKeyDictionary keyed on the detector;
         # a strong back-reference would keep the key alive forever. The
@@ -160,9 +160,21 @@ class FusedStreamingEngine:
         # staging sample dtype: what prepare() fills and the wire carries.
         # mulaw8 stages int16 (decoder output) and companding to int8 happens
         # at payload build, so read_padded/alignment logic is kind-agnostic.
+        # adpcm4 stages int16 too, then block-encodes the whole staging
+        # buffer into a shorter uint8 wire buffer (ops/adpcm.py).
         dtype = np.float32 if kind == "f32" else np.int16
         self._dtype = dtype  # staging buffers are allocated fresh per chunk
-        self._wire_dtype = np.int8 if kind == "mulaw8" else dtype
+        if kind == "mulaw8":
+            self._wire_dtype = np.int8
+            self._wire_len = self.in_len
+        elif kind == "adpcm4":
+            from ..ops import adpcm
+
+            self._wire_dtype = np.uint8
+            self._wire_len = adpcm.wire_bytes(self.in_len)
+        else:
+            self._wire_dtype = dtype
+            self._wire_len = self.in_len
 
     @property
     def det(self) -> Detector:
@@ -179,6 +191,10 @@ class FusedStreamingEngine:
             from ..ops.mulaw import decode_device
 
             x = decode_device(native)  # int8 codes -> f32 in [-1, 1]
+        elif self.kind == "adpcm4":
+            from ..ops.adpcm import decode_device as adpcm_decode
+
+            x = adpcm_decode(native, self.in_len)  # u8 blocks -> f32
         else:
             x = native.astype(jnp.float32)
             if self.kind == "i16":
@@ -252,7 +268,7 @@ class FusedStreamingEngine:
         starts = np.minimum(starts, max(0, self.buf_len - win)).astype(np.int32)
         bins = R.window_bin_offset(np.arange(self.chunk_w), step).astype(np.int32)
         return (
-            jax.device_put(np.zeros(self.in_len, self._wire_dtype)),
+            jax.device_put(np.zeros(self._wire_len, self._wire_dtype)),
             jnp.int32(0),
             jnp.int32(0),
             jax.device_put(starts.reshape(self.nb, self.B)),
@@ -405,8 +421,12 @@ class FusedStreamingEngine:
 
             t_fill = time.perf_counter() if timers is not None else 0.0
             # staging carries WIRE samples: int8 mu-law codes encode straight
-            # into it (code 0 == silence, so the zero fill doubles as pad)
-            staging = np.zeros(self.in_len, self._wire_dtype)
+            # into it (code 0 == silence, so the zero fill doubles as pad).
+            # adpcm4 is block-coded, so it stages int16 and encodes the whole
+            # buffer below.
+            staging = np.zeros(
+                self.in_len if self.kind == "adpcm4" else self._wire_len,
+                np.int16 if self.kind == "adpcm4" else self._wire_dtype)
             if self.W is None:
                 rs, lo = s0, 0
                 got = read_padded(rs, min(self.in_len, n_nat_padded - rs))
@@ -440,6 +460,15 @@ class FusedStreamingEngine:
                 # pass, no intermediate int16 staging or extra copy; halves
                 # the upload bytes on the link-bound path
                 encode_i16(np.asarray(got), out=staging[off : off + len(got)])
+            elif self.kind == "adpcm4":
+                from ..ops import adpcm
+
+                # block codec: fill the int16 staging, then one native
+                # encode pass into the uint8 wire buffer (~quarter the
+                # PCM16 bytes; ops/adpcm.py wire format)
+                staging[off : off + len(got)] = got
+                wire = np.zeros(self._wire_len, np.uint8)
+                staging = adpcm.encode_i16(staging, out=wire)
             else:
                 staging[off : off + len(got)] = got
 
@@ -645,7 +674,7 @@ def _maybe_wire_decimate(detector: Detector, read_fn, frames: int, sr: int,
     wire drops it on the host for 1/M the upload bytes.  Returns the
     (possibly wrapped) ``(read_fn, frames, sr)`` the engine should run at.
     """
-    if kind != "mulaw8":
+    if kind not in ("mulaw8", "adpcm4"):
         return read_fn, frames, sr
     cfg = detector.cfg
     if getattr(cfg.engine, "wire_decimate", "auto") != "auto":
@@ -672,7 +701,7 @@ def _i16_kind(detector: Detector) -> str:
                  if (detector.cfg.engine.precision != "parity"
                      and jax.default_backend() == "tpu")
                  else "pcm16")
-    return "mulaw8" if codec == "mulaw8" else "i16"
+    return codec if codec in ("mulaw8", "adpcm4") else "i16"
 
 
 def _run_mono_f32_source(detector: Detector, read_f32, frames: int, sr: int,
@@ -685,7 +714,8 @@ def _run_mono_f32_source(detector: Detector, read_f32, frames: int, sr: int,
     compander's quantization and the upload drops 4x vs shipping f32;
     exact wires (parity mode / CPU) keep float32 untouched.
     """
-    if _i16_kind(detector) == "mulaw8":
+    kind = _i16_kind(detector)
+    if kind in ("mulaw8", "adpcm4"):
         def read_i16(start: int, n: int) -> np.ndarray:
             data = read_f32(start, n)
             return np.clip(
@@ -693,8 +723,8 @@ def _run_mono_f32_source(detector: Detector, read_f32, frames: int, sr: int,
             ).astype(np.int16)
 
         rd, nfr, wire_sr = _maybe_wire_decimate(
-            detector, read_i16, frames, sr, "mulaw8")
-        engine = get_fused_engine(detector, wire_sr, "mulaw8")
+            detector, read_i16, frames, sr, kind)
+        engine = get_fused_engine(detector, wire_sr, kind)
         return engine.run(rd, nfr, progress, journal)
     engine = get_fused_engine(detector, sr, "f32")
     return engine.run(read_f32, frames, progress, journal)
@@ -728,7 +758,7 @@ def detect_file_fused(
         # upload drops 4x vs f32.  Exact wires keep f32 for >16-bit.
         kind = _i16_kind(detector)
         if inf.channels == 1 and (inf.bits_per_sample <= 16
-                                  or kind == "mulaw8"):
+                                  or kind in ("mulaw8", "adpcm4")):
             with SequentialMonoReader(
                 path, dtype="i16",
                 truncate_to_i16=inf.bits_per_sample > 16,
@@ -763,7 +793,7 @@ def detect_file_fused(
 
     if (isinstance(inf, wavio.WavInfo) and inf.channels == 1
             and inf.subtype in ("PCM_24", "PCM_32", "PCM_U8")
-            and _i16_kind(detector) == "mulaw8"):
+            and _i16_kind(detector) in ("mulaw8", "adpcm4")):
         # the lossy mu-law wire is on anyway, so 24/32-bit mono stages the
         # samples' top 16 bits (wavio.top16_from_raw: truncation ≪ the
         # compander's quantization step) instead of detouring through f32 —

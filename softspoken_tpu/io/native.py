@@ -141,6 +141,10 @@ def _load_locked() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
         ctypes.c_int32,
     ]
+    lib.ss_ima_encode_i16.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     return lib
 
 
@@ -252,3 +256,27 @@ def pcm16_to_mono_f32(raw: np.ndarray, channels: int) -> Optional[np.ndarray]:
         y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), _threads(),
     )
     return y
+
+
+def ima_encode_i16(x: np.ndarray, out: np.ndarray,
+                   spb: int) -> Optional[np.ndarray]:
+    """int16 PCM → 4-bit IMA-ADPCM wire blocks; None if native is absent.
+
+    ``out`` must be a contiguous uint8 buffer of exactly
+    ``ceil(len(x)/spb) * (4 + spb//2)`` bytes (ops/adpcm.py::wire_bytes);
+    the caller (ops/adpcm.encode_i16) validates that, but re-check here —
+    the native loop writes through the raw pointer.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.int16)
+    nb = -(-len(x) // spb)
+    want = nb * (4 + spb // 2)
+    if out.dtype != np.uint8 or not out.flags.c_contiguous or len(out) != want:
+        raise ValueError(f"out must be contiguous uint8[{want}]")
+    lib.ss_ima_encode_i16(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(x),
+        spb, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
