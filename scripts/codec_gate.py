@@ -1,16 +1,18 @@
-"""Hardware quality gate for the mu-law upload codec (ops/mulaw.py).
+"""Hardware quality gate for a lossy upload codec (ops/mulaw.py /
+ops/adpcm.py — pick with --codec).
 
 Synthesizes labeled eval files ONCE per condition (both generators, a
 representative slice of the degradation grid including a mu-law *content*
 round-trip — worst case: companded audio companded again for transport),
 then scores the SAME files through the fused pipeline with upload_codec
-pcm16 vs mulaw8 and reports parity-point F1 plus the fraction of files
-whose detected intervals are bit-identical across codecs.
+pcm16 vs the candidate codec and reports parity-point F1 plus the fraction
+of files whose detected intervals are bit-identical across codecs.
 
 Run on the TPU (the codec only matters there); results append to
 docs/QUALITY_r03.json under "codec_gate".
 
 Usage: python scripts/codec_gate.py [--files 6] [--seconds 90]
+       python scripts/codec_gate.py --codec adpcm4 --key adpcm4_gate
 """
 
 import argparse
@@ -40,6 +42,9 @@ def main():
                     help="native rate of the synthesized eval files; 48000 gates the M=3 decimation path (32000 gates M=2)")
     ap.add_argument("--key", default="codec_gate",
                     help="top-level key to write under in --out")
+    ap.add_argument("--codec", default="mulaw8",
+                    choices=["mulaw8", "adpcm4"],
+                    help="candidate lossy wire codec to gate against pcm16")
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ap.add_argument("--ckpt", default=os.path.join(
         repo_root, "root/models/spec_unet_2d/model_checkpoint"))
@@ -63,12 +68,13 @@ def main():
     from softspoken_tpu.engine import Detector
     from softspoken_tpu.train import evaluate as E
 
-    # three wire variants: exact, compander-only, compander + host
-    # decimation to 16 kHz (io/decimate.py) — each gated against exact
+    # three wire variants: exact, codec-only, codec + host decimation to
+    # 16 kHz (io/decimate.py) — each gated against exact
+    C = args.codec
     variants = {
         "pcm16": dict(upload_codec="pcm16", wire_decimate="off"),
-        "mulaw8": dict(upload_codec="mulaw8", wire_decimate="off"),
-        "mulaw8_dec": dict(upload_codec="mulaw8", wire_decimate="auto"),
+        C: dict(upload_codec=C, wire_decimate="off"),
+        f"{C}_dec": dict(upload_codec=C, wire_decimate="auto"),
     }
     dets = {}
     for name, kw in variants.items():
@@ -86,7 +92,7 @@ def main():
 
     base = args.workdir or tempfile.mkdtemp(prefix="codec_gate_")
     gate = {"files": args.files, "seconds": args.seconds,
-            "sr": args.sr,
+            "sr": args.sr, "codec": args.codec,
             "conditions": {}, "interval_identical_files": 0,
             "total_files": 0}
     t_all = time.time()
@@ -107,23 +113,23 @@ def main():
                 # intervals serve the identity check directly (re-running
                 # detection here doubled the gate's TPU wall time)
                 intervals[codec] = res["intervals"]
-            for lossy in ("mulaw8", "mulaw8_dec"):
+            for lossy in (C, f"{C}_dec"):
                 same = sum(a == b for a, b in
                            zip(intervals["pcm16"], intervals[lossy]))
                 row[f"{lossy}_intervals_identical"] = f"{same}/{args.files}"
                 row[f"{lossy}_frame_f1_delta"] = round(
                     row[lossy]["frame_f1"] - row["pcm16"]["frame_f1"], 4)
             same = sum(a == b for a, b in
-                       zip(intervals["pcm16"], intervals["mulaw8_dec"]))
+                       zip(intervals["pcm16"], intervals[f"{C}_dec"]))
             gate["interval_identical_files"] += same
             gate["total_files"] += args.files
             gate["conditions"][tag] = row
             print(f"{tag}: pcm16 frame F1 {row['pcm16']['frame_f1']} "
-                  f"mulaw8 {row['mulaw8']['frame_f1']} "
-                  f"(d {row['mulaw8_frame_f1_delta']:+.4f}) "
-                  f"mulaw8_dec {row['mulaw8_dec']['frame_f1']} "
-                  f"(d {row['mulaw8_dec_frame_f1_delta']:+.4f}, "
-                  f"ident {row['mulaw8_dec_intervals_identical']})",
+                  f"{C} {row[C]['frame_f1']} "
+                  f"(d {row[f'{C}_frame_f1_delta']:+.4f}) "
+                  f"{C}_dec {row[f'{C}_dec']['frame_f1']} "
+                  f"(d {row[f'{C}_dec_frame_f1_delta']:+.4f}, "
+                  f"ident {row[f'{C}_dec_intervals_identical']})",
                   flush=True)
     gate["wall_seconds"] = round(time.time() - t_all, 1)
 
