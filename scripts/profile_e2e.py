@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--chunk-seconds", type=float, default=150.0)
     ap.add_argument("--codec", default="auto",
-                    choices=["auto", "pcm16", "mulaw8"])
+                    choices=["auto", "pcm16", "mulaw8", "adpcm4"])
     args = ap.parse_args()
 
     from bench import make_recording

@@ -412,15 +412,18 @@ class Detector:
 
     def detect_file_fused(
         self, path: str, progress: Optional[Callable[[float], None]] = None,
-        journal_dir: Optional[str] = None,
+        journal_dir: Optional[str] = None, timers=None,
     ) -> DetectionResult:
         """Fully-fused device pipeline (engine.fused): raw PCM streams to the
         accelerator; decode, resample, mel, U-Net and the overlap grid all
         run in one program per chunk.  ``journal_dir`` enables chunk-granular
-        resume (see engine.journal)."""
+        resume (see engine.journal).  ``timers`` (runtime.metrics.StageTimers)
+        accumulates the per-phase pipeline breakdown — the bench's multifile
+        phase reads it to show WHERE concurrent files do (or don't) overlap."""
         from .fused import detect_file_fused
 
-        result = detect_file_fused(self, path, progress, journal_dir)
+        result = detect_file_fused(self, path, progress, journal_dir,
+                                   timers=timers)
         if self.cfg.engine.music_filter is not None:
             result = self._apply_music_filter(result, self._file_reader(path))
         return result
@@ -460,7 +463,7 @@ class Detector:
 
     def detect_file_streaming(
         self, path: str, progress: Optional[Callable[[float], None]] = None,
-        journal_dir: Optional[str] = None,
+        journal_dir: Optional[str] = None, timers=None,
     ) -> DetectionResult:
         """Bounded-memory decode for multi-hour recordings.
 
@@ -479,7 +482,8 @@ class Detector:
         if pipeline == "auto":
             pipeline = "fused" if jax.default_backend() == "tpu" else "host"
         if pipeline == "fused":
-            return self.detect_file_fused(path, progress, journal_dir)
+            return self.detect_file_fused(path, progress, journal_dir,
+                                          timers=timers)
         if journal_dir:
             # chunk-granular resume lives in the fused pipeline's grid
             # bookkeeping; say so instead of silently restarting from zero

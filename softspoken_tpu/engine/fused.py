@@ -705,7 +705,7 @@ def _i16_kind(detector: Detector) -> str:
 
 
 def _run_mono_f32_source(detector: Detector, read_f32, frames: int, sr: int,
-                         progress, journal) -> DetectionResult:
+                         progress, journal, timers=None) -> DetectionResult:
     """Run the fused engine over a mono float32 range-reader.
 
     One home for the host-decoded formats' wire policy (OPUS, MPEG, and the
@@ -725,15 +725,15 @@ def _run_mono_f32_source(detector: Detector, read_f32, frames: int, sr: int,
         rd, nfr, wire_sr = _maybe_wire_decimate(
             detector, read_i16, frames, sr, kind)
         engine = get_fused_engine(detector, wire_sr, kind)
-        return engine.run(rd, nfr, progress, journal)
+        return engine.run(rd, nfr, progress, journal, timers=timers)
     engine = get_fused_engine(detector, sr, "f32")
-    return engine.run(read_f32, frames, progress, journal)
+    return engine.run(read_f32, frames, progress, journal, timers=timers)
 
 
 def detect_file_fused(
     detector: Detector, path: str,
     progress: Optional[Callable[[float], None]] = None,
-    journal_dir: Optional[str] = None,
+    journal_dir: Optional[str] = None, timers=None,
 ) -> DetectionResult:
     """Whole-file detection through the fused device pipeline.
 
@@ -766,10 +766,10 @@ def detect_file_fused(
                 rd, nfr, sr = _maybe_wire_decimate(
                     detector, smr.read, inf.frames, inf.samplerate, kind)
                 engine = get_fused_engine(detector, sr, kind)
-                return engine.run(rd, nfr, progress, journal)
+                return engine.run(rd, nfr, progress, journal, timers=timers)
         engine = get_fused_engine(detector, inf.samplerate, "f32")
         with SequentialMonoReader(path) as smr:
-            return engine.run(smr.read, inf.frames, progress, journal)
+            return engine.run(smr.read, inf.frames, progress, journal, timers=timers)
 
     if (isinstance(inf, wavio.WavInfo)
             and inf.subtype == "PCM_16" and inf.channels == 1):
@@ -787,7 +787,7 @@ def detect_file_fused(
             detector, read_native, inf.frames, inf.samplerate, kind)
         engine = get_fused_engine(detector, sr, kind)
         try:
-            return engine.run(rd, nfr, progress, journal)
+            return engine.run(rd, nfr, progress, journal, timers=timers)
         finally:
             reader.close()
 
@@ -809,7 +809,7 @@ def detect_file_fused(
             detector, read_native_top16, inf.frames, inf.samplerate, "mulaw8")
         engine = get_fused_engine(detector, sr, "mulaw8")
         try:
-            return engine.run(rd, nfr, progress, journal)
+            return engine.run(rd, nfr, progress, journal, timers=timers)
         finally:
             reader.close()
 
@@ -821,7 +821,8 @@ def detect_file_fused(
 
         with OpusSeq(path) as smr:
             return _run_mono_f32_source(detector, smr.read, inf.frames,
-                                        inf.samplerate, progress, journal)
+                                        inf.samplerate, progress, journal,
+                                        timers=timers)
 
     if inf.subtype.startswith("MPEG"):
         # one persistent handle: a per-chunk mp3.read() would re-open and
@@ -831,7 +832,8 @@ def detect_file_fused(
 
         with Mp3Seq(path) as smr:
             return _run_mono_f32_source(detector, smr.read, inf.frames,
-                                        inf.samplerate, progress, journal)
+                                        inf.samplerate, progress, journal,
+                                        timers=timers)
 
     from ..io import read_mono
 
@@ -840,4 +842,5 @@ def detect_file_fused(
         return data
 
     return _run_mono_f32_source(detector, read_native, inf.frames,
-                                inf.samplerate, progress, journal)
+                                inf.samplerate, progress, journal,
+                                timers=timers)
