@@ -18,6 +18,15 @@ game assets (bandlimited to ~5.5 kHz) with seconds of unique material —
 they probe "does real, non-studio texture break the detector", not
 sim-to-real transfer (README quality section states that risk).
 
+Real recorded SPEECH remains unobtainable in-image (searched round 5,
+per VERDICT r4 next #9): the full-filesystem sweep finds only scipy's
+synthetic WAV fixtures, pygame's music/impact assets (above), and one
+1.2 s silent MP3 (gsutil test data); no TTS engine (espeak/festival/
+flite/pico2wave) is installed and the image has zero egress.  Probe B's
+recall therefore stays synthetic-speech-over-real-beds; a future
+environment with a freely licensed speech clip should add it to SOURCES
+(a new "speech" class) and re-run.
+
 Usage:  python scripts/real_audio_check.py [--out docs/QUALITY_r03_realaudio.json]
         [--seconds 60] [--files 4] [--quick]
 """
