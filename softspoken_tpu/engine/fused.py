@@ -164,6 +164,7 @@ class FusedStreamingEngine:
         # buffer into a shorter uint8 wire buffer (ops/adpcm.py).
         dtype = np.float32 if kind == "f32" else np.int16
         self._dtype = dtype  # staging buffers are allocated fresh per chunk
+        self._concat_fns = {}  # arity -> jitted concat (see _drain)
         if kind == "mulaw8":
             self._wire_dtype = np.int8
             self._wire_len = self.in_len
@@ -275,6 +276,36 @@ class FusedStreamingEngine:
             jax.device_put(bins.reshape(self.nb, self.B)),
             jax.device_put(np.ones((self.nb, self.B), np.float32)),
         )
+
+    def _drain(self, handles, extra=()):
+        """Fetch device arrays in ONE wire round trip.
+
+        The remote tunnel's device→host path costs ~65-75 ms of latency per
+        array regardless of size (a 12-array batched device_get measured
+        0.75-0.93 s for ~600 KB total — pure round trips), so the grids are
+        concatenated ON DEVICE into one buffer and downloaded once, then
+        split host-side.  ``extra`` arrays (the inter-chunk carry at journal
+        checkpoints) ride the same transfer.  One jitted concat per arity;
+        arities repeat across files (bounded by journal drain cadence), so
+        the jit cache stays small.  Returns the list of numpy arrays in
+        input order (handles first, then extras).
+        """
+        arrs = list(handles) + list(extra)
+        if not arrs:
+            return []
+        if len(arrs) == 1:
+            return [jax.device_get(arrs[0])]
+        fn = self._concat_fns.get(len(arrs))
+        if fn is None:
+            fn = jax.jit(lambda *xs: jnp.concatenate(xs))
+            self._concat_fns[len(arrs)] = fn
+        flat = jax.device_get(fn(*arrs))
+        out, off = [], 0
+        for a in arrs:
+            n = int(a.shape[0])
+            out.append(flat[off:off + n])
+            off += n
+        return out
 
     def device_only_rate(self, repeats: int = 8) -> float:
         """Audio-seconds/wall-second of the chunk program alone, with all
@@ -542,28 +573,32 @@ class FusedStreamingEngine:
                 with tt("dispatch"):
                     avg, cnt, carry_sum, carry_cnt = self._fn(
                         self.det.variables, *dev, carry_sum, carry_cnt)
-                # defer downloads: keep the device handle, fetch after the
-                # whole queue is dispatched (host syncs stall the pipeline)
+                # defer downloads: keep the device handle; the drain below
+                # fetches everything in ONE transfer (host syncs mid-loop
+                # stall the pipeline)
                 pending.append((fin, avg))
                 if progress is not None:
                     progress(w1 / n_windows)
                 if (journal is not None and ci + 1 < n_chunks
                         and (ci + 1 - k0) % every == 0):
-                    # checkpoint: one batched fetch of the grids completed
+                    # checkpoint: one fused download of the grids completed
                     # since the last save plus the carry (a deliberate sync
                     # point — the cost is one download per `every` chunks)
-                    got = jax.device_get(
-                        [a for _, a in pending] + [carry_sum, carry_cnt])
+                    got = self._drain([a for _, a in pending],
+                                      extra=(carry_sum, carry_cnt))
                     done_parts.extend(
                         a[:fin] for (fin, _), a in zip(pending, got[:-2]))
                     pending = []
                     journal.save(done_parts, got[-2], got[-1])
 
-        # one batched fetch: per-chunk `np.asarray(avg[:fin])` would cost a
-        # device-side slice dispatch (~30 ms tunnel roundtrip each) plus a
-        # serial download per chunk; device_get pipelines them
+        # ONE wire transfer for every remaining grid: the down-link is
+        # LATENCY-dominated, not bandwidth-dominated — a batched
+        # device_get of N arrays still pays ~65-75 ms per array on the
+        # remote tunnel (profile_e2e r5: 12 grids = 0.75-0.93 s, over half
+        # the e2e wall), while a device-side concatenation collapses the
+        # same bytes into a single round trip
         with tt("final_fetch"):
-            fetched = jax.device_get([avg for _, avg in pending])
+            fetched = self._drain([a for _, a in pending])
         avg_parts = done_parts + [
             a[:fin] for (fin, _), a in zip(pending, fetched)]
         avg_values = np.concatenate(avg_parts)[:covered]
